@@ -1,0 +1,74 @@
+"""Deterministic hashing: partition assignment, salting, synth randomness.
+
+The reference's fallback split strategy is ``CRC32(pk) % N == taskId``
+(/root/reference/plugins/reader/mysqlreader/mysql_reader.go:432-444).
+We generalise it to the engine's key-hash partitioner. Two hash families:
+
+* ``md5_lower64`` — oracle-checkable: identical to DuckDB's
+  ``md5_number_lower(s)`` (lower 16 hex digits of md5, little-endian),
+  so partition histograms can be verified in SQL.
+* ``splitmix64`` — fast vectorised integer mixer used for synthetic
+  data generation (pure function of index; batch-boundary independent).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def md5_lower64(s: str | bytes) -> int:
+    """Lower 64 bits of md5, matching DuckDB ``md5_number_lower``."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return int.from_bytes(hashlib.md5(s).digest()[8:16], "little")
+
+
+def md5_lower64_array(values) -> np.ndarray:
+    """Vectorised-ish md5_lower64 over an Arrow/np/py sequence of strings."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pylist()
+    out = np.empty(len(values), dtype=np.uint64)
+    md5 = hashlib.md5
+    for i, v in enumerate(values):
+        if v is None:
+            out[i] = 0
+        else:
+            out[i] = int.from_bytes(md5(v.encode("utf-8")).digest()[8:16], "little")
+    return out
+
+
+def partition_ids(urls, num_partitions: int) -> np.ndarray:
+    """part_id = md5_lower64(url) % P — the engine's key-hash partitioner."""
+    return (md5_lower64_array(urls) % np.uint64(num_partitions)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# splitmix64: fast stateless PRNG for the deterministic generators.
+
+_U64 = np.uint64
+_MASK = _U64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public domain constant set), vectorised."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = (x + _U64(0x9E3779B97F4A7C15)) & _MASK
+        z = ((z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)) & _MASK
+        z = ((z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)) & _MASK
+        return z ^ (z >> _U64(31))
+
+
+def mix_streams(indices: np.ndarray, seed: int, stream: int) -> np.ndarray:
+    """Independent uint64 stream per (seed, stream, index) — stateless."""
+    base = np.uint64((seed * 0x100000001B3 + stream * 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        return splitmix64(indices.astype(np.uint64) ^ splitmix64(np.full(len(indices), base, dtype=np.uint64)))
+
+
+def uniform01(indices: np.ndarray, seed: int, stream: int) -> np.ndarray:
+    """Deterministic uniform [0,1) per index."""
+    return mix_streams(indices, seed, stream).astype(np.float64) / 2.0**64

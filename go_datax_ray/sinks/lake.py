@@ -1,0 +1,156 @@
+"""Merge-apply upsert into the partitioned Parquet lake.
+
+Semantics are the reference's RDBMS writer upsert — batch INSERT with
+PK conflict resolution, PG ``ON CONFLICT (pk) DO UPDATE`` / MySQL
+``ON DUPLICATE KEY UPDATE`` (/root/reference/common/database/rdbms/
+writer/common.go:518-616) — plus the elasticsearchwriter's per-event
+action model insert/update/delete keyed by _id
+(/root/reference/plugins/writer/elasticsearchwriter/
+elasticsearch_writer.go:33-41,1288-1359), re-expressed as a
+copy-on-write partition merge:
+
+    read committed partition file (if any)
+    -> additive-evolve schemas -> concat with this epoch's LWW winners
+    -> LWW again (old rows carry their own (warc_ts, lsn))
+    -> sort by url (byte-deterministic file content)
+    -> write _tmp/part-{pid}-epoch-{e}.parquet
+
+Visibility is decided by the manifest commit (state.manifest) — the
+merge itself only produces tmp files, so retried tasks are harmless.
+
+The merge runs inside ``groupby("part_id").map_groups`` after the
+key-hash shuffle: each invocation sees exactly one partition's events.
+At 100 TB scale the per-partition rewrite amortises because P is sized
+so a partition is a few GB (copy-on-write upsert, Hudi/Delta-style);
+the hot path stays vectorised Arrow end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schema import conform, evolve
+from ..stages.lww import lww_table
+from ..state.manifest import tmp_path
+
+# columns that belong to the engine, not the payload
+_ENGINE_COLS = ("part_id", "salt")
+
+_TYPE_TO_STR = {
+    pa.int64(): "int64",
+    pa.int32(): "int32",
+    pa.float64(): "float64",
+    pa.string(): "string",
+    pa.large_string(): "large_string",
+    pa.binary(): "binary",
+    pa.large_binary(): "large_binary",
+    pa.bool_(): "bool",
+    pa.timestamp("us"): "timestamp_us",
+}
+_STR_TO_TYPE = {v: k for k, v in _TYPE_TO_STR.items()}
+
+
+def schema_to_json(schema: pa.Schema) -> str:
+    return json.dumps([[f.name, _TYPE_TO_STR[f.type]] for f in schema])
+
+
+def schema_from_json(s: str) -> pa.Schema:
+    return pa.schema([pa.field(n, _STR_TO_TYPE[t]) for n, t in json.loads(s)])
+
+
+def _strip_engine_cols(t: pa.Table) -> pa.Table:
+    drop = [c for c in _ENGINE_COLS if c in t.column_names and c != "part_id"]
+    return t.drop_columns(drop) if drop else t
+
+
+def make_partition_merger(
+    lake_dir: str,
+    epoch: int,
+    committed: dict[int, str],
+    metrics: Any | None = None,
+) -> Callable[[pa.Table], pa.Table]:
+    """Build the map_groups merge fn for one epoch.
+
+    ``committed`` is the driver's manifest snapshot (pid -> absolute file
+    path) — a small dict captured in the task closure, shipped once per
+    task (broadcast), never per batch.
+    """
+
+    def merge(group: pa.Table) -> pa.Table:
+        pid = int(group.column("part_id")[0].as_py())
+        events = group.num_rows
+        new = lww_table(_strip_engine_cols(group))
+        old_path = committed.get(pid)
+        if old_path is not None and os.path.exists(old_path):
+            old = pq.read_table(old_path)
+            target = evolve(old.schema, new.schema)
+            merged = lww_table(
+                pa.concat_tables([conform(old, target), conform(new, target)])
+            )
+        else:
+            merged = new
+        merged = merged.sort_by("url")
+        out = tmp_path(lake_dir, pid, epoch)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        pq.write_table(merged, out, compression="zstd", row_group_size=64 * 1024)
+        if metrics is not None:
+            metrics.inc.remote(f"partition/{pid}/events", events)
+        return pa.table(
+            {
+                "pid": pa.array([pid], pa.int64()),
+                "rows": pa.array([merged.num_rows], pa.int64()),
+                "events": pa.array([events], pa.int64()),
+                "max_lsn": pa.array(
+                    [int(pa.compute.max(group.column("lsn")).as_py())], pa.int64()
+                ),
+                "schema_json": pa.array([schema_to_json(merged.schema)], pa.string()),
+            }
+        )
+
+    return merge
+
+
+def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: bool = True):
+    """Read the committed lake as a Dataset (manifest-listed files only —
+    uncommitted tmp/garbage files are invisible). ``final_state`` filters
+    delete tombstones, yielding the upsert-resolved table state."""
+    import ray.data as rd
+
+    from ..state.manifest import Manifest
+
+    man = Manifest.load(lake_dir)
+    files = man.committed_files()
+    if not files:
+        schema = schema_from_json(man.schema_json) if man.schema_json else pa.schema([])
+        return rd.from_arrow(schema.empty_table())
+    ds = rd.read_parquet(files, columns=columns)
+    if final_state:
+        ds = ds.map_batches(
+            lambda t: t.filter(pa.compute.not_equal(t.column("op"), pa.scalar("D"))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return ds
+
+
+def read_lake_table(lake_dir: str, *, final_state: bool = True) -> pa.Table:
+    """Driver-side small read of the whole lake (tests/golden checks only)."""
+    from ..state.manifest import Manifest
+
+    man = Manifest.load(lake_dir)
+    files = man.committed_files()
+    if not files:
+        return pa.schema([]).empty_table()
+    schemas = [pq.read_schema(f) for f in files]
+    target = schemas[0]
+    for s in schemas[1:]:
+        target = evolve(target, s)
+    t = pa.concat_tables([conform(pq.read_table(f), target) for f in files])
+    if final_state:
+        t = t.filter(pa.compute.not_equal(t.column("op"), pa.scalar("D")))
+    return t.sort_by([("part_id", "ascending"), ("url", "ascending")])

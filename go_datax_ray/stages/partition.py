@@ -1,0 +1,46 @@
+"""Key-hash partitioning with hot-key salting.
+
+Generalises the reference's hash split — task i reads rows where
+``CRC32(pk) % N == i`` (/root/reference/plugins/reader/mysqlreader/
+mysql_reader.go:432-444) — into the engine's shuffle partitioner:
+``part_id = md5_lower64(url) % P`` (DuckDB-checkable via
+``md5_number_lower(url) % P``).
+
+Salting: LWW dedup is associative+commutative (max over (warc_ts, lsn)),
+so a hot key can be reduced in two phases — first within salted
+sub-partitions ``(part_id, salt = lsn % S)``, then across salts —
+without changing semantics. The reference has no salting (SURVEY.md
+§2.7); its Cassandra token-range split (cassandra_reader.go:155-258) is
+the nearest ancestor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import partition_ids
+
+
+def add_part_id(batch: pa.Table, *, key: str = "url", num_partitions: int = 64) -> pa.Table:
+    """Vectorised stage: append part_id = md5_lower64(key) % P."""
+    pid = partition_ids(batch.column(key), num_partitions)
+    return batch.append_column("part_id", pa.array(pid, pa.int64()))
+
+
+def add_salt(batch: pa.Table, *, num_salts: int, salt_from: str = "lsn") -> pa.Table:
+    """Append salt = lsn % S. Using lsn (unique) spreads a hot key evenly
+    across S sub-reducers; correctness is unaffected because the LWW
+    reduction is re-applied across salts afterwards."""
+    vals = batch.column(salt_from).to_numpy().astype(np.int64)
+    return batch.append_column("salt", pa.array(vals % num_salts, pa.int64()))
+
+
+def partition_events(ds, *, key: str = "url", num_partitions: int = 64):
+    """Dataset stage: tag every event with its lake partition."""
+    return ds.map_batches(
+        add_part_id,
+        fn_kwargs={"key": key, "num_partitions": num_partitions},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

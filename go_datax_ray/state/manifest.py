@@ -1,0 +1,188 @@
+"""Partition-epoch manifest: the exactly-once commit log of the lake.
+
+Hardened from the reference's only two-phase-commit mechanism — hdfswriter
+writes per-task temp paths and renames them at job Post
+(/root/reference/plugins/writer/hdfswriter/hdfs_writer.go:366-506; note the
+reference never actually wires job-level Post, SURVEY.md §3.1). Ours:
+
+  1. merge tasks write ``_tmp/part-{pid}-epoch-{e}.parquet`` with
+     DETERMINISTIC names and byte-deterministic content, so a retried Ray
+     task overwrites the same bytes (never double-applies);
+  2. the driver promotes tmp -> ``part={pid}/...`` with ``os.replace``
+     (atomic on one filesystem);
+  3. visibility is decided solely by ``_manifest.json``, itself replaced
+     atomically; a replay of an already-committed epoch is detected and
+     becomes a no-op (idempotent re-commit).
+
+The manifest also carries the committed table schema (for Avro-style
+additive evolution) and per-partition lineage: source-offset watermark ->
+partition -> committed file, which is what makes the replay
+checkpoint-resumable (north_rule).
+
+Unlike the reference's non-deterministic output names
+(``fileName + unixnano``, /root/reference/plugins/writer/txtfilewriter/
+txtfile_writer.go:238-249), every name here is a pure function of
+(partition, epoch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+MANIFEST_NAME = "_manifest.json"
+COMMITS_DIR = "_commits"
+TMP_DIR = "_tmp"
+
+
+def tmp_path(lake_dir: str, pid: int, epoch: int) -> str:
+    return os.path.join(lake_dir, TMP_DIR, f"part-{pid:05d}-epoch-{epoch:06d}.parquet")
+
+
+def final_path(lake_dir: str, pid: int, epoch: int) -> str:
+    # non-hive dir name (no '=') so read_parquet doesn't invent a partition col
+    return os.path.join(lake_dir, f"part-{pid:05d}", f"part-{pid:05d}-epoch-{epoch:06d}.parquet")
+
+
+@dataclass
+class Manifest:
+    """Committed state of a lake directory."""
+
+    lake_dir: str
+    num_partitions: int = 0
+    watermark_lsn: int = -1  # every event with lsn <= watermark is committed
+    epoch: int = -1  # last committed epoch
+    schema_json: str | None = None  # committed Arrow schema (serialized)
+    # pid(str) -> {"file": rel, "rows": int, "max_lsn": int, "epoch": int}
+    partitions: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    # -- load/save ---------------------------------------------------------
+    @classmethod
+    def load(cls, lake_dir: str) -> "Manifest":
+        p = os.path.join(lake_dir, MANIFEST_NAME)
+        if not os.path.exists(p):
+            return cls(lake_dir=lake_dir)
+        with open(p) as f:
+            d = json.load(f)
+        return cls(
+            lake_dir=lake_dir,
+            num_partitions=d["num_partitions"],
+            watermark_lsn=d["watermark_lsn"],
+            epoch=d["epoch"],
+            schema_json=d.get("schema_json"),
+            partitions=d["partitions"],
+        )
+
+    def _save_atomic(self) -> None:
+        os.makedirs(self.lake_dir, exist_ok=True)
+        p = os.path.join(self.lake_dir, MANIFEST_NAME)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "num_partitions": self.num_partitions,
+                    "watermark_lsn": self.watermark_lsn,
+                    "epoch": self.epoch,
+                    "schema_json": self.schema_json,
+                    "partitions": self.partitions,
+                },
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+
+    # -- queries -----------------------------------------------------------
+    def partition_file(self, pid: int) -> str | None:
+        ent = self.partitions.get(str(pid))
+        if ent is None:
+            return None
+        return os.path.join(self.lake_dir, ent["file"])
+
+    def committed_files(self) -> list[str]:
+        return [os.path.join(self.lake_dir, e["file"]) for e in self.partitions.values()]
+
+    # -- commit protocol ---------------------------------------------------
+    def commit_epoch(
+        self,
+        epoch: int,
+        lsn_lo: int,
+        lsn_hi: int,
+        entries: list[dict[str, Any]],
+        schema_json: str,
+        wall_s: float,
+    ) -> bool:
+        """Atomically publish one epoch. ``entries`` rows come from the merge
+        stage: {pid, rows, events, max_lsn}. Returns False (no-op) if the
+        epoch is already committed — the idempotent-replay guarantee."""
+        if epoch <= self.epoch:
+            return False
+        old_files: list[str] = []
+        for ent in entries:
+            pid = int(ent["pid"])
+            src = tmp_path(self.lake_dir, pid, epoch)
+            dst = final_path(self.lake_dir, pid, epoch)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            prev = self.partitions.get(str(pid))
+            if prev is not None:
+                old_files.append(os.path.join(self.lake_dir, prev["file"]))
+            self.partitions[str(pid)] = {
+                "file": os.path.relpath(dst, self.lake_dir),
+                "rows": int(ent["rows"]),
+                "max_lsn": int(ent["max_lsn"]),
+                "epoch": epoch,
+            }
+        self.epoch = epoch
+        self.watermark_lsn = max(self.watermark_lsn, lsn_hi)
+        if schema_json:
+            self.schema_json = schema_json
+        self._save_atomic()
+        # lineage record: source offsets -> partitions -> files (+ speed)
+        os.makedirs(os.path.join(self.lake_dir, COMMITS_DIR), exist_ok=True)
+        events_total = sum(int(e["events"]) for e in entries)
+        commit_rec = {
+            "epoch": epoch,
+            "lsn_lo": lsn_lo,
+            "lsn_hi": lsn_hi,
+            "committed_at": time.time(),
+            "wall_s": wall_s,
+            "events": events_total,
+            "events_per_sec": events_total / wall_s if wall_s > 0 else None,
+            "partitions": {
+                str(int(e["pid"])): {
+                    "file": self.partitions[str(int(e["pid"]))]["file"],
+                    "rows": int(e["rows"]),
+                    "events": int(e["events"]),
+                    "max_lsn": int(e["max_lsn"]),
+                }
+                for e in entries
+            },
+        }
+        cpath = os.path.join(self.lake_dir, COMMITS_DIR, f"epoch-{epoch:06d}.json")
+        ctmp = cpath + ".tmp"
+        with open(ctmp, "w") as f:
+            json.dump(commit_rec, f)
+        os.replace(ctmp, cpath)
+        # superseded partition files are garbage once the manifest moved on
+        for fpath in old_files:
+            try:
+                os.remove(fpath)
+            except OSError:
+                pass
+        return True
+
+    def lineage(self) -> list[dict[str, Any]]:
+        """All commit records in epoch order (per-partition lineage log)."""
+        cdir = os.path.join(self.lake_dir, COMMITS_DIR)
+        if not os.path.isdir(cdir):
+            return []
+        out = []
+        for name in sorted(os.listdir(cdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(cdir, name)) as f:
+                    out.append(json.load(f))
+        return out
