@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_topk`` — exact cosine top-k: the query matrix is put in
+  the object store ONCE (ray.put broadcast) and fetched per actor in
+  __init__, never re-shipped per batch; each batch contributes its
+  local top-k candidates (k rows per query per batch — a tiny
+  projection), and one small groupby-reduce keeps the global top-k.
+* ``lsh_topk`` — scale path: hyperplane-bucket the corpus (stages.dedup
+  .HyperplaneLSH), probe only the query's nearest buckets. Approximate;
+  recall depends on n_planes/probes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+
+
+class BatchTopK:
+    """Actor-pool stage: corpus batch -> per-query local top-k rows."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        self.q = _normalize(ray.get(queries_ref))  # broadcast, once per actor
+        self.k = k
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_to_matrix(batch.column(self.vec_col)))
+        ids = batch.column(self.id_col).to_numpy()
+        sims = self.q @ mat.T  # (Q, B)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        qn, kn = top.shape
+        qidx = np.repeat(np.arange(qn, dtype=np.int64), kn)
+        cand = top.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(qidx, pa.int64()),
+                self.id_col: pa.array(ids[cand], pa.int64()),
+                "cosine": pa.array(sims[qidx, cand], pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+    """Exact cosine top-k of ``queries`` (Q x dim) against the dataset.
+    Returns (query_id, id, cosine, rank), rank 1-based, ties broken by id
+    ascending for determinism."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    cands = ds.map_batches(
+        BatchTopK,
+        fn_constructor_args=(qref, k, vec_col, id_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def reduce_topk(g: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            g, sort_keys=[("cosine", "descending"), (id_col, "ascending")]
+        )
+        out = g.take(idx[:k])
+        return out.append_column("rank", pa.array(np.arange(1, out.num_rows + 1), pa.int64()))
+
+    return cands.groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
+
+
+def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, n_planes: int = 8, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id", probes: int = 4) -> pa.Table:
+    """Approximate top-k: bucket the corpus by hyperplane signs, search the
+    query's own bucket plus its ``probes`` nearest (lowest-|margin| bit
+    flips). Trades recall for touching ~probes/2^n_planes of the corpus."""
+    from .dedup import HyperplaneLSH
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    dim = q.shape[1]
+    lsh = HyperplaneLSH(dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col, id_col=id_col)
+    margins = q @ lsh.planes  # (Q, P)
+    base_bits = margins > 0
+    weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+
+    target_buckets: list[set[int]] = []
+    for qi in range(q.shape[0]):
+        b0 = int((base_bits[qi].astype(np.uint64) * weights).sum())
+        buckets = {b0}
+        flip_order = np.argsort(np.abs(margins[qi]))
+        for f in flip_order[:probes]:
+            buckets.add(b0 ^ int(weights[f]))
+        target_buckets.append(buckets)
+    wanted = set().union(*target_buckets)
+
+    bucketed = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
+                                   vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    wanted_arr = pa.array(sorted(wanted), pa.int64())
+    pruned = bucketed.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("bucket"), value_set=wanted_arr)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    qref = ray.put(q)
+
+    class ProbeTopK(BatchTopK):
+        def __init__(self, queries_ref, k, vec_col, id_col, buckets_per_query):
+            super().__init__(queries_ref, k, "vec", id_col)
+            self.buckets_per_query = buckets_per_query
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            # keep only (query, candidate) pairs whose bucket the query probes
+            bks = dict(zip(batch.column(self.id_col).to_pylist(), batch.column("bucket").to_pylist()))
+            keep = [
+                bks[v] in self.buckets_per_query[qi]
+                for qi, v in zip(out.column("query_id").to_pylist(), out.column(self.id_col).to_pylist())
+            ]
+            return out.filter(pa.array(keep))
+
+    cands = pruned.map_batches(
+        ProbeTopK,
+        fn_constructor_args=(qref, k, vec_col, id_col, target_buckets),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def reduce_topk(g: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            g, sort_keys=[("cosine", "descending"), (id_col, "ascending")]
+        )
+        out = g.take(idx[:k])
+        return out.append_column("rank", pa.array(np.arange(1, out.num_rows + 1), pa.int64()))
+
+    return cands.groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")

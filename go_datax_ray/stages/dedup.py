@@ -1,0 +1,365 @@
+"""Deduplication operators over the documents/webtext tables.
+
+Five families (driver brief "training-data pipeline ops"):
+
+* exact        — content-hash partition + per-group min-key winner
+* minhash_lsh  — word-shingle MinHash signatures, banded LSH bucketing
+                 (shuffle on (band, band_hash)), candidate pairs verified
+                 by true shingle Jaccard
+* simhash      — 64-bit weighted token simhash, banded candidate gen,
+                 Hamming-distance verify
+* ngram_jaccard— the exact verifier, usable standalone on pairs
+* embedding    — cosine near-dup via seeded random-hyperplane LSH buckets
+
+Scale notes (100 TB): stages 1-2 of each family are map_batches + one
+groupby shuffle on a SMALL projection (id + hash/signature — the wide
+html/text payload never enters the shuffle). Candidate-pair
+verification re-reads only candidate docs (broadcast id set filter).
+The final connected-components step runs on the driver over the
+candidate-pair edge list, which LSH keeps ~O(dups); for adversarial
+inputs swap in iterative min-label propagation (groupby rounds) — noted
+in ``cluster_pairs``.
+
+The reference has no dedup at all beyond sink-side PK upsert
+(/root/reference/common/database/rdbms/writer/common.go:557-607);
+these are new capabilities layered on the same shuffle machinery.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import splitmix64
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ------------------------------------------------------------------ exact
+def add_content_hash(batch: pa.Table, *, text_col: str = "text", out_col: str = "content_hash") -> pa.Table:
+    vals = batch.column(text_col).to_pylist()
+    out = pa.array(
+        [None if v is None else hashlib.md5(v.encode("utf-8")).hexdigest() for v in vals],
+        pa.string(),
+    )
+    return batch.append_column(out_col, out)
+
+
+def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id"):
+    """Keep, per identical text, the row with the smallest key.
+    hash-partition (groupby content_hash) + per-group first — the
+    canonical exact-dedup shape."""
+    ds = ds.map_batches(
+        add_content_hash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def first_by_key(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(key_col, "ascending")])
+        return g.take(idx[:1]).drop_columns(["content_hash"])
+
+    return ds.groupby("content_hash").map_groups(first_by_key, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- shingles
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Hashes of word k-shingles (uint64, unique)."""
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < k:
+        joined = [" ".join(words)] if words else []
+    else:
+        joined = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    if not joined:
+        return np.zeros(0, dtype=np.uint64)
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in joined),
+        dtype=np.uint64,
+        count=len(joined),
+    )
+    return np.unique(hs)
+
+
+def ngram_jaccard(text_a: str, text_b: str, *, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard similarity — the verifier."""
+    a, b = _shingle_hashes(text_a, k), _shingle_hashes(text_b, k)
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / (len(a) + len(b) - inter)
+
+
+# ------------------------------------------------------------ minhash+LSH
+class MinHasher:
+    """Actor-pool stage: text -> (num_perm,) MinHash signature + banded
+    LSH keys. Permutation coefficients are derived once per actor from
+    the seed (never re-derived per batch)."""
+
+    def __init__(self, *, text_col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42):
+        assert num_perm % bands == 0
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.bands, self.k = num_perm, bands, k
+        idx = np.arange(num_perm, dtype=np.uint64)
+        self.a = (splitmix64(idx + np.uint64(seed * 1315423911)) % (_MERSENNE - np.uint64(1))) + np.uint64(1)
+        self.b = splitmix64(idx + np.uint64(seed * 2654435761 + 7)) % _MERSENNE
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        if len(sh) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            # (shingles, perms) universal hash, min over shingles
+            m = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return m.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Emit LSH rows: (id, band, band_hash) — bands*rows per doc, id +
+        two int64s only; the text stays out of the shuffle."""
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        r = self.num_perm // self.bands
+        out_id, out_band, out_bh = [], [], []
+        for i, t in zip(ids, texts):
+            sig = self.signature(t or "")
+            for bnd in range(self.bands):
+                chunk = sig[bnd * r : (bnd + 1) * r]
+                bh = int.from_bytes(hashlib.md5(chunk.tobytes()).digest()[:8], "little")
+                out_id.append(i)
+                out_band.append(bnd)
+                out_bh.append(bh - (1 << 63))
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int64()),
+                "band_hash": pa.array(out_bh, pa.int64()),
+            }
+        )
+
+
+def minhash_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                            num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42):
+    """docs -> candidate duplicate id pairs (a < b), deduplicated.
+    Shuffle key: (band, band_hash); docs sharing any band bucket pair up."""
+    lsh = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k, seed=seed
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = sorted(g.column(id_col).to_pylist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+
+    pairs = lsh.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    # distinct pairs (a doc pair can collide in several bands)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def verify_pairs(pairs_tbl: pa.Table, docs_tbl: pa.Table, *, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3, threshold: float = 0.7) -> pa.Table:
+    """Exact-Jaccard verify of candidate pairs (driver-side over the
+    candidate subset only; at scale this is a broadcast-filtered
+    map_batches over candidate docs)."""
+    texts = dict(zip(docs_tbl.column(id_col).to_pylist(), docs_tbl.column(text_col).to_pylist()))
+    ia, ib, sim = [], [], []
+    for a, b in zip(pairs_tbl.column("id_a").to_pylist(), pairs_tbl.column("id_b").to_pylist()):
+        j = ngram_jaccard(texts.get(a) or "", texts.get(b) or "", k=k)
+        if j >= threshold:
+            ia.append(a)
+            ib.append(b)
+            sim.append(j)
+    return pa.table(
+        {
+            "id_a": pa.array(ia, pa.int64()),
+            "id_b": pa.array(ib, pa.int64()),
+            "jaccard": pa.array(sim, pa.float64()),
+        }
+    )
+
+
+def cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over the (small, LSH-pruned) duplicate edge list:
+    id -> cluster representative (min id). For adversarially huge edge
+    lists, replace with iterative min-label propagation via groupby."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+# ---------------------------------------------------------------- simhash
+class SimHasher:
+    """64-bit simhash over word tokens (term-frequency weighted)."""
+
+    def __init__(self, *, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        words = _WORD_RE.findall(text.lower())
+        if not words:
+            return 0
+        uniq, counts = np.unique(np.array(words), return_counts=True)
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little") for w in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        acc = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [self.simhash64(t or "") for t in batch.column(self.text_col).to_pylist()]
+        # store as int64 via two's complement so XOR-based Hamming verify
+        # recovers the original bit pattern
+        signed = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
+        return batch.append_column("simhash", pa.array(signed, pa.int64()))
+
+
+def simhash_candidate_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3):
+    """Banded candidate generation: 4 x 16-bit bands; near-dups within
+    Hamming<=3 share at least one band (pigeonhole). Verify by popcount."""
+    hashed = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(id_col=id_col),
+                            batch_format="pyarrow", concurrency=(1, 8))
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        sh = t.column("simhash").to_numpy().astype(np.int64).view(np.uint64)
+        ids = t.column(id_col).to_numpy()
+        n = len(sh)
+        out_id = np.repeat(ids, 4)
+        out_band = np.tile(np.arange(4, dtype=np.int64), n)
+        vals = np.empty(4 * n, dtype=np.int64)
+        for b in range(4):
+            vals[b::4] = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        out_sim = np.repeat(sh.view(np.int64), 4)
+        return pa.table(
+            {id_col: out_id, "band": out_band, "band_val": vals, "simhash": out_sim}
+        )
+
+    exploded = hashed.select_columns([id_col, "simhash"]).map_batches(
+        explode_bands, batch_format="pyarrow"
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(g.column(id_col).to_pylist(), g.column("simhash").to_pylist())
+        )
+        a, b, d = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                ham = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+                if ham <= max_hamming and rows[i][0] != rows[j][0]:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    d.append(ham)
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "hamming": pa.array(d, pa.int64()),
+            }
+        )
+
+    pairs = exploded.groupby(["band", "band_val"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------ embedding near-dup
+class HyperplaneLSH:
+    """Seeded random-hyperplane bucketing for embedding cosine near-dup.
+    Planes are drawn once per actor from the seed."""
+
+    def __init__(self, *, dim: int, n_planes: int = 12, seed: int = 42,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.clip(norms, 1e-12, None)
+        bits = (mat @ self.planes) > 0
+        bucket = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+                "vec": pa.array(mat.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+
+def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95, n_planes: int = 12,
+                            seed: int = 42, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Cosine near-dup pairs via hyperplane LSH buckets + in-bucket exact
+    cosine. Recall is per-bucket; raise recall by unioning several plane
+    seeds (scale knob)."""
+    bucketed = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
+                                   vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def in_bucket(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_pylist()
+        mat = np.asarray(g.column("vec").to_pylist(), dtype=np.float64)
+        sims = mat @ mat.T
+        a, b, s = [], [], []
+        n = len(ids)
+        iu, ju = np.triu_indices(n, k=1)
+        hit = sims[iu, ju] >= threshold
+        order = np.argsort(np.array(ids))
+        for i, j in zip(iu[hit], ju[hit]):
+            x, y = ids[i], ids[j]
+            if x == y:
+                continue
+            a.append(min(x, y))
+            b.append(max(x, y))
+            s.append(float(sims[i, j]))
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "cosine": pa.array(s, pa.float64()),
+            }
+        )
+
+    pairs = bucketed.groupby("bucket").map_groups(in_bucket, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )

@@ -1,0 +1,166 @@
+"""Text-analysis stages for the webtext lake: extraction, language-ID,
+quality scoring, token counting, fingerprinting.
+
+These are the training-data-pipeline operators layered on the engine
+(BASELINE/driver brief) — all vectorised map_batches stages; the
+stateful ones (compiled regexes, stopword tables) are callable classes
+so the setup runs once per actor (the reference's Task.Init lifecycle,
+/root/reference/core/task/taskgroupcontainer.go:83-99).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..synth import extract_text
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+_WS_RE = re.compile(r"\s+")
+# BPE-ish pre-tokenizer (GPT-2-style contraction/word/number/punct split)
+_BPE_RE = re.compile(r"'(?:[sdmt]|ll|ve|re)| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "une", "des", "dans", "pour", "que"},
+    "es": {"el", "la", "los", "y", "es", "una", "en", "por", "para", "que"},
+    "pt": {"o", "a", "os", "e", "é", "uma", "em", "por", "para", "não"},
+    "ru": {"и", "в", "не", "на", "что", "это", "с", "как", "по", "из"},
+}
+
+
+class TextExtract:
+    """Actor-pool stage: html (large_binary) -> text (large_string) via THE
+    fixed extractor (synth.extract_text) — the byte-identity invariant."""
+
+    def __init__(self, html_col: str = "html", out_col: str = "text"):
+        self.html_col = html_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [
+            None if h is None else extract_text(h)
+            for h in batch.column(self.html_col).to_pylist()
+        ]
+        arr = pa.array(texts, pa.large_string())
+        if self.out_col in batch.column_names:
+            return batch.set_column(batch.column_names.index(self.out_col), self.out_col, arr)
+        return batch.append_column(self.out_col, arr)
+
+
+def token_stats(batch: pd.DataFrame, *, text_col: str = "text") -> pd.DataFrame:
+    """Whitespace + BPE-ish token counts per document (vectorised pandas)."""
+    s = batch[text_col].fillna("")
+    batch["n_chars"] = s.str.len().astype("int64")
+    batch["n_tokens_ws"] = s.str.split().str.len().fillna(0).astype("int64")
+    batch["n_tokens_bpe"] = s.map(lambda t: len(_BPE_RE.findall(t))).astype("int64")
+    return batch
+
+
+class QualityScore:
+    """Heuristic document quality: length, punctuation density, stopword
+    ratio, mean word length, alpha ratio -> [0,1] score. Stopword tables
+    compiled once per actor."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.all_stops = set().union(*_STOPWORDS.values())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        n_chars = s.str.len()
+        words = s.str.lower().map(_WORD_RE.findall)
+        n_words = words.str.len()
+        punct = s.map(lambda t: len(_PUNCT_RE.findall(t)))
+        stops = words.map(lambda ws: sum(w in self.all_stops for w in ws))
+        mean_wl = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        alpha = s.map(lambda t: sum(c.isalpha() for c in t))
+        nc = n_chars.clip(lower=1)
+        nw = n_words.clip(lower=1)
+        batch["punct_ratio"] = (punct / nc).astype("float64")
+        batch["stopword_ratio"] = (stops / nw).astype("float64")
+        batch["mean_word_len"] = mean_wl.astype("float64")
+        batch["alpha_ratio"] = (alpha / nc).astype("float64")
+        # 0..1 composite: long-enough, alpha-dominant, sane word lengths
+        length_term = np.minimum(n_words / 100.0, 1.0)
+        wl_term = np.exp(-0.5 * ((batch["mean_word_len"] - 5.0) / 3.0) ** 2)
+        batch["quality"] = (
+            0.4 * length_term + 0.3 * batch["alpha_ratio"] + 0.3 * wl_term
+        ).astype("float64")
+        return batch
+
+
+class LangId:
+    """Script + stopword n-gram heuristic language identifier (no external
+    models in this container). Deterministic."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.cjk = re.compile(r"[一-鿿]")
+        self.kana = re.compile(r"[぀-ヿ]")
+        self.cyr = re.compile(r"[Ѐ-ӿ]")
+        self.stops = {k: v for k, v in _STOPWORDS.items() if k != "ru"}
+
+    def _guess(self, t: str) -> str:
+        if not t:
+            return "unk"
+        sample = t[:2000]
+        if self.kana.search(sample):
+            return "ja"
+        if self.cjk.search(sample):
+            return "zh"
+        if self.cyr.search(sample):
+            return "ru"
+        words = _WORD_RE.findall(sample.lower())
+        if not words:
+            return "unk"
+        best, best_score = "unk", 0
+        for lang, stops in self.stops.items():
+            score = sum(w in stops for w in words)
+            if score > best_score:
+                best, best_score = lang, score
+        return best if best_score >= 2 else ("en" if best_score > 0 and best == "en" else "unk")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["lang_pred"] = batch[self.text_col].fillna("").map(self._guess)
+        return batch
+
+
+def fingerprint_md5(batch: pa.Table, *, text_col: str = "text", out_col: str = "fp_md5") -> pa.Table:
+    """Normalised md5 fingerprint: md5(lower(collapse_ws(text))) —
+    SQL-checkable (DuckDB md5)."""
+    out = []
+    for t in batch.column(text_col).to_pylist():
+        if t is None:
+            out.append(None)
+        else:
+            norm = _WS_RE.sub(" ", t.strip().lower())
+            out.append(hashlib.md5(norm.encode("utf-8")).hexdigest())
+    return batch.append_column(out_col, pa.array(out, pa.string()))
+
+
+_FP_BASE = np.uint64(1000003)
+
+
+def fingerprint_rolling(batch: pa.Table, *, text_col: str = "text", out_col: str = "fp_roll") -> pa.Table:
+    """64-bit polynomial rolling hash over word tokens (Rabin–Karp style):
+    order-sensitive document fingerprint, cheap to compute incrementally."""
+    out = np.zeros(batch.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            if not t:
+                continue
+            h = np.uint64(1469598103934665603)
+            for w in t.split():
+                wh = np.uint64(
+                    int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+                )
+                h = h * _FP_BASE + wh
+            out[i] = h
+    return batch.append_column(out_col, pa.array(out.astype(np.int64).tolist(), pa.int64()))

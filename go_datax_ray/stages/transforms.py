@@ -1,0 +1,158 @@
+"""The dx_* per-record transformer chain, as vectorised Arrow kernels.
+
+The reference documents five transformers (dx_filter, dx_substr,
+dx_replace, dx_pad, dx_digest) chained in config order
+(/root/reference/docs/TRANSFORMER.md:18-183) but its execution hook is
+commented out ("awaiting future reimplementation",
+/root/reference/core/task/taskgroupcontainer.go:56-69). We implement
+them for real:
+
+* dx_filter — DROP a record when ``col <op> value`` holds (classic
+  DataX filter semantics: a match removes the record; the doc's use
+  cases are all exclusion). Ops: > < = != >= <= like, not like.
+  Values are strings in config; comparison is numeric when both sides
+  parse as doubles, else lexicographic — mirroring the reference's
+  string-typed paras.
+* dx_substr — col = col[start : start+length].
+* dx_replace — regex replace (docs: "supports regular expressions").
+* dx_pad — left/right pad to length with a pad string.
+* dx_digest — md5/sha1/sha256 hex digest of the column.
+
+Each has (a) a named-column functional form over ``pa.Table`` and (b) a
+config-driven chain builder accepting the reference's JSON shape
+({"name": "dx_substr", "parameter": {"columnIndex": 1, "paras": [...]}}),
+with columnIndex resolved positionally against the schema — the
+reference's positional Record model (common/element/record.go:36-80).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_CMP = {
+    ">": pc.greater,
+    "<": pc.less,
+    "=": pc.equal,
+    "!=": pc.not_equal,
+    ">=": pc.greater_equal,
+    "<=": pc.less_equal,
+}
+
+
+def _filter_mask(col: pa.ChunkedArray | pa.Array, op: str, value: str) -> pa.Array:
+    """Boolean mask: True where the condition HOLDS (record to drop)."""
+    op = op.strip().lower()
+    if op in ("like", "not like"):
+        m = pc.match_like(col.cast(pa.string()), value)
+        return pc.invert(m) if op == "not like" else m
+    fn = _CMP[op]
+    # numeric compare when both sides are numeric, else string compare
+    try:
+        fval = float(value)
+        num = col if pa.types.is_floating(col.type) or pa.types.is_integer(col.type) else col.cast(
+            pa.float64()
+        )
+        return fn(num.cast(pa.float64()), pa.scalar(fval, pa.float64()))
+    except (ValueError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return fn(col.cast(pa.string()), pa.scalar(value))
+
+
+def dx_filter(t: pa.Table, column: str, op: str, value: str) -> pa.Table:
+    """Drop rows where ``column <op> value`` holds (nulls are kept —
+    null comparisons are null -> not dropped)."""
+    mask = _filter_mask(t.column(column), op, value)
+    keep = pc.fill_null(pc.invert(mask), True)
+    return t.filter(keep)
+
+
+def dx_filter_keep(t: pa.Table, column: str, op: str, value: str) -> pa.Table:
+    """SQL-style variant: KEEP rows where the condition holds."""
+    mask = pc.fill_null(_filter_mask(t.column(column), op, value), False)
+    return t.filter(mask)
+
+
+def dx_substr(t: pa.Table, column: str, start: int, length: int) -> pa.Table:
+    out = pc.utf8_slice_codeunits(t.column(column), start, start + length)
+    return t.set_column(t.column_names.index(column), column, out)
+
+
+def dx_replace(t: pa.Table, column: str, pattern: str, replacement: str) -> pa.Table:
+    out = pc.replace_substring_regex(t.column(column), pattern, replacement)
+    return t.set_column(t.column_names.index(column), column, out)
+
+
+def dx_pad(t: pa.Table, column: str, direction: str, length: int, pad: str) -> pa.Table:
+    fn = pc.utf8_lpad if direction.lower() == "left" else pc.utf8_rpad
+    out = fn(t.column(column), length, pad)
+    return t.set_column(t.column_names.index(column), column, out)
+
+
+_DIGESTS = {"md5": hashlib.md5, "sha1": hashlib.sha1, "sha256": hashlib.sha256}
+
+
+def dx_digest(t: pa.Table, column: str, algo: str = "md5") -> pa.Table:
+    """Hex digest of the column's utf-8 text (null stays null)."""
+    h = _DIGESTS[algo.lower()]
+    vals = t.column(column).cast(pa.string()).to_pylist()
+    out = pa.array(
+        [None if v is None else h(v.encode("utf-8")).hexdigest() for v in vals],
+        pa.string(),
+    )
+    return t.set_column(t.column_names.index(column), column, out)
+
+
+# ---------------------------------------------------------------------------
+# Config-driven chain (reference JSON job format)
+
+def _resolve_col(t_schema: pa.Schema, parameter: dict[str, Any]) -> str:
+    if "column" in parameter:
+        return parameter["column"]
+    return t_schema.names[int(parameter["columnIndex"])]
+
+
+def build_transformer_chain(
+    configs: list[dict[str, Any]], schema: pa.Schema
+) -> Callable[[pa.Table], pa.Table]:
+    """Compile a transformer config list into one batch function, applied
+    in config order (docs/TRANSFORMER.md:135-183 chaining)."""
+    steps: list[Callable[[pa.Table], pa.Table]] = []
+    for cfg in configs:
+        name = cfg["name"]
+        par = cfg.get("parameter", {})
+        col = _resolve_col(schema, par)
+        paras = [str(p) for p in par.get("paras", [])]
+        if name == "dx_filter":
+            op, value = paras[0], paras[1]
+            steps.append(lambda t, c=col, o=op, v=value: dx_filter(t, c, o, v))
+        elif name == "dx_substr":
+            start, length = int(paras[0]), int(paras[1])
+            steps.append(lambda t, c=col, s=start, l=length: dx_substr(t, c, s, l))
+        elif name == "dx_replace":
+            pat, rep = paras[0], paras[1]
+            steps.append(lambda t, c=col, p=pat, r=rep: dx_replace(t, c, p, r))
+        elif name == "dx_pad":
+            d, length, padstr = paras[0], int(paras[1]), paras[2]
+            steps.append(lambda t, c=col, dd=d, L=length, p=padstr: dx_pad(t, c, dd, L, p))
+        elif name == "dx_digest":
+            algo = paras[0] if paras else "md5"
+            steps.append(lambda t, c=col, a=algo: dx_digest(t, c, a))
+        else:
+            raise ValueError(f"unknown transformer {name!r}")
+
+    def chain(t: pa.Table) -> pa.Table:
+        for step in steps:
+            t = step(t)
+        return t
+
+    return chain
+
+
+def apply_transformers(ds, configs: list[dict[str, Any]]):
+    """Dataset stage: apply a config chain via one fused map_batches."""
+    schema = ds.schema().base_schema
+    fn = build_transformer_chain(configs, schema)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,225 @@
+"""dx_* transforms, text analysis, dedup, ANN — unit + oracle tests."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+# ------------------------------------------------------------- transforms
+def test_dx_filter_drop_semantics():
+    from go_datax_ray.stages.transforms import dx_filter, dx_filter_keep
+
+    t = pa.table({"age": [10, 20, 30, None], "name": ["a", "b", "c", "d"]})
+    assert dx_filter(t, "age", ">", "18").column("name").to_pylist() == ["a", "d"]
+    assert dx_filter_keep(t, "age", ">", "18").column("name").to_pylist() == ["b", "c"]
+
+
+def test_dx_filter_like():
+    from go_datax_ray.stages.transforms import dx_filter
+
+    t = pa.table({"email": ["x@old.com", "y@new.com", "z@old.com"]})
+    assert dx_filter(t, "email", "like", "%old.com").column("email").to_pylist() == ["y@new.com"]
+
+
+def test_dx_chain_matches_duckdb(docs):
+    from go_datax_ray.stages.transforms import apply_transformers
+
+    chain = [
+        {"name": "dx_substr", "parameter": {"column": "text", "paras": ["0", "20"]}},
+        {"name": "dx_replace", "parameter": {"column": "text", "paras": ["[aeiou]", "_"]}},
+        {"name": "dx_pad", "parameter": {"column": "source", "paras": ["left", "8", "0"]}},
+        {"name": "dx_digest", "parameter": {"column": "lang", "paras": ["md5"]}},
+        {"name": "dx_filter", "parameter": {"column": "n_chars", "paras": ["<", "100"]}},
+    ]
+    got = apply_transformers(docs, chain).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(
+        f"""
+        SELECT doc_id,
+               regexp_replace(substr(text, 1, 20), '[aeiou]', '_', 'g') AS text,
+               md5(lang) AS lang, lpad(source, 8, '0') AS source, n_chars
+        FROM '{SF}/documents.parquet' WHERE NOT (n_chars < 100) ORDER BY doc_id
+        """
+    ).df()
+    assert got["text"].tolist() == want["text"].tolist()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["source"].tolist() == want["source"].tolist()
+    assert len(got) == len(want)
+
+
+def test_dx_positional_column_index(docs):
+    from go_datax_ray.stages.transforms import apply_transformers
+
+    # columnIndex 1 == 'text' in the documents schema (positional Record model)
+    out = apply_transformers(docs, [
+        {"name": "dx_substr", "parameter": {"columnIndex": 1, "paras": ["0", "5"]}}
+    ]).take(3)
+    assert all(len(r["text"]) <= 5 for r in out)
+
+
+# ------------------------------------------------------------------- text
+def test_token_stats_and_quality(docs):
+    from go_datax_ray.stages.text import QualityScore, token_stats
+
+    out = (
+        docs.map_batches(token_stats, batch_format="pandas")
+        .map_batches(QualityScore, batch_format="pandas", concurrency=2)
+        .to_pandas()
+    )
+    assert (out["n_chars"] == out["text"].str.len()).all()
+    assert (out["n_tokens_ws"] == out["text"].str.split().str.len()).all()
+    assert out["quality"].between(0, 1).all()
+    assert (out["n_tokens_bpe"] >= out["n_tokens_ws"]).all()
+
+
+def test_lang_id_scripts():
+    from go_datax_ray.stages.text import LangId
+
+    import pandas as pd
+
+    li = LangId()
+    df = pd.DataFrame(
+        {
+            "text": [
+                "the cat sat on the mat and it is a good day for the walk",
+                "der Hund ist nicht mit der Katze und das ist ein Problem für die",
+                "これは日本語のテキストです",
+                "это русский текст и не что иное как по из",
+                "中文文本没有假名",
+                "",
+            ]
+        }
+    )
+    out = li(df)
+    assert out["lang_pred"].tolist() == ["en", "de", "ja", "ru", "zh", "unk"]
+
+
+def test_fingerprints(docs):
+    from go_datax_ray.stages.text import fingerprint_md5, fingerprint_rolling
+
+    t = docs.limit(50).to_pandas()
+    tt = pa.Table.from_pandas(t)
+    fp = fingerprint_md5(tt)
+    want = duckdb.sql(
+        "SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) f FROM tt ORDER BY doc_id"
+    ).df()["f"]
+    got = fingerprint_md5(tt.sort_by("doc_id")).column("fp_md5").to_pylist()
+    assert got == want.tolist()
+    fr = fingerprint_rolling(tt)
+    assert fr.column("fp_roll").null_count == 0
+    # order sensitivity: permuted words -> different rolling fp
+    a = pa.table({"text": ["alpha beta gamma"]})
+    b = pa.table({"text": ["gamma beta alpha"]})
+    assert fingerprint_rolling(a).column("fp_roll")[0] != fingerprint_rolling(b).column("fp_roll")[0]
+
+
+# ------------------------------------------------------------------ dedup
+def _dup_docs():
+    rng = np.random.default_rng(9)
+    vocab = np.array([f"w{i}" for i in range(400)])
+    base = [" ".join(rng.choice(vocab, size=30, replace=False)) for _ in range(30)]
+    texts = base + [base[3], base[7], base[3]]  # exact dups
+    words5 = base[5].split()
+    words5[10] = "changed"
+    near = " ".join(words5)  # near dup of 5 (one word differs)
+    texts.append(near)
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    )
+
+
+def test_exact_dedup():
+    from go_datax_ray.stages.dedup import exact_dedup
+
+    ds = _dup_docs()
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    # 31 distinct texts (30 base + near-dup variant); dups keep min doc_id
+    assert len(out) == 31
+    assert set(out["doc_id"]) == set(range(30)) | {33}
+
+
+def test_minhash_lsh_finds_near_dup():
+    from go_datax_ray.stages.dedup import (
+        cluster_pairs,
+        minhash_candidate_pairs,
+        ngram_jaccard,
+        verify_pairs,
+    )
+
+    ds = _dup_docs()
+    pairs = minhash_candidate_pairs(ds).to_pandas()
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array(ds.to_pandas()["doc_id"], pa.int64()),
+            "text": ds.to_pandas()["text"],
+        }
+    )
+    verified = verify_pairs(
+        pa.Table.from_pandas(pairs), docs_tbl, threshold=0.5
+    ).to_pandas()
+    got_pairs = set(map(tuple, verified[["id_a", "id_b"]].values.tolist()))
+    assert (3, 30) in got_pairs  # exact dup pair
+    assert (5, 33) in got_pairs  # near dup pair
+    reps = cluster_pairs(list(got_pairs))
+    assert reps[30] == 3 and reps[32] == 3 and reps[33] == 5
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+
+
+def test_simhash_near_dup():
+    from go_datax_ray.stages.dedup import simhash_candidate_pairs
+
+    ds = _dup_docs()
+    pairs = simhash_candidate_pairs(ds, max_hamming=6).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    assert (3, 30) in got and (3, 32) in got
+
+
+def test_embedding_neardup_and_ann():
+    from go_datax_ray.stages.ann import brute_force_topk, lsh_topk
+    from go_datax_ray.stages.dedup import embedding_neardup_pairs
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    tbl = emb.to_pandas()
+    mat = np.asarray(tbl["embedding"].tolist(), dtype=np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = mat[:5]
+
+    got = brute_force_topk(emb, queries, k=5).to_pandas()
+    sims = (queries / np.linalg.norm(queries, axis=1, keepdims=True)) @ matn.T
+    for qi in range(5):
+        want_top = set(np.argsort(-sims[qi])[:5])
+        g = got[got["query_id"] == qi].sort_values("rank")
+        assert g.iloc[0]["vec_id"] == qi  # self is nearest
+        assert set(g["vec_id"]) == {tbl["vec_id"][i] for i in want_top}
+
+    # lsh variant finds self and mostly overlaps exact top-k
+    approx = lsh_topk(emb, queries, k=5, n_planes=6, probes=6).to_pandas()
+    for qi in range(5):
+        g = approx[approx["query_id"] == qi].sort_values("rank")
+        assert g.iloc[0]["vec_id"] == qi
+
+    # plant a near-copy of vec 0: the near-dup stage must find exactly it
+    perturbed = mat[0] + 0.001 * np.ones_like(mat[0])
+    planted = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(tbl["vec_id"]) + [10_000], pa.int64()),
+                "embedding": pa.array(
+                    [list(v) for v in mat] + [list(perturbed)], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    pairs = embedding_neardup_pairs(planted, dim=mat.shape[1], threshold=0.999).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    assert (0, 10_000) in got
+    assert (pairs["cosine"] >= 0.999 - 1e-9).all()
