@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship document-derived CDC replay through the
+full exactly-once lake path at sf0.001. ``queries()`` exposes one
+callable per implemented operator family (SURVEY.md §2 + training-data
+ops); ``oracle_sql()`` gives the DuckDB equivalent where the operator is
+SQL-expressible (the CDC ones included — the md5-derived event rules are
+deliberately reproducible in SQL via md5_number_lower).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in go_datax_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,463 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+NUM_PARTS = 16  # partition count used by oracle-checked partition queries
+ANN_K = 5
+ANN_NUM_QUERIES = 8
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _events_as_cdc(sf_dir: str):
+    """events table viewed as a CDC log: key=user_id, lsn=event_id,
+    op = D when event_type='error' else upsert."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+
+    def to_cdc(t: pa.Table) -> pa.Table:
+        return (
+            t.append_column("url", pc.cast(t.column("user_id"), pa.string()))
+            .append_column("lsn", t.column("event_id"))
+            .append_column("warc_ts", t.column("ts"))
+            .append_column(
+                "op",
+                pc.if_else(
+                    pc.equal(t.column("event_type"), pa.scalar("error")),
+                    pa.scalar("D"),
+                    pa.scalar("U"),
+                ),
+            )
+        )
+
+    return ds.map_batches(to_cdc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _cdc_out(t: pa.Table) -> pa.Table:
+    return t.select(["user_id", "lsn", "ts", "event_type", "value"])
+
+
+def _lww_events(sf_dir: str, *, drop_tombstones: bool):
+    from go_datax_ray.stages.lww import dedup_events
+    from go_datax_ray.stages.partition import partition_events
+
+    ds = _events_as_cdc(sf_dir)
+    ds = partition_events(ds, num_partitions=NUM_PARTS)
+    ds = dedup_events(ds)
+    if drop_tombstones:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("op"), pa.scalar("D"))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return ds.map_batches(_cdc_out, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# contract
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: document-derived CDC replay -> exactly-once Parquet lake
+    at sf0.001; returns the final-state Dataset."""
+    from go_datax_ray.pipelines.flagship import run_flagship
+
+    ds, _res = run_flagship("/root/testdata/sf0.001", "/tmp/gdr_entry_lake")
+    return ds
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from go_datax_ray.stages.transforms import (
+        apply_transformers,
+        dx_digest,
+        dx_filter,
+        dx_pad,
+        dx_replace,
+        dx_substr,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    rd_lazy = _rd  # defer ray.data import to call time
+
+    # -- CDC core ----------------------------------------------------------
+    def q_cdc_final_state(sf_dir: str):
+        return _lww_events(sf_dir, drop_tombstones=True)
+
+    def q_lww_latest_event(sf_dir: str):
+        return _lww_events(sf_dir, drop_tombstones=False)
+
+    def q_cdc_lake_replay(sf_dir: str):
+        """Same final state as q_cdc_final_state but through the FULL lake
+        path: partition -> LWW -> merge-apply -> manifest commit -> read
+        back. Oracle identical to q_cdc_final_state."""
+        import shutil
+
+        from go_datax_ray.pipelines.cdc_replay import (
+            DatasetEventSource,
+            ReplayConfig,
+            replay,
+        )
+        from go_datax_ray.sinks.lake import read_lake
+
+        lake = "/tmp/gdr_q_lake"
+        shutil.rmtree(lake, ignore_errors=True)
+        ev = _events_as_cdc(sf_dir)
+        n = ev.count()
+        replay(
+            DatasetEventSource(ev, 0, n),
+            ReplayConfig(lake_dir=lake, num_partitions=8, epoch_size=max(n // 3, 1)),
+        )
+        return read_lake(lake).map_batches(_cdc_out, batch_format="pyarrow")
+
+    def q_flagship_final_state(sf_dir: str):
+        from go_datax_ray.pipelines.flagship import run_flagship
+
+        ds, _ = run_flagship(sf_dir, "/tmp/gdr_flagship_lake")
+        return ds.map_batches(
+            lambda t: t.select(["url", "lsn", "text", "lang"]),
+            batch_format="pyarrow",
+        )
+
+    def q_partition_histogram(sf_dir: str):
+        from go_datax_ray.stages.partition import partition_events
+
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+        ds = ds.map_batches(
+            lambda t: t.append_column("key", pc.cast(t.column("user_id"), pa.string())),
+            batch_format="pyarrow",
+        )
+        ds = partition_events(ds, key="key", num_partitions=NUM_PARTS)
+        return ds.groupby("part_id").count().rename_columns({"count()": "n"})
+
+    # -- dx_* transforms ---------------------------------------------------
+    def q_dx_filter(sf_dir: str):
+        rd = rd_lazy()
+        ds = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+        )
+        return ds.map_batches(
+            lambda t: dx_filter(t, "l_quantity", ">", "30"), batch_format="pyarrow"
+        )
+
+    def q_dx_substr(sf_dir: str):
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+        return ds.map_batches(lambda t: dx_substr(t, "c_name", 0, 10), batch_format="pyarrow")
+
+    def q_dx_replace(sf_dir: str):
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+        return ds.map_batches(
+            lambda t: dx_replace(t, "p_type", "[aeiou]", "_"), batch_format="pyarrow"
+        )
+
+    def q_dx_pad(sf_dir: str):
+        rd = rd_lazy()
+        ds = rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        )
+        return ds.map_batches(
+            lambda t: dx_pad(t, "o_orderpriority", "left", 12, "*"), batch_format="pyarrow"
+        )
+
+    def q_dx_digest(sf_dir: str):
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(lambda t: dx_digest(t, "text", "md5"), batch_format="pyarrow")
+
+    def q_transformer_chain(sf_dir: str):
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+        chain = [
+            {"name": "dx_substr", "parameter": {"column": "text", "paras": ["0", "20"]}},
+            {"name": "dx_replace", "parameter": {"column": "text", "paras": ["[aeiou]", "_"]}},
+            {"name": "dx_pad", "parameter": {"column": "source", "paras": ["left", "8", "0"]}},
+            {"name": "dx_digest", "parameter": {"column": "lang", "paras": ["md5"]}},
+            {"name": "dx_filter", "parameter": {"column": "n_chars", "paras": ["<", "100"]}},
+        ]
+        return apply_transformers(ds, chain)
+
+    # -- dedup -------------------------------------------------------------
+    def q_exact_dedup(sf_dir: str):
+        from go_datax_ray.stages.dedup import exact_dedup
+
+        rd = rd_lazy()
+        return exact_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+
+    def q_minhash_dedup(sf_dir: str):
+        from go_datax_ray.stages.dedup import minhash_candidate_pairs, verify_pairs
+
+        rd = rd_lazy()
+        import pyarrow.parquet as pq
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+        pairs = minhash_candidate_pairs(ds).to_pandas()
+        docs_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        verified = verify_pairs(pa.Table.from_pandas(pairs) if len(pairs) else pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        ), docs_tbl, threshold=0.7)
+        return pa.table(
+            {
+                "n_candidate_pairs": pa.array([len(pairs)], pa.int64()),
+                "n_verified_pairs": pa.array([verified.num_rows], pa.int64()),
+            }
+        )
+
+    def q_simhash(sf_dir: str):
+        from go_datax_ray.stages.dedup import SimHasher
+
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2).select_columns(
+            ["doc_id", "simhash"]
+        )
+
+    def q_embedding_neardup(sf_dir: str):
+        from go_datax_ray.stages.dedup import embedding_neardup_pairs
+
+        rd = rd_lazy()
+        import pyarrow.parquet as pq
+
+        dim = len(
+            pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+            .column("embedding")[0]
+        )
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        pairs = embedding_neardup_pairs(ds, dim=dim, threshold=0.95)
+        df = pairs.to_pandas()
+        return pa.table({"n_neardup_pairs": pa.array([len(df)], pa.int64())})
+
+    # -- text analysis -----------------------------------------------------
+    def q_token_stats(sf_dir: str):
+        from go_datax_ray.stages.text import token_stats
+
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(token_stats, batch_format="pandas").map_batches(
+            lambda t: t.select(["doc_id", "n_chars", "n_tokens_ws"]), batch_format="pyarrow"
+        )
+
+    def q_char_classes(sf_dir: str):
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+        def counts(t: pa.Table) -> pa.Table:
+            import re
+
+            punct = re.compile(r"[^\w\s]")
+            alpha = re.compile(r"[a-zA-Z]")
+            texts = t.column("text").to_pylist()
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "punct_chars": pa.array(
+                        [len(punct.findall(x or "")) for x in texts], pa.int64()
+                    ),
+                    "alpha_chars": pa.array(
+                        [len(alpha.findall(x or "")) for x in texts], pa.int64()
+                    ),
+                }
+            )
+
+        return ds.map_batches(counts, batch_format="pyarrow")
+
+    def q_quality_score(sf_dir: str):
+        from go_datax_ray.stages.text import QualityScore
+
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(QualityScore, batch_format="pandas", concurrency=2).map_batches(
+            lambda t: t.select(["doc_id", "quality", "stopword_ratio"]), batch_format="pyarrow"
+        )
+
+    def q_lang_id(sf_dir: str):
+        from go_datax_ray.stages.text import LangId
+
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(LangId, batch_format="pandas", concurrency=2).map_batches(
+            lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+        )
+
+    def q_fingerprint(sf_dir: str):
+        from go_datax_ray.stages.text import fingerprint_md5
+
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(fingerprint_md5, batch_format="pyarrow").select_columns(
+            ["doc_id", "fp_md5"]
+        )
+
+    # -- aggregation -------------------------------------------------------
+    def q_groupby_events(sf_dir: str):
+        rd = rd_lazy()
+        from ray.data.aggregate import Count, Sum
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        out = ds.groupby("event_type").aggregate(
+            Count(alias_name="n"), Sum("value", alias_name="sum_value_raw")
+        )
+        return out.map_batches(
+            lambda t: t.append_column(
+                "sum_value", pc.round(t.column("sum_value_raw"), 3)
+            ).drop_columns(["sum_value_raw"]),
+            batch_format="pyarrow",
+        )
+
+    # -- similarity search -------------------------------------------------
+    def q_ann_topk(sf_dir: str):
+        from go_datax_ray.stages.ann import brute_force_topk
+
+        rd = rd_lazy()
+        import pyarrow.parquet as pq
+
+        qt = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
+        qids = qt.column("vec_id").to_pylist()[:ANN_NUM_QUERIES]
+        queries_mat = np.asarray(
+            qt.column("embedding").to_pylist()[:ANN_NUM_QUERIES], dtype=np.float64
+        )
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        out = brute_force_topk(ds, queries_mat, k=ANN_K).to_pandas()
+        out["query_id"] = out["query_id"].map(lambda i: qids[i])
+        return pa.Table.from_pandas(
+            out[["query_id", "vec_id", "rank"]], preserve_index=False
+        )
+
+    return {
+        "cdc_final_state": q_cdc_final_state,
+        "lww_latest_event": q_lww_latest_event,
+        "cdc_lake_replay": q_cdc_lake_replay,
+        "flagship_final_state": q_flagship_final_state,
+        "partition_histogram": q_partition_histogram,
+        "dx_filter": q_dx_filter,
+        "dx_substr": q_dx_substr,
+        "dx_replace": q_dx_replace,
+        "dx_pad": q_dx_pad,
+        "dx_digest": q_dx_digest,
+        "transformer_chain": q_transformer_chain,
+        "exact_dedup": q_exact_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "token_stats": q_token_stats,
+        "char_classes": q_char_classes,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "groupby_events": q_groupby_events,
+        "ann_topk": q_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    cdc_final = """
+        SELECT user_id, event_id AS lsn, ts, event_type, value FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events
+        ) WHERE rn = 1 AND event_type <> 'error'
     """
-    return {}
+    return {
+        "cdc_final_state": cdc_final,
+        "lww_latest_event": """
+            SELECT user_id, event_id AS lsn, ts, event_type, value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "cdc_lake_replay": cdc_final,
+        "flagship_final_state": """
+            WITH k AS (
+              SELECT doc_id, text, lang, source,
+                     1 + CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 3 AS BIGINT) AS nv,
+                     (md5_number_lower('del:' || CAST(doc_id AS VARCHAR)) % 10) = 0 AS deleted
+              FROM documents)
+            SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(doc_id * 4 + (nv - 1) AS BIGINT) AS lsn,
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text,
+                   lang
+            FROM k WHERE NOT deleted
+        """,
+        "partition_histogram": f"""
+            SELECT CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % {NUM_PARTS} AS BIGINT)
+                     AS part_id,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "dx_filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem WHERE NOT (l_quantity > 30)
+        """,
+        "dx_substr": "SELECT c_custkey, substr(c_name, 1, 10) AS c_name FROM customer",
+        "dx_replace": (
+            "SELECT p_partkey, regexp_replace(p_type, '[aeiou]', '_', 'g') AS p_type FROM part"
+        ),
+        # NB: engine pad leaves overlong strings unchanged (DataX semantics);
+        # DuckDB lpad truncates, so the oracle guards on length.
+        "dx_pad": """
+            SELECT o_orderkey,
+                   CASE WHEN length(o_orderpriority) >= 12 THEN o_orderpriority
+                        ELSE lpad(o_orderpriority, 12, '*') END AS o_orderpriority
+            FROM orders
+        """,
+        "dx_digest": "SELECT doc_id, md5(text) AS text FROM documents",
+        "transformer_chain": """
+            SELECT doc_id,
+                   regexp_replace(substr(text, 1, 20), '[aeiou]', '_', 'g') AS text,
+                   md5(lang) AS lang,
+                   lpad(source, 8, '0') AS source,
+                   n_chars
+            FROM documents WHERE NOT (n_chars < 100)
+        """,
+        "exact_dedup": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+              SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+              FROM documents) WHERE rn = 1
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws
+            FROM documents
+        """,
+        "char_classes": """
+            SELECT doc_id,
+                   CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS BIGINT) AS punct_chars,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5
+            FROM documents
+        """,
+        "groupby_events": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 3) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "ann_topk": f"""
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                              e.vec_id ASC) AS BIGINT) AS rank
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {ANN_NUM_QUERIES}) q
+            CROSS JOIN embeddings e
+            QUALIFY rank <= {ANN_K}
+        """,
+        # minhash_dedup / simhash / embedding_neardup / quality_score /
+        # lang_id are not SQL-expressible (sketches, heuristics) ->
+        # rows-only checks.
+    }

@@ -1,0 +1,206 @@
+"""Benchmark harness: headline CDC WAL replay + operator pipelines.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "events": N, "events_per_sec": ...}
+
+Headline = replaying a pre-materialised Parquet WAL (20 x the sf's
+events-table row count of synthetic CDC events over webtext pages)
+through partition -> LWW -> merge-apply -> exactly-once commit into a
+fresh lake. WAL generation is cached under /tmp (deterministic, seeded)
+and excluded from timing — a real deployment reads the binlog, it
+doesn't synthesise it.
+
+--scaling: runs the same bench in fresh processes at num_cpus=8 and 32
+(sandbox stand-in for N vs 4N nodes) and reports throughput at both plus
+scaling efficiency = (t8/t32)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+EVENTS_MULTIPLIER = 20
+PAYLOAD_BYTES = 4096  # KB-scale web pages (FIXTURES.md §1)
+
+# WAL + lake live on tmpfs: in this single-machine sandbox the two
+# parallelism levels share ONE disk, so on-disk I/O is a fixed resource
+# that masks compute scaling; on a real N->4N cluster every added node
+# brings its own storage bandwidth. tmpfs is the sandbox stand-in for
+# storage that scales with the node count.
+SCRATCH = "/dev/shm/gdr_bench" if os.path.isdir("/dev/shm") else "/tmp/gdr_bench"
+LAKE = f"{SCRATCH}/lake"
+
+
+def _wal_dir(n_events: int) -> str:
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    return f"{SCRATCH}/wal_{tag}_{n_events}"
+
+
+def prepare_wal(n_events: int, n_urls: int) -> str:
+    """Materialise the synthetic WAL once (cached across runs/processes).
+    Events carry raw html only — the engine recomputes text in-pipeline,
+    as a real webtext CDC ingest would."""
+    from go_datax_ray.pipelines.cdc_replay import SynthEventSource
+    from go_datax_ray.synth import SynthConfig
+
+    wal = _wal_dir(n_events)
+    done = os.path.join(wal, "_DONE")
+    if os.path.exists(done):
+        return wal
+    shutil.rmtree(wal, ignore_errors=True)
+    cfg = SynthConfig(
+        n_urls=n_urls, n_domains=max(n_urls // 100, 10), payload_bytes=PAYLOAD_BYTES
+    )
+    ds = SynthEventSource(n_events, cfg).read(0, n_events)
+    ds = ds.drop_columns(["text"])  # engine re-derives text from html
+    ds.write_parquet(wal)
+    with open(done, "w") as f:
+        f.write("ok")
+    return wal
+
+
+def main() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from go_datax_ray.pipelines.cdc_replay import (
+        ParquetWalSource,
+        ReplayConfig,
+        replay,
+    )
+
+    n_base = pq.read_metadata(f"{SF_DIR}/events.parquet").num_rows
+    n_events = n_base * EVENTS_MULTIPLIER
+    n_urls = max(n_events // 10, 1000)
+    wal = prepare_wal(n_events, n_urls)
+    rd.read_parquet(wal).count()  # warm the page cache (untimed)
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # ---- headline: full WAL replay into a fresh lake -------------------
+    shutil.rmtree(LAKE, ignore_errors=True)
+    res = timed(
+        "cdc_replay",
+        lambda: replay(
+            ParquetWalSource(wal, 0, n_events),
+            ReplayConfig(
+                lake_dir=LAKE, num_partitions=128, epoch_size=n_events, extract_text=True
+            ),
+        ),
+    )
+
+    # ---- incremental tail: +5% more events resumed onto the lake -------
+    tail_n = n_events // 20
+    tail_wal = prepare_wal(n_events + tail_n, n_urls)  # superset WAL, cached too
+    timed(
+        "cdc_incremental",
+        lambda: replay(
+            ParquetWalSource(tail_wal, 0, n_events + tail_n),
+            ReplayConfig(
+                lake_dir=LAKE, num_partitions=128, epoch_size=tail_n * 2, extract_text=True
+            ),
+        ),
+    )
+
+    # ---- operator pipelines over the sf tables -------------------------
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in (
+        "cdc_final_state",
+        "exact_dedup",
+        "minhash_dedup",
+        "token_stats",
+        "quality_score",
+        "ann_topk",
+        "flagship_final_state",
+    ):
+        fn = qs[name]
+
+        def run(fn=fn):
+            out = fn(SF_DIR)
+            if hasattr(out, "count"):
+                out.count()  # consume the stream
+            return out
+
+        timed(name, run)
+
+    result = {
+        "metric": "cdc_webtext_replay_wall_sec",
+        "value": queries["cdc_replay"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "events": n_events,
+        "events_per_sec": round(n_events / queries["cdc_replay"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def scaling() -> None:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_scaling",
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "events": hi["events"],
+                "events_per_sec_8": lo["events_per_sec"],
+                "events_per_sec_32": hi["events_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        print(json.dumps(main()))

@@ -111,11 +111,37 @@ class ParquetWalSource:
 class ReplayConfig:
     lake_dir: str
     num_partitions: int = 32
-    num_salts: int = 0  # 0/1 disables the salted pre-reduce
+    num_salts: int = 0  # 0/1 disables the salted pre-reduce (groupby mode)
     epoch_size: int = 1_000_000
     key: str = "url"
     use_metrics: bool = False
     report: bool = False  # print per-epoch speed lines
+    # Partition exchange strategy:
+    #   "delta"    — write-side partitioning: combined winners are written
+    #                straight into per-partition delta files
+    #                (write_parquet(partition_cols=[part_id])), then P
+    #                embarrassingly-parallel merge tasks compact each
+    #                partition (LSM/Hudi-style write-then-compact). No
+    #                shuffle operator at all; measured ~5x faster than the
+    #                sort-based groupby locally and the natural shape for
+    #                multi-node CDC ingest (deltas land on shared storage).
+    #   "repartition" — hash repartition by part_id through the object
+    #                store, then per-block multi-partition merge.
+    #   "groupby"  — groupby(part_id).map_groups merge (supports the
+    #                salted two-phase pre-reduce for hot keys).
+    exchange: str = "delta"
+    # Derive text = extract_text(html) inside the engine instead of
+    # trusting/carrying the source's text column. The incoming text column
+    # (if any) is dropped BEFORE the exchange and extraction runs on the
+    # post-LWW winner set inside the merge: derived payload never enters
+    # the shuffle, and extraction cost is per surviving key, not per event
+    # (the realistic profile of webtext CDC ingest — events arrive as raw
+    # html; byte-identity of the extractor is enforced by tests).
+    extract_text: bool = False
+    # Optional per-batch transform (pa.Table -> pa.Table) applied after the
+    # read — the dx_* transformer-chain hook (stages.transforms
+    # .build_transformer_chain output plugs in here).
+    transform: Any | None = None
 
 
 @dataclass
@@ -129,6 +155,97 @@ class ReplayResult:
     @property
     def events_per_sec(self) -> float:
         return self.events / self.wall_s if self.wall_s > 0 else 0.0
+
+
+def _exchange_and_merge(ds, cfg: ReplayConfig, man: Manifest, epoch: int,
+                        committed: dict[int, str], metrics) -> list[dict]:
+    """Run the configured partition exchange + merge; return manifest rows."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..sinks.lake import make_delta_merger
+
+    if cfg.exchange == "delta":
+        delta_dir = os.path.join(cfg.lake_dir, "_delta", f"epoch-{epoch:06d}")
+        shutil.rmtree(delta_dir, ignore_errors=True)  # idempotent epoch restart
+        ds.write_parquet(delta_dir, partition_cols=["part_id"])
+        pids = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(delta_dir)
+            if d.startswith("part_id=")
+        ) if os.path.isdir(delta_dir) else []
+        if not pids:
+            return []
+        merge = make_delta_merger(
+            cfg.lake_dir, epoch, committed, delta_dir, metrics,
+            extract_missing_text=cfg.extract_text,
+        )
+        pid_ds = rd.from_items([{"pid": p} for p in pids], override_num_blocks=len(pids))
+        entries = pid_ds.map_batches(merge, batch_format="numpy", batch_size=1).take_all()
+        shutil.rmtree(delta_dir, ignore_errors=True)
+        return entries
+
+    if cfg.exchange == "repartition":
+        merge = make_partition_merger(
+            cfg.lake_dir, epoch, committed, metrics,
+            extract_missing_text=cfg.extract_text,
+        )
+
+        def merge_multi(batch: pa.Table) -> pa.Table:
+            outs = []
+            for pid in pc.unique(batch.column("part_id")).to_pylist():
+                outs.append(
+                    merge(batch.filter(pc.equal(batch.column("part_id"), pa.scalar(pid))))
+                )
+            if not outs:
+                return pa.table(
+                    {
+                        "pid": pa.array([], pa.int64()),
+                        "rows": pa.array([], pa.int64()),
+                        "events": pa.array([], pa.int64()),
+                        "max_lsn": pa.array([], pa.int64()),
+                        "schema_json": pa.array([], pa.string()),
+                    }
+                )
+            return pa.concat_tables(outs)
+
+        from ray.data.context import ShuffleStrategy
+
+        # keyed repartition requires the hash-shuffle strategy; datasets
+        # snapshot their DataContext at creation, so set it on this
+        # dataset's own context copy.
+        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        ds = ds.repartition(cfg.num_partitions, keys=["part_id"])
+        return ds.map_batches(
+            merge_multi, batch_format="pyarrow", batch_size=None
+        ).take_all()
+
+    if cfg.exchange == "groupby":
+        if cfg.num_salts and cfg.num_salts > 1:
+            ds = ds.map_batches(
+                add_salt,
+                fn_kwargs={"num_salts": cfg.num_salts},
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            ds = (
+                ds.groupby(["part_id", "salt"])
+                .map_groups(lww_table, batch_format="pyarrow")
+                .map_batches(
+                    lambda t: t.drop_columns(["salt"]),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+        merge = make_partition_merger(
+            cfg.lake_dir, epoch, committed, metrics,
+            extract_missing_text=cfg.extract_text,
+        )
+        return ds.groupby("part_id").map_groups(merge, batch_format="pyarrow").take_all()
+
+    raise ValueError(f"unknown exchange {cfg.exchange!r}")
 
 
 def replay(source: EventSource, cfg: ReplayConfig) -> ReplayResult:
@@ -159,6 +276,14 @@ def replay(source: EventSource, cfg: ReplayConfig) -> ReplayResult:
         epoch += 1
         t0 = time.perf_counter()
         ds = source.read(lo, hi)
+        if cfg.transform is not None:
+            ds = ds.map_batches(cfg.transform, batch_format="pyarrow", zero_copy_batch=True)
+        if cfg.extract_text:
+            ds = ds.map_batches(
+                lambda t: t.drop_columns(["text"]) if "text" in t.column_names else t,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         ds = ds.map_batches(
             add_part_id,
             fn_kwargs={"key": cfg.key, "num_partitions": cfg.num_partitions},
@@ -166,28 +291,10 @@ def replay(source: EventSource, cfg: ReplayConfig) -> ReplayResult:
             zero_copy_batch=True,
         )
         ds = ds.map_batches(lww_combine_batch, batch_format="pyarrow", zero_copy_batch=True)
-        if cfg.num_salts and cfg.num_salts > 1:
-            ds = ds.map_batches(
-                add_salt,
-                fn_kwargs={"num_salts": cfg.num_salts},
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            ds = (
-                ds.groupby(["part_id", "salt"])
-                .map_groups(lww_table, batch_format="pyarrow")
-                .map_batches(
-                    lambda t: t.drop_columns(["salt"]),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                )
-            )
         committed = {
             int(pid): man.partition_file(int(pid)) for pid in man.partitions
         }
-        merge = make_partition_merger(cfg.lake_dir, epoch, committed, metrics)
-        entries_tbl = ds.groupby("part_id").map_groups(merge, batch_format="pyarrow")
-        entries = entries_tbl.take_all()  # P small manifest rows
+        entries = _exchange_and_merge(ds, cfg, man, epoch, committed, metrics)
         wall = time.perf_counter() - t0
         if entries:
             sch = schema_from_json(entries[0]["schema_json"])

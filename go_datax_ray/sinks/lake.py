@@ -31,6 +31,7 @@ import json
 import os
 from typing import Any, Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -68,11 +69,39 @@ def _strip_engine_cols(t: pa.Table) -> pa.Table:
     return t.drop_columns(drop) if drop else t
 
 
+def _fill_text(t: pa.Table) -> pa.Table:
+    """Derive text = extract_text(html) for rows that lack it.
+
+    Called on the post-LWW winner set, NOT the raw event stream: derived
+    columns are computed once per surviving key instead of once per event
+    (10x fewer extractions at a 10:1 update ratio), and the shuffle/delta
+    exchange never carries the derived payload. Committed rows keep their
+    existing bytes untouched (byte-identity invariant)."""
+    from ..synth import extract_text_batch
+
+    html = t.column("html")
+    if "text" not in t.column_names:
+        return t.append_column(pa.field("text", pa.large_string()), extract_text_batch(html))
+    text = t.column("text")
+    need = pa.compute.and_(pa.compute.is_null(text), pa.compute.is_valid(html))
+    if not pa.compute.any(need).as_py():
+        return t
+    idx = np.flatnonzero(need.combine_chunks().to_numpy(zero_copy_only=False))
+    vals = extract_text_batch(html.take(pa.array(idx))).to_pylist()
+    full = text.to_pylist()
+    for i, v in zip(idx, vals):
+        full[i] = v
+    return t.set_column(
+        t.column_names.index("text"), "text", pa.array(full, text.type)
+    )
+
+
 def make_partition_merger(
     lake_dir: str,
     epoch: int,
     committed: dict[int, str],
     metrics: Any | None = None,
+    extract_missing_text: bool = False,
 ) -> Callable[[pa.Table], pa.Table]:
     """Build the map_groups merge fn for one epoch.
 
@@ -94,10 +123,13 @@ def make_partition_merger(
             )
         else:
             merged = new
+        if extract_missing_text:
+            merged = _fill_text(merged)
         merged = merged.sort_by("url")
         out = tmp_path(lake_dir, pid, epoch)
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        pq.write_table(merged, out, compression="zstd", row_group_size=64 * 1024)
+        pq.write_table(merged, out, compression="zstd", compression_level=1,
+                       row_group_size=64 * 1024)
         if metrics is not None:
             metrics.inc.remote(f"partition/{pid}/events", events)
         return pa.table(
@@ -113,6 +145,81 @@ def make_partition_merger(
         )
 
     return merge
+
+
+def make_delta_merger(
+    lake_dir: str,
+    epoch: int,
+    committed: dict[int, str],
+    delta_dir: str,
+    metrics: Any | None = None,
+    extract_missing_text: bool = False,
+) -> Callable[[dict], pa.Table]:
+    """Merge fn for the delta exchange: input batches carry partition ids;
+    each pid's delta files (written by the partition-pruned
+    ``write_parquet(partition_cols=["part_id"])`` stage) are read, LWW'd
+    against the committed partition file, and written to the epoch tmp
+    path. Duplicate delta rows from retried upstream write tasks are
+    harmless — LWW collapses them (idempotent reduction)."""
+    import glob as _glob
+
+    def merge_pids(batch: dict) -> pa.Table:
+        out: list[pa.Table] = []
+        for pid in batch["pid"]:
+            pid = int(pid)
+            files = sorted(_glob.glob(os.path.join(delta_dir, f"part_id={pid}", "*.parquet")))
+            if not files:
+                continue
+            parts = [pq.read_table(f) for f in files]
+            target = parts[0].schema
+            for p in parts[1:]:
+                target = evolve(target, p.schema)
+            new = pa.concat_tables([conform(p, target) for p in parts])
+            events = new.num_rows
+            new = new.append_column(
+                "part_id", pa.array(np.full(new.num_rows, pid), pa.int64())
+            )
+            new = lww_table(new)
+            old_path = committed.get(pid)
+            if old_path is not None and os.path.exists(old_path):
+                old = pq.read_table(old_path)
+                t2 = evolve(old.schema, new.schema)
+                new = lww_table(pa.concat_tables([conform(old, t2), conform(new, t2)]))
+            if extract_missing_text:
+                new = _fill_text(new)
+            new = new.sort_by("url")
+            outp = tmp_path(lake_dir, pid, epoch)
+            os.makedirs(os.path.dirname(outp), exist_ok=True)
+            pq.write_table(new, outp, compression="zstd", compression_level=1,
+                           row_group_size=64 * 1024)
+            if metrics is not None:
+                metrics.inc.remote(f"partition/{pid}/events", events)
+            out.append(
+                pa.table(
+                    {
+                        "pid": pa.array([pid], pa.int64()),
+                        "rows": pa.array([new.num_rows], pa.int64()),
+                        "events": pa.array([events], pa.int64()),
+                        "max_lsn": pa.array(
+                            [int(pa.compute.max(new.column("lsn")).as_py())], pa.int64()
+                        ),
+                        "schema_json": pa.array([schema_to_json(new.schema)], pa.string()),
+                    }
+                )
+            )
+        if not out:
+            return pa.table(
+                {
+                    "pid": pa.array([], pa.int64()),
+                    "rows": pa.array([], pa.int64()),
+                    "events": pa.array([], pa.int64()),
+                    "max_lsn": pa.array([], pa.int64()),
+                    "schema_json": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(out)
+
+    return merge_pids
 
 
 def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: bool = True):

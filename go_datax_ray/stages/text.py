@@ -44,11 +44,9 @@ class TextExtract:
         self.out_col = out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = [
-            None if h is None else extract_text(h)
-            for h in batch.column(self.html_col).to_pylist()
-        ]
-        arr = pa.array(texts, pa.large_string())
+        from ..synth import extract_text_batch
+
+        arr = extract_text_batch(batch.column(self.html_col))
         if self.out_col in batch.column_names:
             return batch.set_column(batch.column_names.index(self.out_col), self.out_col, arr)
         return batch.append_column(self.out_col, arr)

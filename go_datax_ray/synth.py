@@ -53,7 +53,10 @@ class SynthConfig:
     # NOT aligned with lsn order, and coarse enough to create (url, warc_ts)
     # ties so the lsn tiebreak is exercised.
     ts_range_s: int = 86400
-    payload_words: int = 24
+    payload_words: int = 24  # distinct words seeding each page's phrase
+    # mean html payload size; actual size uniform in [b/2, 3b/2) per event
+    # (bench uses KB-scale pages per FIXTURES.md §1; tests stay small)
+    payload_bytes: int = 256
     v2: bool = False  # emit additive fetch_status column (schema evolution)
 
 
@@ -92,9 +95,13 @@ def gen_event_batch(indices: np.ndarray, cfg: SynthConfig, url_pool: np.ndarray)
     lang_u = uniform01(idx, cfg.seed, 4)
     langs = _LANGS[np.searchsorted(_LANG_CDF, lang_u, side="right").clip(0, len(_LANGS) - 1)]
 
-    # payload: deterministic word sequence per event
+    # payload: deterministic phrase per event, tiled to a per-event target
+    # size (uniform in [b/2, 3b/2) around cfg.payload_bytes)
     nw = 4 + (mix_streams(idx, cfg.seed, 5) % np.uint64(cfg.payload_words)).astype(np.int64)
     word_seed = mix_streams(idx, cfg.seed, 6)
+    tgt = (cfg.payload_bytes // 2) + (
+        mix_streams(idx, cfg.seed, 8) % np.uint64(max(cfg.payload_bytes, 1))
+    ).astype(np.int64)
     is_del = ops == "D"
     htmls: list[bytes | None] = [None] * n
     W = len(_WORDS)
@@ -103,7 +110,9 @@ def gen_event_batch(indices: np.ndarray, cfg: SynthConfig, url_pool: np.ndarray)
             continue
         s = int(word_seed[i])
         words = [_WORDS[(s >> (j % 48)) * (j + 1) % W] for j in range(int(nw[i]))]
-        body = " ".join(words)
+        phrase = " ".join(words) + ". "
+        t = int(tgt[i])
+        body = (phrase * (t // len(phrase) + 1))[:t]
         htmls[i] = (
             f"<html><head><title>{urls[i]}</title></head>"
             f'<body><h1>v{int(idx[i])}</h1><p>{body}</p><p class="f">lang={langs[i]}</p></body></html>'
@@ -139,10 +148,50 @@ def extract_text(html_bytes: bytes) -> str:
     """THE fixed text extractor: strip tags, unescape entities, collapse
     whitespace. Byte-identical output per html is the per-row invariant
     demanded by BASELINE.json input_hint — every pipeline stage must call
-    exactly this function (tests assert it)."""
+    exactly this function or the provably-equivalent vectorized
+    ``extract_text_batch`` (tests assert equivalence)."""
     no_tags = _TAG_RE.sub(b" ", html_bytes)
     s = _htmlmod.unescape(no_tags.decode("utf-8", errors="replace"))
     return _WS_RE.sub(" ", s).strip()
+
+
+# Vectorized fast path: rows that are pure printable-ASCII with no HTML
+# entities behave identically under Arrow's re2 kernels and Python's re,
+# so they take the zero-copy Arrow path; anything else (entities, unicode
+# whitespace, control chars, invalid utf-8) falls back to the canonical
+# per-row function. test_core asserts batch == per-row on adversarial input.
+_NEEDS_PY_RE = r"[&\x00-\x08\x0b\x0e-\x1f\x7f]|[^\x00-\x7f]"
+
+
+def extract_text_batch(html_arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized extract_text over a (large_)binary array -> large_string,
+    byte-identical to the per-row canonical function."""
+    import pyarrow.compute as pc
+
+    if isinstance(html_arr, pa.ChunkedArray):
+        html_arr = html_arr.combine_chunks()
+    try:
+        s = html_arr.cast(pa.large_string())  # validates utf-8
+    except pa.ArrowInvalid:
+        return pa.array(
+            [None if h is None else extract_text(h) for h in html_arr.to_pylist()],
+            pa.large_string(),
+        )
+    no_tags = pc.replace_substring_regex(s, pattern=r"<[^>]*>", replacement=" ")
+    needs_py = pc.fill_null(pc.match_substring_regex(no_tags, _NEEDS_PY_RE), False)
+    fast = pc.utf8_trim(
+        pc.replace_substring_regex(no_tags, pattern=r"[ \t\n\r\f\v]+", replacement=" "),
+        " ",
+    )
+    if not pc.any(needs_py).as_py():
+        return fast.combine_chunks() if isinstance(fast, pa.ChunkedArray) else fast
+    out = fast.to_pylist()
+    mask = needs_py.to_pylist()
+    raw = html_arr.to_pylist()
+    for i, m in enumerate(mask):
+        if m and raw[i] is not None:
+            out[i] = extract_text(raw[i])
+    return pa.array(out, pa.large_string())
 
 
 class EventGen:

@@ -47,9 +47,11 @@ def oracle():
     return _oracle_final(N_EVENTS, CFG)
 
 
-def _run(tmp, *, num_partitions=8, num_salts=0, epoch_size=N_EVENTS, n_events=N_EVENTS):
+def _run(tmp, *, num_partitions=8, num_salts=0, epoch_size=N_EVENTS, n_events=N_EVENTS,
+         exchange="delta"):
     cfg = ReplayConfig(
-        lake_dir=str(tmp), num_partitions=num_partitions, num_salts=num_salts, epoch_size=epoch_size
+        lake_dir=str(tmp), num_partitions=num_partitions, num_salts=num_salts,
+        epoch_size=epoch_size, exchange=exchange,
     )
     return replay(SynthEventSource(n_events, CFG), cfg)
 
@@ -103,9 +105,21 @@ def test_parallelism_independent(tmp_path, oracle):
 
 
 def test_salting_equivalence(tmp_path, oracle):
-    """Salted two-phase LWW produces the identical final state."""
-    _run(tmp_path / "lake", num_salts=4)
+    """Salted two-phase LWW (groupby exchange) produces the identical
+    final state."""
+    _run(tmp_path / "lake", num_salts=4, exchange="groupby")
     _assert_matches_oracle(tmp_path / "lake", oracle)
+
+
+def test_exchange_modes_equivalent(tmp_path, oracle):
+    """delta / repartition / groupby exchanges all yield the same state."""
+    outs = []
+    for mode in ("delta", "repartition", "groupby"):
+        _run(tmp_path / mode, epoch_size=1500, exchange=mode)
+        outs.append(_final_cols(tmp_path / mode))
+    assert outs[0].equals(outs[1])
+    assert outs[0].equals(outs[2])
+    _assert_matches_oracle(tmp_path / "delta", oracle)
 
 
 def test_tombstones_persist_and_resume_no_resurrection(tmp_path):
@@ -155,6 +169,42 @@ def test_schema_evolution_v2_tail(tmp_path):
     assert new.filter(pa.compute.equal(new.column("op"), pa.scalar("I"))).column(
         "fetch_status"
     ).null_count == 0 or new.num_rows == 0
+
+
+def test_extract_in_engine_equivalent(tmp_path, oracle):
+    """Replaying raw-html events (text dropped; engine derives text post-LWW
+    inside the merge) yields byte-identical text per url vs carrying it."""
+    import ray.data as rd
+
+    events = EventGen(CFG)(pa.table({"id": np.arange(N_EVENTS, dtype=np.int64)}))
+    raw = events.drop_columns(["text"])  # WAL carries html only
+    lake = str(tmp_path / "lake")
+    cfg = ReplayConfig(lake_dir=lake, num_partitions=8, epoch_size=900, extract_text=True)
+    replay(DatasetEventSource(rd.from_arrow(raw), 0, N_EVENTS), cfg)
+    _assert_matches_oracle(lake, oracle)
+
+
+def test_extract_text_batch_equivalence():
+    """Vectorized extractor == canonical per-row extractor, including
+    adversarial inputs (entities, unicode ws, control chars, bad utf-8)."""
+    from go_datax_ray.synth import extract_text, extract_text_batch
+
+    cases = [
+        b"<html><body><p>plain ascii text</p></body></html>",
+        b"<p>a&amp;b &lt;tag&gt; &#65;</p>",
+        "<p>café  nbsp　ideo</p>".encode(),
+        b"<p>ctrl\x1c\x1d\x1e\x1fchars\x0bvtab</p>",
+        b"  <b>lead</b>\t\n trail  ",
+        b"",
+        b"<p></p>",
+        b"no tags at all",
+        b"\xff\xfe invalid utf8 <b>x</b>",
+        None,
+    ]
+    arr = pa.array(cases, pa.large_binary())
+    got = extract_text_batch(arr).to_pylist()
+    want = [None if c is None else extract_text(c) for c in cases]
+    assert got == want
 
 
 def test_lineage_and_manifest(tmp_path):
