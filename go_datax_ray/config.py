@@ -1,0 +1,123 @@
+"""DataX-style JSON job configuration.
+
+Keeps the reference's job format as the pipeline-spec language
+(/root/reference/common/config/configuration.go:35-287 dot-path config;
+job shape per /root/reference/test-data/*.json):
+
+    {"job": {"setting": {"speed": {"channel": N},
+                         "errorLimit": {"record": n, "percentage": p}},
+             "content": [{"reader": {"name": ..., "parameter": {...}},
+                          "transformer": [...],
+                          "writer": {"name": ..., "parameter": {...}}}]}}
+
+Also provides the Go reference-time layout -> strftime converter used by
+every date format in configs (Go layouts like "2006-01-02 15:04:05",
+/root/reference/plugins/reader/txtfilereader/txtfile_reader.go:468-475).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+# Ordered longest-first so e.g. "2006" wins over "06", "15" over "1".
+_GO_TOKENS = [
+    ("2006", "%Y"),
+    ("January", "%B"),
+    ("Monday", "%A"),
+    ("Jan", "%b"),
+    ("Mon", "%a"),
+    (".000000", ".%f"),
+    (".000", ".%f"),
+    ("15", "%H"),
+    ("01", "%m"),
+    ("02", "%d"),
+    ("03", "%I"),
+    ("04", "%M"),
+    ("05", "%S"),
+    ("06", "%y"),
+    ("-0700", "%z"),
+    ("Z07:00", "%z"),
+    ("PM", "%p"),
+    ("pm", "%p"),
+    ("MST", "%Z"),
+]
+
+
+def go_layout_to_strftime(layout: str) -> str:
+    """Convert a Go reference-time layout to a strftime format string."""
+    out = []
+    i = 0
+    n = len(layout)
+    while i < n:
+        for tok, rep in _GO_TOKENS:
+            if layout.startswith(tok, i):
+                out.append(rep)
+                i += len(tok)
+                break
+        else:
+            out.append(layout[i])
+            i += 1
+    return "".join(out)
+
+
+# The reader's fallback date formats, in order
+# (txtfile_reader.go:468-475).
+GO_DATE_FALLBACKS = [
+    "2006-01-02 15:04:05",
+    "2006-01-02",
+    "2006/01/02 15:04:05",
+    "2006/01/02",
+    "01/02/2006 15:04:05",
+    "01/02/2006",
+]
+STRFTIME_DATE_FALLBACKS = [go_layout_to_strftime(f) for f in GO_DATE_FALLBACKS]
+
+# RFC3339-ish fallbacks used by the JSON reader
+# (jsonfile_reader.go:1100-1140 date parsing).
+JSON_DATE_FALLBACKS = STRFTIME_DATE_FALLBACKS + [
+    "%Y-%m-%dT%H:%M:%SZ",
+    "%Y-%m-%dT%H:%M:%S%z",
+    "%Y-%m-%dT%H:%M:%S.%fZ",
+    "%Y-%m-%dT%H:%M:%S",
+]
+
+
+@dataclass
+class JobConfig:
+    """Parsed DataX job JSON."""
+
+    reader_name: str
+    reader_param: dict[str, Any]
+    writer_name: str
+    writer_param: dict[str, Any]
+    transformers: list[dict[str, Any]] = field(default_factory=list)
+    channel: int = 1
+    error_limit_record: int | None = None
+    error_limit_percentage: float | None = None
+    raw: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "JobConfig":
+        job = d["job"]
+        content = job["content"][0]  # reference supports exactly one content
+        setting = job.get("setting", {})
+        speed = setting.get("speed", {})
+        el = setting.get("errorLimit", {})
+        return cls(
+            reader_name=content["reader"]["name"],
+            reader_param=content["reader"].get("parameter", {}),
+            writer_name=content["writer"]["name"],
+            writer_param=content["writer"].get("parameter", {}),
+            transformers=content.get("transformer", []),
+            channel=int(speed.get("channel", 1)),
+            error_limit_record=el.get("record"),
+            error_limit_percentage=el.get("percentage"),
+            raw=d,
+        )
+
+    @classmethod
+    def from_file(cls, path: str) -> "JobConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))

