@@ -348,6 +348,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[["query_id", "vec_id", "rank"]], preserve_index=False
         )
 
+    # -- windowed aggregates ----------------------------------------------
+    def q_window_tumbling(sf_dir: str):
+        from go_datax_ray.stages.windows import tumbling_aggregate
+
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+        return tumbling_aggregate(ds, size_s=3600)
+
+    def q_window_sliding(sf_dir: str):
+        from go_datax_ray.stages.windows import sliding_aggregate
+
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+        return sliding_aggregate(ds, size_s=3600, slide_s=900)
+
+    def q_window_session(sf_dir: str):
+        from go_datax_ray.stages.windows import session_windows
+
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+        return session_windows(ds, gap_s=1800)
+
+    # -- ordering / distinct ----------------------------------------------
+    def q_topk_orders(sf_dir: str):
+        rd = rd_lazy()
+        ds = rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        )
+        return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def q_distinct_event_types(sf_dir: str):
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+        vals = sorted(ds.unique("event_type"))
+        return pa.table({"event_type": pa.array(vals, pa.string())})
+
+    # -- multimodal plumbing (stubbed codecs, real Ray stages) ------------
+    def q_media_features(sf_dir: str):
+        from go_datax_ray.stages.multimodal import ImageFeatures, make_media_table
+
+        rd = rd_lazy()
+        media = rd.from_arrow(make_media_table(240))
+        out = media.map_batches(
+            ImageFeatures, batch_format="pyarrow", batch_size=32, concurrency=2
+        )
+        return out.map_batches(
+            lambda t: t.select(["media_id", "phash"]), batch_format="pyarrow"
+        )
+
     return {
         "cdc_final_state": q_cdc_final_state,
         "lww_latest_event": q_lww_latest_event,
@@ -371,6 +420,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "groupby_events": q_groupby_events,
         "ann_topk": q_ann_topk,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "window_session": q_window_session,
+        "topk_orders": q_topk_orders,
+        "distinct_event_types": q_distinct_event_types,
+        "media_features": q_media_features,
     }
 
 
@@ -472,7 +527,40 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN embeddings e
             QUALIFY rank <= {ANN_K}
         """,
+        "window_tumbling": """
+            SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   COUNT(*) AS n, ROUND(SUM(value), 3) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "window_sliding": """
+            SELECT user_id,
+                   time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+                     AS window_start,
+                   COUNT(*) AS n, ROUND(SUM(value), 3) AS sum_value
+            FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+            GROUP BY 1, 2
+        """,
+        "window_session": """
+            WITH d AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+              FROM d
+            )
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n, ROUND(SUM(value), 3) AS sum_value
+            FROM s GROUP BY user_id, sess
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
         # minhash_dedup / simhash / embedding_neardup / quality_score /
-        # lang_id are not SQL-expressible (sketches, heuristics) ->
-        # rows-only checks.
+        # lang_id / media_features are not SQL-expressible (sketches,
+        # heuristics, stubbed codecs) -> rows-only checks.
     }

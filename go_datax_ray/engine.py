@@ -56,14 +56,43 @@ def run_job(cfg: JobConfig | dict | str) -> JobResult:
     t0 = time.perf_counter()
     ds = SOURCES[cfg.reader_name](cfg.reader_param, channel=cfg.channel)
 
+    dead_letter = None
     if cfg.transformers:
+        from .state.metrics import get_dead_letter_actor, table_to_ipc
+
         chain = build_transformer_chain(cfg.transformers, ds.schema().base_schema)
+        import uuid
+
+        dead_letter = get_dead_letter_actor(f"gdr_dl_{uuid.uuid4().hex[:8]}")
 
         def guarded(t: pa.Table) -> pa.Table:
-            out = chain(t)
-            # rows dropped by dx_filter are FILTERED, not errors; errors
-            # would be rows the chain raises on — route around per-batch
-            return out
+            # rows dropped by dx_filter are FILTERED, not errors; a row the
+            # chain RAISES on is a poison row -> retried individually and
+            # routed to the dead-letter actor (per-row degraded fallback,
+            # tdengine_writer.go:304-355; errorLimit counts these)
+            try:
+                return chain(t)
+            except Exception:  # noqa: BLE001
+                ok, dead = [], []
+                for i in range(t.num_rows):
+                    row = t.slice(i, 1)
+                    try:
+                        ok.append(chain(row))
+                    except Exception:  # noqa: BLE001
+                        dead.append(row)
+                if dead:
+                    import ray
+
+                    bad = pa.concat_tables(dead)
+                    # synchronous append: the task must not complete before
+                    # the actor recorded the rows (count read at job end)
+                    ray.get(dead_letter.append.remote(table_to_ipc(bad), bad.num_rows))
+                if ok:
+                    return pa.concat_tables(ok)
+                try:
+                    return chain(t.slice(0, 0))  # empty table, output schema
+                except Exception:  # noqa: BLE001
+                    return t.slice(0, 0)  # chain broken for the whole schema
 
         ds = ds.map_batches(guarded, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -72,6 +101,10 @@ def run_job(cfg: JobConfig | dict | str) -> JobResult:
     res.sink_result = sink_out
     res.records = int(sink_out.get("records", 0))
     res.byts = int(sink_out.get("bytes", 0))
+    if dead_letter is not None:
+        import ray
+
+        res.error_records = ray.get(dead_letter.count.remote())
     res.wall_s = time.perf_counter() - t0
 
     check_error_limit(

@@ -245,6 +245,61 @@ def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: b
     return ds
 
 
+def compact(lake_dir: str, *, drop_tombstones_below_lsn: int | None = None) -> dict[str, int]:
+    """Compaction: rewrite partitions dropping delete tombstones with
+    lsn < the horizon (default: the committed watermark).
+
+    SAFETY CONTRACT (documented per SURVEY.md §7.4 tombstone/resume
+    interaction): dropping a tombstone is only safe when no future event
+    for that key can carry a LOWER (warc_ts, lsn) than the tombstone —
+    i.e. the source replays only offsets > watermark AND event
+    timestamps are monotone per key. Callers that cannot guarantee
+    per-key ts monotonicity should pass a horizon older than their
+    maximum expected timestamp disorder. Runs through the same
+    tmp -> commit_epoch path, so it is atomic and resumable."""
+    import pyarrow.compute as pc
+
+    from ..state.manifest import Manifest
+
+    man = Manifest.load(lake_dir)
+    horizon = drop_tombstones_below_lsn if drop_tombstones_below_lsn is not None else man.watermark_lsn
+    epoch = man.epoch + 1
+    entries = []
+    dropped = 0
+    for pid_s, ent in man.partitions.items():
+        pid = int(pid_s)
+        t = pq.read_table(os.path.join(lake_dir, ent["file"]))
+        is_dead_tomb = pc.and_(
+            pc.equal(t.column("op"), pa.scalar("D")),
+            pc.less(t.column("lsn"), pa.scalar(horizon, pa.int64())),
+        )
+        keep = pc.invert(pc.fill_null(is_dead_tomb, False))
+        out = t.filter(keep)
+        dropped += t.num_rows - out.num_rows
+        outp = tmp_path(lake_dir, pid, epoch)
+        os.makedirs(os.path.dirname(outp), exist_ok=True)
+        pq.write_table(out, outp, compression="zstd", compression_level=1,
+                       row_group_size=64 * 1024)
+        entries.append(
+            {
+                "pid": pid,
+                "rows": out.num_rows,
+                "events": 0,
+                "max_lsn": ent["max_lsn"],
+            }
+        )
+    if entries:
+        man.commit_epoch(
+            epoch,
+            lsn_lo=man.watermark_lsn,
+            lsn_hi=man.watermark_lsn,
+            entries=entries,
+            schema_json=man.schema_json or "",
+            wall_s=0.0,
+        )
+    return {"dropped_tombstones": dropped, "epoch": epoch}
+
+
 def read_lake_table(lake_dir: str, *, final_state: bool = True) -> pa.Table:
     """Driver-side small read of the whole lake (tests/golden checks only)."""
     from ..state.manifest import Manifest

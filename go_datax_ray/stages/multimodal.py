@@ -1,0 +1,196 @@
+"""Multimodal (image/audio/video) stages: opaque binary columns + typed
+metadata, processed by actor-pool map_batches stages.
+
+The decode kernels themselves are STUBBED — this container ships no
+image/audio codecs (no PIL/cv2/ffmpeg) — behind ``DecodeBackend``:
+``backend="fake"`` is a deterministic pure-python stand-in (tests run
+against it); ``backend="real"`` raises NotImplementedError at actor
+construction with the dependency named. Everything Ray-side is real:
+schema contract, actor-pool lifecycle (codec init once per actor),
+small batch sizes for large payloads, zero-copy Arrow in/out, and
+output layout.
+
+Schema contract (media table):
+    media_id: int64, kind: string in {image,audio,video},
+    payload: large_binary, mime: string, width/height: int32 (image),
+    sample_rate: int32, n_samples: int64 (audio), n_frames: int64 (video)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),
+        pa.field("payload", pa.large_binary()),
+        pa.field("mime", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("sample_rate", pa.int32()),
+        pa.field("n_samples", pa.int64()),
+        pa.field("n_frames", pa.int64()),
+    ]
+)
+
+
+class DecodeBackend:
+    """Codec holder, constructed once per actor (the expensive part in a
+    real deployment: lib init, model load, GPU context)."""
+
+    def __init__(self, backend: str = "fake"):
+        self.backend = backend
+        if backend == "real":
+            raise NotImplementedError(
+                "real decode needs PIL/cv2/soundfile/ffmpeg — not shipped in "
+                "this container; run with backend='fake' or install codecs"
+            )
+
+    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        """fake: deterministic pseudo-pixels from payload bytes."""
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "little")
+        h = max(int(height), 1)
+        w = max(int(width), 1)
+        base = np.frombuffer(payload[: h * w * 3], dtype=np.uint8)
+        if len(base) < h * w * 3:
+            reps = h * w * 3 // max(len(base), 1) + 1
+            base = np.tile(base, reps)[: h * w * 3]
+        return (base.reshape(h, w, 3).astype(np.int32) + seed % 256).astype(np.uint8)
+
+    def decode_audio(self, payload: bytes, n_samples: int) -> np.ndarray:
+        base = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        n = max(int(n_samples), 1)
+        if len(base) < n:
+            base = np.tile(base, n // max(len(base), 1) + 1)
+        return (base[:n] - 127.5) / 127.5
+
+
+class ImageFeatures:
+    """Actor-pool stage: decode + 8x8 mean-pool thumbnail features + a
+    perceptual-ish hash. Small batch_size — payloads are wide rows."""
+
+    def __init__(self, backend: str = "fake"):
+        self.codec = DecodeBackend(backend)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, feats, phashes = [], [], []
+        for mid, kind, payload, w, h in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            if kind != "image" or payload is None:
+                continue
+            img = self.codec.decode_image(payload, w or 8, h or 8)
+            gh, gw = max(img.shape[0] // 8, 1), max(img.shape[1] // 8, 1)
+            pooled = img[: gh * 8, : gw * 8].reshape(8, gh, 8, gw, 3).mean(axis=(1, 3))
+            gray = pooled.mean(axis=2)
+            bits = (gray > gray.mean()).astype(np.uint64).ravel()
+            ph = int((bits << np.arange(64, dtype=np.uint64)).sum())
+            ids.append(mid)
+            feats.append(pooled.ravel().astype(np.float32).tolist())
+            phashes.append(ph - (1 << 63))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "features": pa.array(feats, pa.list_(pa.float32())),
+                "phash": pa.array(phashes, pa.int64()),
+            }
+        )
+
+
+class AudioFeatures:
+    """Actor-pool stage: decode + frame-level RMS energy (vectorised)."""
+
+    def __init__(self, backend: str = "fake", frame: int = 1024):
+        self.codec = DecodeBackend(backend)
+        self.frame = frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, rms, dur = [], [], []
+        for mid, kind, payload, sr, ns in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("sample_rate").to_pylist(),
+            batch.column("n_samples").to_pylist(),
+        ):
+            if kind != "audio" or payload is None:
+                continue
+            wave = self.codec.decode_audio(payload, ns or len(payload))
+            nf = max(len(wave) // self.frame, 1)
+            frames = wave[: nf * self.frame].reshape(nf, self.frame)
+            ids.append(mid)
+            rms.append(np.sqrt((frames**2).mean(axis=1)).astype(np.float32).tolist())
+            dur.append(float(len(wave)) / float(sr or 16000))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_rms": pa.array(rms, pa.list_(pa.float32())),
+                "duration_s": pa.array(dur, pa.float64()),
+            }
+        )
+
+
+def frame_sample(batch: pa.Table, *, every_n: int = 10) -> pa.Table:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    index (decode stubbed — emits frame byte-ranges, the shape a real
+    ffmpeg-backed stage would fill)."""
+    ids, frames, offsets = [], [], []
+    for mid, kind, payload, nf in zip(
+        batch.column("media_id").to_pylist(),
+        batch.column("kind").to_pylist(),
+        batch.column("payload").to_pylist(),
+        batch.column("n_frames").to_pylist(),
+    ):
+        if kind != "video" or payload is None or not nf:
+            continue
+        stride = max(len(payload) // max(nf, 1), 1)
+        for fi in range(0, nf, every_n):
+            ids.append(mid)
+            frames.append(fi)
+            offsets.append(fi * stride)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(frames, pa.int64()),
+            "byte_offset": pa.array(offsets, pa.int64()),
+        }
+    )
+
+
+def make_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media table for tests/benchmarks."""
+    from ..hashing import mix_streams
+
+    idx = np.arange(n, dtype=np.uint64)
+    kinds = np.array(["image", "audio", "video"])[
+        (mix_streams(idx, seed, 1) % np.uint64(3)).astype(np.int64)
+    ]
+    payloads = []
+    for i in range(n):
+        sub = mix_streams(np.arange(256 + i * 7, dtype=np.uint64), seed + i, 2)
+        payloads.append((sub % np.uint64(256)).astype(np.uint8).tobytes())
+    return pa.Table.from_pydict(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(
+                ["image/png" if k == "image" else "audio/wav" if k == "audio" else "video/mp4" for k in kinds],
+                pa.string(),
+            ),
+            "width": pa.array([16 if k == "image" else None for k in kinds], pa.int32()),
+            "height": pa.array([16 if k == "image" else None for k in kinds], pa.int32()),
+            "sample_rate": pa.array([16000 if k == "audio" else None for k in kinds], pa.int32()),
+            "n_samples": pa.array([4096 if k == "audio" else None for k in kinds], pa.int64()),
+            "n_frames": pa.array([100 if k == "video" else None for k in kinds], pa.int64()),
+        },
+        schema=MEDIA_SCHEMA,
+    )

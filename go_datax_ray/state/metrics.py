@@ -60,6 +60,53 @@ def get_metrics_actor(name: str = "gdr_metrics") -> "ray.actor.ActorHandle":
     ).remote()
 
 
+@ray.remote(num_cpus=0)
+class DeadLetterActor:
+    """Collects poison rows (serialized Arrow IPC) — the reference's
+    per-row degraded retry path routed to a side table instead of a
+    failed batch (/root/reference/plugins/writer/tdenginewriter/
+    tdengine_writer.go:304-355 writeEachRow fallback)."""
+
+    def __init__(self) -> None:
+        self.batches: list[bytes] = []
+        self.n = 0
+
+    def append(self, ipc_bytes: bytes, n_rows: int) -> None:
+        self.batches.append(ipc_bytes)
+        self.n += n_rows
+
+    def count(self) -> int:
+        return self.n
+
+    def drain(self) -> list[bytes]:
+        out, self.batches = self.batches, []
+        return out
+
+
+def get_dead_letter_actor(name: str = "gdr_dead_letter"):
+    return DeadLetterActor.options(name=name, get_if_exists=True).remote()
+
+
+def table_to_ipc(t) -> bytes:
+    import io
+
+    import pyarrow as pa
+
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue()
+
+
+def ipc_to_table(b: bytes):
+    import io
+
+    import pyarrow as pa
+
+    with pa.ipc.open_stream(io.BytesIO(b)) as r:
+        return r.read_all()
+
+
 class ErrorLimitExceeded(RuntimeError):
     pass
 

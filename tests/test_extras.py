@@ -1,0 +1,186 @@
+"""Multimodal stages, windowed aggregates, compaction, dead-letter."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- multimodal
+def test_media_pipeline_plumbing():
+    from go_datax_ray.stages.multimodal import (
+        AudioFeatures,
+        ImageFeatures,
+        frame_sample,
+        make_media_table,
+    )
+
+    media = make_media_table(60)
+    ds = rd.from_arrow(media)
+    img = ds.map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=16, concurrency=2
+    ).to_pandas()
+    n_img = (media.column("kind").to_pandas() == "image").sum()
+    assert len(img) == n_img
+    assert all(len(f) == 192 for f in img["features"])  # 8x8x3 pooled
+    aud = ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=16, concurrency=2
+    ).to_pandas()
+    assert (aud["duration_s"] > 0).all()
+    vid = ds.map_batches(
+        frame_sample, fn_kwargs={"every_n": 10}, batch_format="pyarrow"
+    ).to_pandas()
+    assert set(vid["frame_idx"].unique()) == set(range(0, 100, 10))
+    # determinism
+    img2 = ds.map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=16, concurrency=2
+    ).to_pandas()
+    assert img["phash"].tolist() == img2["phash"].tolist()
+
+
+def test_media_real_backend_stubbed():
+    from go_datax_ray.stages.multimodal import DecodeBackend
+
+    with pytest.raises(NotImplementedError, match="PIL|cv2|codec"):
+        DecodeBackend(backend="real")
+
+
+# ---------------------------------------------------------------- windows
+def test_tumbling_matches_duckdb():
+    from go_datax_ray.stages.windows import tumbling_aggregate
+
+    ds = rd.read_parquet(f"{SF}/events.parquet")
+    got = (
+        tumbling_aggregate(ds, size_s=3600)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               COUNT(*) AS n, ROUND(SUM(value), 3) AS sum_value
+        FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["window_start"].tolist() == want["window_start"].tolist()
+    assert np.allclose(got["sum_value"], want["sum_value"])
+
+
+def test_sliding_covers_each_event_k_times():
+    from go_datax_ray.stages.windows import sliding_aggregate
+
+    ds = rd.read_parquet(f"{SF}/events.parquet")
+    got = sliding_aggregate(ds, size_s=3600, slide_s=900).to_pandas()
+    n_events = 1000
+    assert got["n"].sum() == n_events * 4  # every event in size/slide=4 windows
+
+
+def test_session_windows():
+    from go_datax_ray.stages.windows import session_windows
+
+    t = pa.table(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": pa.array(
+                [0, 10_000_000, 4_000_000_000, 4_010_000_000, 0], pa.timestamp("us")
+            ),
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    out = session_windows(rd.from_arrow(t), gap_s=1800).to_pandas().sort_values(
+        ["user_id", "session_start"]
+    )
+    # user 1: two sessions (gap > 30min between 10s and 4000s)
+    assert len(out[out["user_id"] == 1]) == 2
+    assert out[out["user_id"] == 1]["n"].tolist() == [2, 2]
+    assert len(out[out["user_id"] == 2]) == 1
+
+
+# ------------------------------------------------------------- compaction
+def test_compaction_drops_tombstones(tmp_path):
+    from go_datax_ray.pipelines.cdc_replay import ReplayConfig, SynthEventSource, replay
+    from go_datax_ray.sinks.lake import compact, read_lake_table
+    from go_datax_ray.synth import SynthConfig
+
+    lake = str(tmp_path / "lake")
+    cfg = SynthConfig(seed=3, n_urls=200)
+    replay(SynthEventSource(3000, cfg), ReplayConfig(lake_dir=lake, num_partitions=4))
+    raw_before = read_lake_table(lake, final_state=False)
+    n_tombs = raw_before.filter(
+        pa.compute.equal(raw_before.column("op"), pa.scalar("D"))
+    ).num_rows
+    assert n_tombs > 0
+    final_before = read_lake_table(lake)
+    res = compact(lake)
+    assert res["dropped_tombstones"] == n_tombs
+    raw_after = read_lake_table(lake, final_state=False)
+    assert raw_after.filter(
+        pa.compute.equal(raw_after.column("op"), pa.scalar("D"))
+    ).num_rows == 0
+    # final state unchanged by compaction
+    assert read_lake_table(lake).equals(final_before)
+    # and replay after compaction still no-ops (watermark intact)
+    res2 = replay(SynthEventSource(3000, cfg), ReplayConfig(lake_dir=lake, num_partitions=4))
+    assert res2.events == 0
+
+
+# ------------------------------------------------------------ dead letter
+def test_dead_letter_routing():
+    from go_datax_ray.engine import run_job
+
+    job = {
+        "job": {
+            "setting": {"errorLimit": {"record": 1000}},
+            "content": [
+                {
+                    "reader": {
+                        "name": "parquetreader",
+                        "parameter": {
+                            "path": f"{SF}/documents.parquet",
+                            "column": ["doc_id", "lang"],
+                        },
+                    },
+                    # dx_substr on an int64 column raises in Arrow -> every
+                    # row becomes a poison row routed to dead-letter
+                    "transformer": [
+                        {"name": "dx_substr", "parameter": {"column": "doc_id", "paras": ["0", "2"]}}
+                    ],
+                    "writer": {"name": "streamwriter", "parameter": {"print": False}},
+                }
+            ],
+        }
+    }
+    res = run_job(job)
+    assert res.error_records == 500
+    assert res.records == 0
+
+
+def test_error_limit_aborts_job():
+    from go_datax_ray.engine import run_job
+    from go_datax_ray.state.metrics import ErrorLimitExceeded
+
+    job = {
+        "job": {
+            "setting": {"errorLimit": {"record": 10}},
+            "content": [
+                {
+                    "reader": {
+                        "name": "parquetreader",
+                        "parameter": {"path": f"{SF}/documents.parquet", "column": ["doc_id"]},
+                    },
+                    "transformer": [
+                        {"name": "dx_substr", "parameter": {"column": "doc_id", "paras": ["0", "2"]}}
+                    ],
+                    "writer": {"name": "streamwriter", "parameter": {"print": False}},
+                }
+            ],
+        }
+    }
+    with pytest.raises(ErrorLimitExceeded):
+        run_job(job)
