@@ -150,7 +150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.append_column("key", pc.cast(t.column("user_id"), pa.string())),
             batch_format="pyarrow",
         )
-        ds = partition_events(ds, key="key", num_partitions=NUM_PARTS)
+        # md5 partitioner here: DuckDB md5_number_lower-checkable (the
+        # pipeline default is the faster reference-exact crc32)
+        ds = partition_events(ds, key="key", num_partitions=NUM_PARTS, hash_fn="md5")
         return ds.groupby("part_id").count().rename_columns({"count()": "n"})
 
     # -- dx_* transforms ---------------------------------------------------

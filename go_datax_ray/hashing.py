@@ -40,9 +40,29 @@ def md5_lower64_array(values) -> np.ndarray:
     return out
 
 
-def partition_ids(urls, num_partitions: int) -> np.ndarray:
-    """part_id = md5_lower64(url) % P — the engine's key-hash partitioner."""
-    return (md5_lower64_array(urls) % np.uint64(num_partitions)).astype(np.int64)
+def crc32_array(values) -> np.ndarray:
+    """CRC32 per string — the reference's hash split function
+    (mysql_reader.go:432-444), ~4x faster than md5 (zlib C loop)."""
+    import zlib
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pylist()
+    crc = zlib.crc32
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = 0 if v is None else crc(v.encode("utf-8"))
+    return out
+
+
+def partition_ids(urls, num_partitions: int, hash_fn: str = "crc32") -> np.ndarray:
+    """part_id = hash(url) % P — the engine's key-hash partitioner.
+
+    hash_fn="crc32" (default, reference-exact CRC32(pk)%N) for the
+    pipeline hot path; "md5" (DuckDB md5_number_lower-compatible) where
+    SQL-oracle checkability matters. Final table state is independent of
+    the choice — it only moves placement."""
+    h = crc32_array(urls) if hash_fn == "crc32" else md5_lower64_array(urls)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

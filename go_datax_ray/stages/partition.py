@@ -22,9 +22,10 @@ import pyarrow as pa
 from ..hashing import partition_ids
 
 
-def add_part_id(batch: pa.Table, *, key: str = "url", num_partitions: int = 64) -> pa.Table:
-    """Vectorised stage: append part_id = md5_lower64(key) % P."""
-    pid = partition_ids(batch.column(key), num_partitions)
+def add_part_id(batch: pa.Table, *, key: str = "url", num_partitions: int = 64,
+                hash_fn: str = "crc32") -> pa.Table:
+    """Vectorised stage: append part_id = hash(key) % P (crc32 default)."""
+    pid = partition_ids(batch.column(key), num_partitions, hash_fn)
     return batch.append_column("part_id", pa.array(pid, pa.int64()))
 
 
@@ -36,11 +37,12 @@ def add_salt(batch: pa.Table, *, num_salts: int, salt_from: str = "lsn") -> pa.T
     return batch.append_column("salt", pa.array(vals % num_salts, pa.int64()))
 
 
-def partition_events(ds, *, key: str = "url", num_partitions: int = 64):
+def partition_events(ds, *, key: str = "url", num_partitions: int = 64,
+                     hash_fn: str = "crc32"):
     """Dataset stage: tag every event with its lake partition."""
     return ds.map_batches(
         add_part_id,
-        fn_kwargs={"key": key, "num_partitions": num_partitions},
+        fn_kwargs={"key": key, "num_partitions": num_partitions, "hash_fn": hash_fn},
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -57,11 +57,21 @@ def test_md5_lower64_matches_duckdb():
 
 def test_partition_ids_match_duckdb():
     urls = [f"https://d{i % 7:04d}.example.org/p/{i}" for i in range(100)]
-    ours = partition_ids(pa.array(urls), 16)
+    ours = partition_ids(pa.array(urls), 16, hash_fn="md5")
     duck = duckdb.sql(
         "SELECT md5_number_lower(s) % 16 FROM (SELECT unnest(?) s)", params=[urls]
     ).fetchall()
     assert list(ours) == [int(d) for (d,) in duck]
+
+
+def test_partition_ids_crc32_matches_reference_hash():
+    """Default partitioner == the reference's CRC32(pk) % N hash split
+    (mysql_reader.go:432-444)."""
+    import zlib
+
+    urls = [f"https://d{i % 7:04d}.example.org/p/{i}" for i in range(100)]
+    ours = partition_ids(pa.array(urls), 16)
+    assert list(ours) == [zlib.crc32(u.encode()) % 16 for u in urls]
 
 
 # ---------------------------------------------------------------- synth
