@@ -140,6 +140,12 @@ def build_transformer_chain(
         elif name == "dx_digest":
             algo = paras[0] if paras else "md5"
             steps.append(lambda t, c=col, a=algo: dx_digest(t, c, a))
+        elif name == "dx_cast":  # engine extension: the §1.1 casting matrix
+            from .cast import dx_cast
+
+            to = paras[0]
+            lenient = len(paras) > 1 and paras[1].lower() in ("1", "true", "lenient")
+            steps.append(lambda t, c=col, to_=to, ln=lenient: dx_cast(t, c, to_, lenient=ln))
         else:
             raise ValueError(f"unknown transformer {name!r}")
 
