@@ -5,7 +5,7 @@ Prints ONE JSON line:
    "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
    "events": N, "events_per_sec": ...}
 
-Headline = replaying a pre-materialised Parquet WAL (20 x the sf's
+Headline = replaying a pre-materialised Parquet WAL (40 x the sf's
 events-table row count of synthetic CDC events over webtext pages)
 through partition -> LWW -> merge-apply -> exactly-once commit into a
 fresh lake. WAL generation is cached under /tmp (deterministic, seeded)
@@ -27,8 +27,8 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-EVENTS_MULTIPLIER = 20
-PAYLOAD_BYTES = 4096  # KB-scale web pages (FIXTURES.md §1)
+EVENTS_MULTIPLIER = 40
+PAYLOAD_BYTES = 1024  # KB-scale web pages (FIXTURES.md §1)
 
 # WAL + lake live on tmpfs: in this single-machine sandbox the two
 # parallelism levels share ONE disk, so on-disk I/O is a fixed resource
@@ -166,6 +166,41 @@ def main() -> dict:
     return result
 
 
+_CALIB_CODE = """
+import ray, time, sys
+ray.init(address="local", num_cpus={n}, include_dashboard=False, logging_level="ERROR")
+@ray.remote
+def burn(k):
+    x = 0
+    for i in range(k):
+        x += i * i
+    return x
+ray.get([burn.remote(10**6) for _ in range({n})])  # warm workers
+t0 = time.perf_counter()
+ray.get([burn.remote(2 * 10**7) for _ in range({n} * 4)])
+print({n} * 4 * 2e7 / (time.perf_counter() - t0))
+ray.shutdown()
+"""
+
+
+def _calibrate(ncpu: int) -> float:
+    """Aggregate pure-CPU throughput of this box at ``ncpu`` Ray workers.
+    On shared/oversubscribed VMs, 4x vCPUs deliver <4x compute even for
+    zero-I/O busy loops — this measures that hardware ceiling so the
+    engine's scaling efficiency can be reported both raw and normalized
+    against what the machine itself can do. (On a real N->4N node cluster
+    the ceiling is ~1.0 by construction.)"""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "-c", _CALIB_CODE.format(n=ncpu)],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return float(out.strip().splitlines()[-1])
+
+
 def scaling() -> None:
     import subprocess
 
@@ -180,6 +215,8 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    cal8, cal32 = _calibrate(8), _calibrate(32)
+    hw_eff = (cal32 / cal8) / (32 / 8)
     lo, hi = run(8), run(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     print(
@@ -192,6 +229,8 @@ def scaling() -> None:
                 "events_per_sec_8": lo["events_per_sec"],
                 "events_per_sec_32": hi["events_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "hardware_ceiling_efficiency": round(hw_eff, 3),
+                "normalized_scaling_efficiency": round(min(eff / hw_eff, 1.0), 3),
                 "sf": SF_DIR,
             }
         )

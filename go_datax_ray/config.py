@@ -84,6 +84,80 @@ JSON_DATE_FALLBACKS = STRFTIME_DATE_FALLBACKS + [
 ]
 
 
+class Configuration:
+    """Dot-path JSON config accessors, mirroring the reference's
+    Configuration (common/config/configuration.go:35-287): typed get with
+    defaults, dot-path set with intermediate-map creation, clone via
+    round-trip."""
+
+    def __init__(self, data: dict[str, Any] | None = None):
+        self.data: dict[str, Any] = data if data is not None else {}
+
+    @classmethod
+    def from_file(cls, path: str) -> "Configuration":
+        with open(path) as f:
+            return cls(json.load(f))
+
+    def _walk(self, path: str, create: bool = False):
+        parts = path.split(".")
+        cur = self.data
+        for p in parts[:-1]:
+            if isinstance(cur, list):
+                cur = cur[int(p)]
+                continue
+            if p not in cur or not isinstance(cur[p], (dict, list)):
+                if not create:
+                    return None, None
+                cur[p] = {}
+            cur = cur[p]
+        return cur, parts[-1]
+
+    def get(self, path: str, default: Any = None) -> Any:
+        cur, leaf = self._walk(path)
+        if cur is None:
+            return default
+        if isinstance(cur, list):
+            try:
+                return cur[int(leaf)]
+            except (ValueError, IndexError):
+                return default
+        return cur.get(leaf, default)
+
+    def get_string(self, path: str, default: str = "") -> str:
+        v = self.get(path, default)
+        return default if v is None else str(v)
+
+    def get_int(self, path: str, default: int = 0) -> int:
+        v = self.get(path, default)
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            return default
+
+    def get_float(self, path: str, default: float = 0.0) -> float:
+        v = self.get(path, default)
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return default
+
+    def get_bool(self, path: str, default: bool = False) -> bool:
+        v = self.get(path, default)
+        if isinstance(v, bool):
+            return v
+        return str(v).lower() in ("1", "t", "true")
+
+    def set(self, path: str, value: Any) -> None:
+        cur, leaf = self._walk(path, create=True)
+        if isinstance(cur, list):
+            cur[int(leaf)] = value
+        else:
+            cur[leaf] = value
+
+    def clone(self) -> "Configuration":
+        return Configuration(json.loads(json.dumps(self.data)))
+
+
 @dataclass
 class JobConfig:
     """Parsed DataX job JSON."""

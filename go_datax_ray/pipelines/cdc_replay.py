@@ -170,7 +170,9 @@ def _exchange_and_merge(ds, cfg: ReplayConfig, man: Manifest, epoch: int,
     if cfg.exchange == "delta":
         delta_dir = os.path.join(cfg.lake_dir, "_delta", f"epoch-{epoch:06d}")
         shutil.rmtree(delta_dir, ignore_errors=True)  # idempotent epoch restart
-        ds.write_parquet(delta_dir, partition_cols=["part_id"])
+        # lz4 for intra-epoch delta temporaries: measured fastest
+        # encode+decode of the codecs available (they live minutes)
+        ds.write_parquet(delta_dir, partition_cols=["part_id"], compression="lz4")
         pids = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(delta_dir)
@@ -290,7 +292,14 @@ def replay(source: EventSource, cfg: ReplayConfig) -> ReplayResult:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        ds = ds.map_batches(lww_combine_batch, batch_format="pyarrow", zero_copy_batch=True)
+        # batch_size here also COALESCES blocks: the delta write emits one
+        # file per (block, partition), so larger blocks -> ~P fewer, larger
+        # delta files -> the merge's per-file open overhead stays bounded.
+        # 32k rows x ~4KB pages ~ 128MB blocks (the target block size).
+        ds = ds.map_batches(
+            lww_combine_batch, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=32768,
+        )
         committed = {
             int(pid): man.partition_file(int(pid)) for pid in man.partitions
         }

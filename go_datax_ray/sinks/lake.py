@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..schema import conform, evolve
-from ..stages.lww import lww_table
+from ..stages.lww import lww_sorted, lww_table
 from ..state.manifest import tmp_path
 
 # columns that belong to the engine, not the payload
@@ -113,19 +113,18 @@ def make_partition_merger(
     def merge(group: pa.Table) -> pa.Table:
         pid = int(group.column("part_id")[0].as_py())
         events = group.num_rows
-        new = lww_table(_strip_engine_cols(group))
+        new = _strip_engine_cols(group)
         old_path = committed.get(pid)
         if old_path is not None and os.path.exists(old_path):
             old = pq.read_table(old_path)
             target = evolve(old.schema, new.schema)
-            merged = lww_table(
+            merged = lww_sorted(
                 pa.concat_tables([conform(old, target), conform(new, target)])
             )
         else:
-            merged = new
+            merged = lww_sorted(new)
         if extract_missing_text:
             merged = _fill_text(merged)
-        merged = merged.sort_by("url")
         out = tmp_path(lake_dir, pid, epoch)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         pq.write_table(merged, out, compression="zstd", compression_level=1,
@@ -179,15 +178,15 @@ def make_delta_merger(
             new = new.append_column(
                 "part_id", pa.array(np.full(new.num_rows, pid), pa.int64())
             )
-            new = lww_table(new)
             old_path = committed.get(pid)
             if old_path is not None and os.path.exists(old_path):
                 old = pq.read_table(old_path)
                 t2 = evolve(old.schema, new.schema)
-                new = lww_table(pa.concat_tables([conform(old, t2), conform(new, t2)]))
+                new = lww_sorted(pa.concat_tables([conform(old, t2), conform(new, t2)]))
+            else:
+                new = lww_sorted(new)
             if extract_missing_text:
                 new = _fill_text(new)
-            new = new.sort_by("url")
             outp = tmp_path(lake_dir, pid, epoch)
             os.makedirs(os.path.dirname(outp), exist_ok=True)
             pq.write_table(new, outp, compression="zstd", compression_level=1,

@@ -48,11 +48,34 @@ def lww_table(table: pa.Table, key: str = "url") -> pa.Table:
     return table.take(pa.array(lww_indices(table, key)))
 
 
-def lww_combine_batch(batch: pa.Table) -> pa.Table:
+def lww_combine_batch(batch: pa.Table, *, min_reduction: float = 0.05) -> pa.Table:
     """Shuffle combiner: within-batch LWW. Drops superseded versions of a
     key before the all-to-all exchange, shrinking shuffle payload — the
-    'pre-aggregate inside map_batches' rule for wide html rows."""
-    return lww_table(batch)
+    'pre-aggregate inside map_batches' rule for wide html rows.
+
+    Adaptive: ``Table.take`` copies the whole (html-wide) batch, so when
+    the in-batch duplicate ratio is below ``min_reduction`` the copy costs
+    more than the shuffle bytes it saves — pass the batch through
+    untouched (the merge LWWs anyway; correctness is unaffected). Hot-key
+    streams blow past the threshold and still get combined."""
+    if batch.num_rows <= 1:
+        return batch
+    idx = lww_indices(batch)
+    if len(idx) >= batch.num_rows * (1.0 - min_reduction):
+        return batch
+    return batch.take(pa.array(idx))
+
+
+def lww_sorted(table: pa.Table, key: str = "url") -> pa.Table:
+    """LWW winners, sorted by key, with ONE payload copy: compose the
+    winner selection and the key sort on indices before a single take
+    (the html payload is the expensive thing to move)."""
+    if table.num_rows <= 1:
+        return table
+    idx = lww_indices(table, key)
+    keys = table.column(key).take(pa.array(idx))
+    order = pc.sort_indices(keys)
+    return table.take(pa.array(idx[order.to_numpy()]))
 
 
 def dedup_events(ds, *, key: str = "url", combine_first: bool = True):
