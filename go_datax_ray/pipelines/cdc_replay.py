@@ -253,13 +253,36 @@ def _exchange_and_merge(ds, cfg: ReplayConfig, man: Manifest, epoch: int,
 def replay(source: EventSource, cfg: ReplayConfig) -> ReplayResult:
     """Run the CDC replay from the source's current extent into the lake,
     resuming after the committed watermark. Exactly-once: re-running with
-    the same source is a no-op past the watermark."""
+    the same source is a no-op past the watermark. Holds an exclusive
+    writer lock on the lake — two concurrent replays would race the
+    manifest, so the second fails fast (flock is released by the OS even
+    on crash, so a dead writer never wedges the lake)."""
+    import fcntl
+    import os as _os
+
     metrics = None
     if cfg.use_metrics:
         from ..state.metrics import get_metrics_actor
 
         metrics = get_metrics_actor()
 
+    _os.makedirs(cfg.lake_dir, exist_ok=True)
+    lock_f = open(_os.path.join(cfg.lake_dir, "_writer.lock"), "w")
+    try:
+        fcntl.flock(lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except BlockingIOError as e:
+        lock_f.close()
+        raise RuntimeError(
+            f"another replay holds the writer lock on {cfg.lake_dir}"
+        ) from e
+    try:
+        return _replay_locked(source, cfg, metrics)
+    finally:
+        fcntl.flock(lock_f, fcntl.LOCK_UN)
+        lock_f.close()
+
+
+def _replay_locked(source: EventSource, cfg: ReplayConfig, metrics) -> ReplayResult:
     man = Manifest.load(cfg.lake_dir)
     if man.num_partitions and man.num_partitions != cfg.num_partitions:
         raise ValueError(

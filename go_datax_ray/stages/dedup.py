@@ -109,9 +109,41 @@ class MinHasher:
         idx = np.arange(num_perm, dtype=np.uint64)
         self.a = (splitmix64(idx + np.uint64(seed * 1315423911)) % (_MERSENNE - np.uint64(1))) + np.uint64(1)
         self.b = splitmix64(idx + np.uint64(seed * 2654435761 + 7)) % _MERSENNE
+        # per-actor word-hash cache: word hashing is the per-doc hot loop
+        # and vocabularies repeat heavily across documents
+        self._word_cache: dict[str, int] = {}
+        self._shingle_mix = splitmix64(np.arange(k, dtype=np.uint64) + np.uint64(0xABCD))
+
+    def _shingle_hashes_fast(self, text: str) -> np.ndarray:
+        """Vectorised shingle hashing: cached per-word crc32, k-gram
+        combination via a splitmix of weighted word hashes. Hash SPACE
+        differs from the md5 verifier's — irrelevant: signatures only
+        drive candidate generation; verification recomputes true Jaccard."""
+        import zlib
+
+        words = _WORD_RE.findall(text.lower())
+        if not words:
+            return np.zeros(0, dtype=np.uint64)
+        wc = self._word_cache
+        crc = zlib.crc32
+        wh = np.fromiter(
+            (wc.get(w) or wc.setdefault(w, crc(w.encode()) + 1) for w in words),
+            dtype=np.uint64,
+            count=len(words),
+        )
+        k = self.k
+        if len(wh) < k:
+            win = wh[None, :].copy()
+            mix = self._shingle_mix[: win.shape[1]]
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(wh, k)
+            mix = self._shingle_mix
+        with np.errstate(over="ignore"):
+            combined = (win * mix[None, :]).sum(axis=1, dtype=np.uint64)
+        return np.unique(splitmix64(combined))
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
+        sh = self._shingle_hashes_fast(text)
         if len(sh) == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -122,18 +154,22 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Emit LSH rows: (id, band, band_hash) — bands*rows per doc, id +
         two int64s only; the text stays out of the shuffle."""
-        ids = batch.column(self.id_col).to_pylist()
+        ids = batch.column(self.id_col).to_numpy()
         texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
         r = self.num_perm // self.bands
-        out_id, out_band, out_bh = [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.signature(t or "")
-            for bnd in range(self.bands):
-                chunk = sig[bnd * r : (bnd + 1) * r]
-                bh = int.from_bytes(hashlib.md5(chunk.tobytes()).digest()[:8], "little")
-                out_id.append(i)
-                out_band.append(bnd)
-                out_bh.append(bh - (1 << 63))
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = self.signature(t or "")
+        # band hash: mix the r signature values of each band, vectorised
+        # over (docs x bands)
+        chunks = sigs.reshape(n, self.bands, r)
+        weights = splitmix64(np.arange(r, dtype=np.uint64) + np.uint64(0x5151))
+        with np.errstate(over="ignore"):
+            bh = splitmix64((chunks * weights[None, None, :]).sum(axis=2, dtype=np.uint64))
+        out_id = np.repeat(ids, self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int64), n)
+        out_bh = bh.reshape(-1).view(np.int64)
         return pa.table(
             {
                 self.id_col: pa.array(out_id, pa.int64()),

@@ -226,6 +226,44 @@ def test_lineage_and_manifest(tmp_path):
             assert ent["events"] >= 0 and "file" in ent
 
 
+def test_stale_tmp_and_delta_garbage_ignored(tmp_path, oracle):
+    """Crash debris — stale _tmp files, leftover _delta dirs, an alien file
+    in a partition dir — must be invisible (manifest decides visibility)
+    and must not corrupt a subsequent resume."""
+    lake = str(tmp_path / "lake")
+    _run(tmp_path / "lake", n_events=int(N_EVENTS * 0.5), epoch_size=900)
+    # plant garbage: a fake tmp file, a stale delta dir, an orphan parquet
+    os.makedirs(f"{lake}/_tmp", exist_ok=True)
+    with open(f"{lake}/_tmp/part-00099-epoch-999999.parquet", "wb") as f:
+        f.write(b"garbage")
+    os.makedirs(f"{lake}/_delta/epoch-000000/part_id=3", exist_ok=True)
+    with open(f"{lake}/_delta/epoch-000000/part_id=3/x.parquet", "wb") as f:
+        f.write(b"junk")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"url": ["alien"], "lsn": [999999]}), f"{lake}/part-00000/alien.parquet"
+    )
+    _run(tmp_path / "lake", n_events=N_EVENTS, epoch_size=900)  # resume
+    _assert_matches_oracle(tmp_path / "lake", oracle)  # alien rows invisible
+
+
+def test_concurrent_writer_lock(tmp_path):
+    """Second replay into a locked lake fails fast instead of racing."""
+    import fcntl
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    holder = open(lake / "_writer.lock", "w")
+    fcntl.flock(holder, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    with pytest.raises(RuntimeError, match="writer lock"):
+        _run(lake, n_events=100)
+    fcntl.flock(holder, fcntl.LOCK_UN)
+    holder.close()
+    res = _run(lake, n_events=500)  # released -> proceeds
+    assert res.events == 500
+
+
 def test_read_lake_streaming_matches_table(tmp_path):
     lake = str(tmp_path / "lake")
     _run(tmp_path / "lake")
