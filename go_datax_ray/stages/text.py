@@ -69,21 +69,28 @@ class QualityScore:
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.all_stops = set().union(*_STOPWORDS.values())
+        # one alternation regex, compiled once per actor; \b bounds make
+        # str.count equal to per-word membership counting
+        self.stops_re = re.compile(
+            r"\b(?:" + "|".join(sorted(self.all_stops, key=len, reverse=True)) + r")\b"
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorised (pandas str.count = C regex): no python per-doc
+        # loops in this stage
         s = batch[self.text_col].fillna("")
+        low = s.str.lower()
         n_chars = s.str.len()
-        words = s.str.lower().map(_WORD_RE.findall)
-        n_words = words.str.len()
-        punct = s.map(lambda t: len(_PUNCT_RE.findall(t)))
-        stops = words.map(lambda ws: sum(w in self.all_stops for w in ws))
-        mean_wl = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
-        alpha = s.map(lambda t: sum(c.isalpha() for c in t))
+        n_words = low.str.count(r"\w+")
+        word_chars = low.str.count(r"\w")
+        punct = s.str.count(r"[^\w\s]")
+        stops = low.str.count(self.stops_re)
+        alpha = s.str.count(r"[^\W\d_]")  # unicode letters
         nc = n_chars.clip(lower=1)
         nw = n_words.clip(lower=1)
         batch["punct_ratio"] = (punct / nc).astype("float64")
         batch["stopword_ratio"] = (stops / nw).astype("float64")
-        batch["mean_word_len"] = mean_wl.astype("float64")
+        batch["mean_word_len"] = (word_chars / nw).where(n_words > 0, 0.0).astype("float64")
         batch["alpha_ratio"] = (alpha / nc).astype("float64")
         # 0..1 composite: long-enough, alpha-dominant, sane word lengths
         length_term = np.minimum(n_words / 100.0, 1.0)
