@@ -386,6 +386,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vals = sorted(ds.unique("event_type"))
         return pa.table({"event_type": pa.array(vals, pa.string())})
 
+    # -- joins / lookups ---------------------------------------------------
+    def q_broadcast_join(sf_dir: str):
+        import pyarrow.parquet as pq
+
+        from go_datax_ray.stages.joins import broadcast_join
+
+        rd = rd_lazy()
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+        cust = (
+            pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+            .rename_columns(["o_custkey", "c_mktsegment"])
+        )
+        out = broadcast_join(orders, cust, on="o_custkey")
+        return out.map_batches(
+            lambda t: t.select(["o_orderkey", "c_mktsegment"]), batch_format="pyarrow"
+        )
+
+    def q_bucket_hash_join(sf_dir: str):
+        from go_datax_ray.stages.joins import bucket_hash_join
+
+        rd = rd_lazy()
+        li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"])
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+        ).map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "o_orderstatus"]), batch_format="pyarrow"
+        )
+        out = bucket_hash_join(li, orders, on="l_orderkey", n_buckets=16)
+        return out.map_batches(
+            lambda t: t.select(["l_orderkey", "l_linenumber", "o_orderstatus"]),
+            batch_format="pyarrow",
+        )
+
+    def q_semi_join(sf_dir: str):
+        import pyarrow.parquet as pq
+
+        from go_datax_ray.stages.joins import semi_join
+
+        rd = rd_lazy()
+        rich = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+        keys = rich.filter(pc.greater(rich.column("c_acctbal"), pa.scalar(5000.0))).column(
+            "c_custkey"
+        ).to_pylist()
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+        return semi_join(ev, keys, on="user_id")
+
+    def q_anti_join(sf_dir: str):
+        import pyarrow.parquet as pq
+
+        from go_datax_ray.stages.joins import semi_join
+
+        rd = rd_lazy()
+        rich = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+        keys = rich.filter(pc.greater(rich.column("c_acctbal"), pa.scalar(5000.0))).column(
+            "c_custkey"
+        ).to_pylist()
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+        return semi_join(ev, keys, on="user_id", anti=True)
+
+    def q_partial_agg_revenue(sf_dir: str):
+        from go_datax_ray.stages.joins import partial_agg_sum
+
+        rd = rd_lazy()
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_extendedprice", "l_discount"],
+        )
+
+        def cents(t: pa.Table):
+            rev = pc.multiply(
+                t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+            )
+            # DuckDB ROUND is half-away-from-zero; Arrow defaults to
+            # half-to-even — match explicitly (values are positive)
+            rounded = pc.round(
+                pc.multiply(rev, pa.scalar(100.0)),
+                options=pc.RoundOptions(round_mode="half_towards_infinity"),
+            )
+            return pc.cast(rounded, pa.int64())
+
+        return partial_agg_sum(li, key="l_returnflag", value_expr=cents, out_col="revenue_cents")
+
     # -- multimodal plumbing (stubbed codecs, real Ray stages) ------------
     def q_media_features(sf_dir: str):
         from go_datax_ray.stages.multimodal import ImageFeatures, make_media_table
@@ -428,6 +510,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": q_topk_orders,
         "distinct_event_types": q_distinct_event_types,
         "media_features": q_media_features,
+        "broadcast_join": q_broadcast_join,
+        "bucket_hash_join": q_bucket_hash_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "partial_agg_revenue": q_partial_agg_revenue,
     }
 
 
@@ -562,6 +649,28 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "broadcast_join": """
+            SELECT o_orderkey, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "bucket_hash_join": """
+            SELECT l_orderkey, l_linenumber, o_orderstatus
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "semi_join": """
+            SELECT event_id, user_id FROM events
+            WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        """,
+        "anti_join": """
+            SELECT event_id, user_id FROM events
+            WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        """,
+        "partial_agg_revenue": """
+            SELECT l_returnflag,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                     AS revenue_cents
+            FROM lineitem GROUP BY l_returnflag
+        """,
         # minhash_dedup / simhash / embedding_neardup / quality_score /
         # lang_id / media_features are not SQL-expressible (sketches,
         # heuristics, stubbed codecs) -> rows-only checks.

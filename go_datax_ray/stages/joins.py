@@ -1,0 +1,139 @@
+"""Join operators: broadcast (small side) and bucketed hash (both large).
+
+The reference has NO joins (SURVEY.md §2.7); these are the lookup/join
+patterns a lake engine needs, expressed per the Ray Data playbook:
+
+* broadcast_join — the small side is ``ray.put`` ONCE and fetched per
+  actor in ``__init__`` (never re-shipped per batch); the probe is a
+  vectorised pandas merge per batch. No shuffle. Use for dimension
+  tables, vocabularies, blocklists.
+* bucket_hash_join — both sides get ``bucket = hash(key) % B`` and are
+  co-grouped with one multi-key groupby; each group joins its bucket
+  pair. An explicit partitioned hash join; B sizes per-task memory.
+  Skewed keys: salt the hot side's bucket and replicate the other side
+  across salts (not implemented here — document when needed).
+* semi_join / anti_join — broadcast the key set, filter inside
+  map_batches (no shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..hashing import crc32_array
+
+
+class _BroadcastProbe:
+    def __init__(self, small_ref, on: str, how: str, suffix: str):
+        self.small = ray.get(small_ref)  # once per actor
+        self.on, self.how, self.suffix = on, how, suffix
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small, on=self.on, how=self.how, suffixes=("", self.suffix))
+
+
+def broadcast_join(ds, small: pd.DataFrame | pa.Table, *, on: str,
+                   how: Literal["inner", "left"] = "inner", suffix: str = "_r"):
+    """Join a Dataset against a small in-memory table (broadcast)."""
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
+    ref = ray.put(small)
+    return ds.map_batches(
+        _BroadcastProbe,
+        fn_constructor_args=(ref, on, how, suffix),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
+def semi_join(ds, keys, *, on: str, anti: bool = False):
+    """Keep rows whose key is (not) in the broadcast key set."""
+    key_arr = pa.array(sorted(set(keys)))
+    ref = ray.put(key_arr)
+
+    def flt(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column(on), value_set=ray.get(ref))
+        if anti:
+            mask = pc.invert(mask)
+        return t.filter(pc.fill_null(mask, anti))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _add_bucket(t: pa.Table, key: str, n_buckets: int, side: str) -> pa.Table:
+    col = t.column(key)
+    if pa.types.is_integer(col.type):
+        h = col.cast(pa.int64()).to_numpy() % n_buckets
+    else:
+        h = crc32_array(col) % np.uint64(n_buckets)
+    t = t.append_column("_bucket", pa.array(h.astype(np.int64), pa.int64()))
+    return t.append_column("_side", pa.array([side] * t.num_rows, pa.string()))
+
+
+def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
+                     how: Literal["inner", "left"] = "inner", suffix: str = "_r"):
+    """Partitioned hash join of two Datasets on ``on``.
+
+    Both sides are union'd with a bucket tag, one groupby("_bucket")
+    co-locates matching buckets, and each group does a pandas merge of
+    its left/right halves. Schemas may differ (missing columns
+    null-filled by the union)."""
+
+    from ..schema import conform
+
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    # union schema: left columns then right-only columns (join key shared)
+    fields = {f.name: f.type for f in l_schema}
+    for f in r_schema:
+        if f.name in fields and f.name != on and fields[f.name] != f.type:
+            raise TypeError(f"column {f.name!r} type conflict across join sides")
+        fields.setdefault(f.name, f.type)
+    union_schema = pa.schema([pa.field(n, t) for n, t in fields.items()])
+
+    def prep(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return _add_bucket(conform(t, union_schema), on, n_buckets, side)
+
+        return fn
+
+    both = left.map_batches(prep("l"), batch_format="pyarrow").union(
+        right.map_batches(prep("r"), batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "l"][l_names]
+        rg = g[g["_side"] == "r"][r_names]
+        if lg.empty:
+            return lg
+        if rg.empty:
+            return lg if how == "left" else lg.iloc[0:0]
+        return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def partial_agg_sum(ds, *, key: str, value_expr, out_col: str):
+    """The pre-aggregation (combiner) pattern: per-batch partial sums per
+    key inside map_batches, then a tiny groupby over the partials —
+    the shuffle carries one row per (key, batch) instead of every row."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = value_expr(t)
+        df = pd.DataFrame({key: t.column(key).to_pandas(), "_v": vals.to_pandas()})
+        agg = df.groupby(key, as_index=False)["_v"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(key).aggregate(Sum("_v", alias_name=out_col))
+    return out

@@ -1,0 +1,86 @@
+"""Broadcast / bucketed hash / semi / anti joins + partial aggregation."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_broadcast_join_matches_sql():
+    from go_datax_ray.stages.joins import broadcast_join
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    got = broadcast_join(orders, cust, on="o_custkey").to_pandas()
+    want = duckdb.sql(
+        f"""SELECT o_orderkey, c_mktsegment FROM '{SF}/orders.parquet'
+            JOIN '{SF}/customer.parquet' ON o_custkey = c_custkey"""
+    ).df()
+    assert len(got) == len(want)
+    g = got.sort_values("o_orderkey").reset_index(drop=True)
+    w = want.sort_values("o_orderkey").reset_index(drop=True)
+    assert (g["c_mktsegment"] == w["c_mktsegment"]).all()
+
+
+def test_broadcast_left_join_keeps_unmatched():
+    from go_datax_ray.stages.joins import broadcast_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3], "a": ["x", "y", "z"]}))
+    small = pd.DataFrame({"k": [1, 3], "b": ["B1", "B3"]})
+    out = broadcast_join(left, small, on="k", how="left").to_pandas().sort_values("k")
+    assert out["b"].isna().tolist() == [False, True, False]
+
+
+def test_bucket_hash_join_inner_and_left():
+    from go_datax_ray.stages.joins import bucket_hash_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3, 4], "a": ["w", "x", "y", "z"]}))
+    right = rd.from_arrow(pa.table({"k": [2, 4, 5], "b": ["B2", "B4", "B5"]}))
+    inner = bucket_hash_join(left, right, on="k", n_buckets=4).to_pandas().sort_values("k")
+    assert inner["k"].tolist() == [2, 4]
+    assert inner["b"].tolist() == ["B2", "B4"]
+    lj = bucket_hash_join(left, right, on="k", n_buckets=4, how="left").to_pandas().sort_values("k")
+    assert lj["k"].tolist() == [1, 2, 3, 4]
+    assert lj["b"].isna().tolist() == [True, False, True, False]
+
+
+def test_bucket_hash_join_string_key_duplicates():
+    from go_datax_ray.stages.joins import bucket_hash_join
+
+    left = rd.from_arrow(pa.table({"k": ["a", "a", "b"], "n": [1, 2, 3]}))
+    right = rd.from_arrow(pa.table({"k": ["a", "b", "b"], "m": [10, 20, 30]}))
+    out = bucket_hash_join(left, right, on="k", n_buckets=3).to_pandas()
+    # cross product within key groups: a:2x1 + b:1x2 = 4 rows
+    assert len(out) == 4
+
+
+def test_semi_anti_partition():
+    from go_datax_ray.stages.joins import semi_join
+
+    ds = rd.from_arrow(pa.table({"k": [1, 2, 3, 4, 5]}))
+    s = semi_join(ds, [2, 4], on="k").to_pandas()["k"].tolist()
+    a = semi_join(ds, [2, 4], on="k", anti=True).to_pandas()["k"].tolist()
+    assert sorted(s) == [2, 4] and sorted(a) == [1, 3, 5]
+
+
+def test_partial_agg_matches_full():
+    from go_datax_ray.stages.joins import partial_agg_sum
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    out = partial_agg_sum(
+        ds, key="l_returnflag",
+        value_expr=lambda t: pc.cast(t.column("l_quantity"), pa.int64()),
+        out_col="sum_qty",
+    ).to_pandas().sort_values("l_returnflag")
+    want = duckdb.sql(
+        f"""SELECT l_returnflag, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+            FROM '{SF}/lineitem.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert out["sum_qty"].tolist() == want["sum_qty"].tolist()
