@@ -386,6 +386,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vals = sorted(ds.unique("event_type"))
         return pa.table({"event_type": pa.array(vals, pa.string())})
 
+    def q_ann_ivf(sf_dir: str):
+        """IVF (k-means cells + probes) approximate top-k; rows-only check
+        (clustering is not SQL-expressible). Self-hit asserted in tests."""
+        from go_datax_ray.stages.ann import ivf_topk
+
+        rd = rd_lazy()
+        import pyarrow.parquet as pq
+
+        qt = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
+        queries_mat = np.asarray(
+            qt.column("embedding").to_pylist()[:ANN_NUM_QUERIES], dtype=np.float64
+        )
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return ivf_topk(ds, queries_mat, k=ANN_K, n_clusters=16, n_probes=4)
+
     # -- joins / lookups ---------------------------------------------------
     def q_broadcast_join(sf_dir: str):
         import pyarrow.parquet as pq
@@ -504,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "groupby_events": q_groupby_events,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,

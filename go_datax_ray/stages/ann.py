@@ -76,6 +76,118 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
     return cands.groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
 
 
+def kmeans_fit(ds, *, n_clusters: int = 16, n_iters: int = 3, seed: int = 42,
+               vec_col: str = "embedding") -> np.ndarray:
+    """Distributed Lloyd's k-means over the embedding column.
+
+    Each iteration is ONE pass: map_batches computes per-batch partial
+    (sum, count) per cluster against the broadcast centroids; the driver
+    reduces the tiny partials and updates centroids. Centroid init is a
+    seeded deterministic draw. Vectors are L2-normalised (spherical
+    k-means — cosine geometry, matching the search metric)."""
+    # deterministic init: first batch's rows hashed by seed
+    first = next(iter(ds.iter_batches(batch_size=max(n_clusters * 8, 256), batch_format="pyarrow")))
+    mat = _normalize(_to_matrix(first.column(vec_col)))
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+
+    for _ in range(n_iters):
+        cref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _normalize(_to_matrix(batch.column(vec_col)))
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=c.shape[0])
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(c.shape[0]), pa.int64()),
+                    "sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                    "count": pa.array(counts, pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).take_all()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(centroids.shape[0], dtype=np.int64)
+        for row in parts:
+            sums[row["cluster"]] += np.asarray(row["sum"])
+            counts[row["cluster"]] += row["count"]
+        nz = counts > 0
+        centroids[nz] = _normalize(sums[nz] / counts[nz, None])
+    return centroids
+
+
+def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_clusters: int = 16,
+             n_probes: int = 4, seed: int = 42, centroids: np.ndarray | None = None,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+    """IVF approximate top-k: assign the corpus to k-means cells, search
+    only each query's ``n_probes`` nearest cells. The scale path: touches
+    ~n_probes/n_clusters of the corpus per query; centroids are fit once
+    (kmeans_fit) and reusable across query batches."""
+    if centroids is None:
+        centroids = kmeans_fit(ds, n_clusters=n_clusters, seed=seed, vec_col=vec_col)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    # each query's probe cells
+    probe_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probes]
+    wanted = pa.array(sorted(set(probe_cells.ravel().tolist())), pa.int64())
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_to_matrix(batch.column(vec_col)))
+        cell = np.argmax(m @ c.T, axis=1)
+        out = pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cell": pa.array(cell.astype(np.int64), pa.int64()),
+                "vec": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        return out.filter(pa.compute.is_in(out.column("cell"), value_set=wanted))
+
+    pruned = ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+    qref = ray.put(q)
+
+    class CellTopK(BatchTopK):
+        def __init__(self, queries_ref, k, id_col, probe_cells):
+            super().__init__(queries_ref, k, "vec", id_col)
+            self.probe_cells = probe_cells
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            cells = dict(
+                zip(batch.column(self.id_col).to_pylist(), batch.column("cell").to_pylist())
+            )
+            keep = [
+                cells[v] in self.probe_cells[qi]
+                for qi, v in zip(
+                    out.column("query_id").to_pylist(), out.column(self.id_col).to_pylist()
+                )
+            ]
+            return out.filter(pa.array(keep))
+
+    probe_sets = [set(row.tolist()) for row in probe_cells]
+    cands = pruned.map_batches(
+        CellTopK,
+        fn_constructor_args=(qref, k, id_col, probe_sets),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def reduce_topk(g: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            g, sort_keys=[("cosine", "descending"), (id_col, "ascending")]
+        )
+        out = g.take(idx[:k])
+        return out.append_column("rank", pa.array(np.arange(1, out.num_rows + 1), pa.int64()))
+
+    return cands.groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
+
+
 def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, n_planes: int = 8, seed: int = 42,
              vec_col: str = "embedding", id_col: str = "vec_id", probes: int = 4) -> pa.Table:
     """Approximate top-k: bucket the corpus by hyperplane signs, search the

@@ -223,3 +223,27 @@ def test_embedding_neardup_and_ann():
     got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
     assert (0, 10_000) in got
     assert (pairs["cosine"] >= 0.999 - 1e-9).all()
+
+
+def test_ivf_topk_recall():
+    from go_datax_ray.stages.ann import brute_force_topk, ivf_topk, kmeans_fit
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    tbl = emb.to_pandas()
+    mat = np.asarray(tbl["embedding"].tolist(), dtype=np.float64)
+    queries = mat[:5]
+    cents = kmeans_fit(emb, n_clusters=8, seed=7)
+    assert cents.shape[1] == mat.shape[1]
+    exact = brute_force_topk(emb, queries, k=5).to_pandas()
+    approx = ivf_topk(emb, queries, k=5, n_clusters=8, n_probes=4, centroids=cents).to_pandas()
+    # self is always found; recall vs exact >= 60% with half the cells probed
+    hits = 0
+    for qi in range(5):
+        a = approx[approx["query_id"] == qi].sort_values("rank")
+        assert a.iloc[0]["vec_id"] == qi
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        hits += len(e & set(a["vec_id"]))
+    assert hits / 25 >= 0.6
+    # determinism: same seed -> same centroids
+    cents2 = kmeans_fit(emb, n_clusters=8, seed=7)
+    assert np.allclose(cents, cents2)
