@@ -234,13 +234,18 @@ def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: b
     if not files:
         schema = schema_from_json(man.schema_json) if man.schema_json else pa.schema([])
         return rd.from_arrow(schema.empty_table())
-    ds = rd.read_parquet(files, columns=columns)
+    read_cols = columns
+    drop_op = False
+    if final_state and columns is not None and "op" not in columns:
+        read_cols = list(columns) + ["op"]  # needed for the tombstone filter
+        drop_op = True
+    ds = rd.read_parquet(files, columns=read_cols)
     if final_state:
-        ds = ds.map_batches(
-            lambda t: t.filter(pa.compute.not_equal(t.column("op"), pa.scalar("D"))),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        def _final(t: pa.Table) -> pa.Table:
+            t = t.filter(pa.compute.not_equal(t.column("op"), pa.scalar("D")))
+            return t.drop_columns(["op"]) if drop_op else t
+
+        ds = ds.map_batches(_final, batch_format="pyarrow", zero_copy_batch=True)
     return ds
 
 

@@ -270,3 +270,7 @@ def test_read_lake_streaming_matches_table(tmp_path):
     ds = read_lake(lake)
     t = read_lake_table(lake)
     assert ds.count() == t.num_rows
+    # column pruning without 'op' still tombstone-filters (and drops op)
+    pruned = read_lake(lake, columns=["url", "lsn"])
+    assert pruned.count() == t.num_rows
+    assert [f.name for f in pruned.schema().base_schema] == ["url", "lsn"]
