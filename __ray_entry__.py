@@ -321,15 +321,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ray.data.aggregate import Count, Sum
 
         ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
-        out = ds.groupby("event_type").aggregate(
-            Count(alias_name="n"), Sum("value", alias_name="sum_value_raw")
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = pc.cast(
+                pc.round(pc.multiply(t.column("value"), pa.scalar(100.0)),
+                         options=pc.RoundOptions(round_mode="half_towards_infinity")),
+                pa.int64(),
+            )
+            return t.append_column("_cents", c)
+
+        out = ds.map_batches(cents, batch_format="pyarrow").groupby("event_type").aggregate(
+            Count(alias_name="n"), Sum("_cents", alias_name="sum_value_cents")
         )
-        return out.map_batches(
-            lambda t: t.append_column(
-                "sum_value", pc.round(t.column("sum_value_raw"), 3)
-            ).drop_columns(["sum_value_raw"]),
-            batch_format="pyarrow",
-        )
+        return out
 
     # -- similarity search -------------------------------------------------
     def q_ann_topk(sf_dir: str):
@@ -619,7 +623,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "groupby_events": """
             SELECT event_type, COUNT(*) AS n,
-                   ROUND(SUM(value), 3) AS sum_value
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
             FROM events GROUP BY event_type
         """,
         "ann_topk": f"""
@@ -634,14 +638,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "window_tumbling": """
             SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
-                   COUNT(*) AS n, ROUND(SUM(value), 3) AS sum_value
+                   COUNT(*) AS n, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
         "window_sliding": """
             SELECT user_id,
                    time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
                      AS window_start,
-                   COUNT(*) AS n, ROUND(SUM(value), 3) AS sum_value
+                   COUNT(*) AS n, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
             FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
             GROUP BY 1, 2
         """,
@@ -657,7 +661,7 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-                   COUNT(*) AS n, ROUND(SUM(value), 3) AS sum_value
+                   COUNT(*) AS n, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
             FROM s GROUP BY user_id, sess
         """,
         "topk_orders": """

@@ -27,22 +27,30 @@ def add_tumbling_window(batch: pa.Table, *, ts_col: str = "ts", size_s: int = 36
     return batch.append_column(out_col, start.cast(pa.timestamp("us")))
 
 
+def _to_cents(t: pa.Table, value_col: str) -> pa.Table:
+    """value -> exact integer cents BEFORE aggregation: per-row rounding is
+    bit-stable across engines, so sums (and the driver's value hash) are
+    exact regardless of summation order — unlike ROUND(SUM(double))."""
+    cents = pc.cast(
+        pc.round(pc.multiply(t.column(value_col), pa.scalar(100.0)),
+                 options=pc.RoundOptions(round_mode="half_towards_infinity")),
+        pa.int64(),
+    )
+    return t.append_column("_cents", cents)
+
+
 def tumbling_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: int = 3600,
                        value_col: str = "value"):
-    """Tumbling-window count + sum per (key, window)."""
+    """Tumbling-window count + sum (exact cents) per (key, window)."""
     from ray.data.aggregate import Count, Sum
 
     ds = ds.map_batches(
         add_tumbling_window, fn_kwargs={"ts_col": ts_col, "size_s": size_s},
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    out = ds.groupby([key, "window_start"]).aggregate(
-        Count(alias_name="n"), Sum(value_col, alias_name="sum_value_raw")
-    )
-    return out.map_batches(
-        lambda t: t.append_column("sum_value", pc.round(t.column("sum_value_raw"), 3))
-        .drop_columns(["sum_value_raw"]),
-        batch_format="pyarrow",
+    ds = ds.map_batches(_to_cents, fn_kwargs={"value_col": value_col}, batch_format="pyarrow")
+    return ds.groupby([key, "window_start"]).aggregate(
+        Count(alias_name="n"), Sum("_cents", alias_name="sum_value_cents")
     )
 
 
@@ -70,13 +78,9 @@ def sliding_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: i
         sliding_explode, fn_kwargs={"ts_col": ts_col, "size_s": size_s, "slide_s": slide_s},
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    out = ds.groupby([key, "window_start"]).aggregate(
-        Count(alias_name="n"), Sum(value_col, alias_name="sum_value_raw")
-    )
-    return out.map_batches(
-        lambda t: t.append_column("sum_value", pc.round(t.column("sum_value_raw"), 3))
-        .drop_columns(["sum_value_raw"]),
-        batch_format="pyarrow",
+    ds = ds.map_batches(_to_cents, fn_kwargs={"value_col": value_col}, batch_format="pyarrow")
+    return ds.groupby([key, "window_start"]).aggregate(
+        Count(alias_name="n"), Sum("_cents", alias_name="sum_value_cents")
     )
 
 
@@ -94,15 +98,19 @@ def session_windows(ds, *, key: str = "user_id", ts_col: str = "ts", gap_s: int 
         new_sess = np.ones(len(ts), dtype=bool)
         new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
         sess_id = np.cumsum(new_sess) - 1
-        g = g.assign(_sess=sess_id)
+        g = g.assign(
+            _sess=sess_id,
+            _cents=(g[value_col] * 100).round().astype("int64"),
+        )
         agg = g.groupby("_sess").agg(
             session_start=(ts_col, "min"),
             session_end=(ts_col, "max"),
             n=(ts_col, "size"),
-            sum_value=(value_col, "sum"),
+            sum_value_cents=("_cents", "sum"),
         )
-        agg["sum_value"] = agg["sum_value"].round(3)
         agg[key] = g[key].iloc[0]
-        return agg.reset_index(drop=True)[[key, "session_start", "session_end", "n", "sum_value"]]
+        return agg.reset_index(drop=True)[
+            [key, "session_start", "session_end", "n", "sum_value_cents"]
+        ]
 
     return ds.groupby(key).map_groups(sessions, batch_format="pandas")

@@ -63,13 +63,14 @@ def test_tumbling_matches_duckdb():
     want = duckdb.sql(
         f"""
         SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
-               COUNT(*) AS n, ROUND(SUM(value), 3) AS sum_value
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
         FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2
         """
     ).df()
     assert got["n"].tolist() == want["n"].tolist()
     assert got["window_start"].tolist() == want["window_start"].tolist()
-    assert np.allclose(got["sum_value"], want["sum_value"])
+    assert got["sum_value_cents"].tolist() == want["sum_value_cents"].tolist()
 
 
 def test_sliding_covers_each_event_k_times():
