@@ -487,6 +487,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return partial_agg_sum(li, key="l_returnflag", value_expr=cents, out_col="revenue_cents")
 
+    def q_snapshot_diff(sf_dir: str):
+        """CDC bootstrap: diff two deterministic 'versions' of orders
+        (old = keys not divisible by 7; new = keys not divisible by 5,
+        price bumped where divisible by 3) -> I/U/D ops per key."""
+        from go_datax_ray.pipelines.snapshot_diff import diff_snapshots
+
+        rd = rd_lazy()
+
+        def old_side(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            return t.filter(pa.array(keys % 7 != 0))
+
+        def new_side(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            t = t.filter(pa.array(keys % 5 != 0))
+            keys = t.column("o_orderkey").to_numpy()
+            bump = pa.array(keys % 3 == 0)
+            newprice = pc.if_else(
+                bump, pc.add(t.column("o_totalprice"), pa.scalar(1.5)), t.column("o_totalprice")
+            )
+            return t.set_column(
+                t.column_names.index("o_totalprice"), "o_totalprice", newprice
+            )
+
+        cols = ["o_orderkey", "o_totalprice"]
+        old_ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols).map_batches(
+            old_side, batch_format="pyarrow"
+        )
+        new_ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols).map_batches(
+            new_side, batch_format="pyarrow"
+        )
+        out = diff_snapshots(old_ds, new_ds, key="o_orderkey", n_buckets=8)
+        return out.map_batches(
+            lambda t: t.select(["o_orderkey", "op"]), batch_format="pyarrow"
+        )
+
     # -- multimodal plumbing (stubbed codecs, real Ray stages) ------------
     def q_media_features(sf_dir: str):
         from go_datax_ray.stages.multimodal import ImageFeatures, make_media_table
@@ -535,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "partial_agg_revenue": q_partial_agg_revenue,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -691,7 +728,24 @@ def oracle_sql() -> dict[str, str]:
                      AS revenue_cents
             FROM lineitem GROUP BY l_returnflag
         """,
+        "snapshot_diff": """
+            WITH o AS (
+              SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+            ), n AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.5
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 5 <> 0
+            )
+            SELECT * FROM (
+              SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+                     CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                          WHEN n.o_orderkey IS NULL THEN 'D'
+                          WHEN o.o_totalprice <> n.o_totalprice THEN 'U' END AS op
+              FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+            ) WHERE op IS NOT NULL
+        """,
         # minhash_dedup / simhash / embedding_neardup / quality_score /
-        # lang_id / media_features are not SQL-expressible (sketches,
-        # heuristics, stubbed codecs) -> rows-only checks.
+        # lang_id / media_features / ann_ivf are not SQL-expressible
+        # (sketches, heuristics, clustering, stubbed codecs) -> rows-only.
     }
