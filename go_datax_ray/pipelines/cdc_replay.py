@@ -334,14 +334,20 @@ def _replay_locked(source: EventSource, cfg: ReplayConfig, metrics) -> ReplayRes
                 sch = evolve(sch, schema_from_json(e["schema_json"]))
             from ..sinks.lake import schema_to_json
 
-            man.commit_epoch(
-                epoch,
-                lsn_lo=lo,
-                lsn_hi=hi - 1,
-                entries=entries,
-                schema_json=schema_to_json(sch),
-                wall_s=wall,
-            )
+            schema_json = schema_to_json(sch)
+        else:
+            # an epoch whose events were all filtered/absent still COMMITS
+            # (with no partition entries) so the watermark advances — else a
+            # tail/rerun would reprocess the empty range forever
+            schema_json = man.schema_json or ""
+        man.commit_epoch(
+            epoch,
+            lsn_lo=lo,
+            lsn_hi=hi - 1,
+            entries=entries,
+            schema_json=schema_json,
+            wall_s=wall,
+        )
         # events consumed from the WAL this epoch = the offset span advanced;
         # per-partition entry counts are post-combiner applied rows.
         n_events = hi - lo

@@ -248,6 +248,25 @@ def test_stale_tmp_and_delta_garbage_ignored(tmp_path, oracle):
     _assert_matches_oracle(tmp_path / "lake", oracle)  # alien rows invisible
 
 
+def test_empty_epoch_advances_watermark(tmp_path):
+    """An epoch whose events are all filtered still commits (watermark
+    advances) — a tailing rerun must not reprocess the empty range."""
+    import pyarrow.compute as pc_
+
+    lake = str(tmp_path / "lake")
+    cfg = ReplayConfig(
+        lake_dir=lake,
+        num_partitions=4,
+        transform=lambda t: t.filter(pc_.less(t.column("lsn"), pa.scalar(0))),  # drop all
+    )
+    res = replay(SynthEventSource(1000, CFG), cfg)
+    assert res.events == 1000
+    man = Manifest.load(lake)
+    assert man.watermark_lsn == 999  # advanced despite zero applied rows
+    res2 = replay(SynthEventSource(1000, CFG), cfg)
+    assert res2.events == 0 and res2.epochs == 0  # no reprocessing
+
+
 def test_concurrent_writer_lock(tmp_path):
     """Second replay into a locked lake fails fast instead of racing."""
     import fcntl
