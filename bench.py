@@ -215,22 +215,48 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    cal8, cal32 = _calibrate(8), _calibrate(32)
-    hw_eff = (cal32 / cal8) / (32 / 8)
-    lo, hi = run(8), run(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    # host contention fluctuates, moving BOTH the engine numbers and the
+    # pure-CPU ceiling between minutes — interleave calibration with each
+    # measurement and report the median of 3 trials
+    import statistics
+
+    trials = []
+    for _ in range(3):
+        cal8 = _calibrate(8)
+        lo = run(8)
+        cal32 = _calibrate(32)
+        hi = run(32)
+        hw_eff = (cal32 / cal8) / (32 / 8)
+        eff = (lo["value"] / hi["value"]) / (32 / 8)
+        trials.append(
+            {
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "events_per_sec_8": lo["events_per_sec"],
+                "events_per_sec_32": hi["events_per_sec"],
+                "raw_eff": eff,
+                "hw_eff": hw_eff,
+                "norm_eff": min(eff / hw_eff, 1.0),
+                "events": hi["events"],
+            }
+        )
+    med = lambda k: statistics.median(t[k] for t in trials)  # noqa: E731
     print(
         json.dumps(
             {
                 "metric": "cdc_replay_scaling",
-                "sec_8": lo["value"],
-                "sec_32": hi["value"],
-                "events": hi["events"],
-                "events_per_sec_8": lo["events_per_sec"],
-                "events_per_sec_32": hi["events_per_sec"],
-                "scaling_efficiency": round(eff, 3),
-                "hardware_ceiling_efficiency": round(hw_eff, 3),
-                "normalized_scaling_efficiency": round(min(eff / hw_eff, 1.0), 3),
+                "sec_8": med("sec_8"),
+                "sec_32": med("sec_32"),
+                "events": trials[0]["events"],
+                "events_per_sec_8": med("events_per_sec_8"),
+                "events_per_sec_32": med("events_per_sec_32"),
+                "scaling_efficiency": round(med("raw_eff"), 3),
+                "hardware_ceiling_efficiency": round(med("hw_eff"), 3),
+                "normalized_scaling_efficiency": round(med("norm_eff"), 3),
+                "trials": [
+                    {k: round(v, 3) if isinstance(v, float) else v for k, v in t.items()}
+                    for t in trials
+                ],
                 "sf": SF_DIR,
             }
         )
