@@ -107,33 +107,31 @@ class LangId:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.cjk = re.compile(r"[一-鿿]")
-        self.kana = re.compile(r"[぀-ヿ]")
-        self.cyr = re.compile(r"[Ѐ-ӿ]")
-        self.stops = {k: v for k, v in _STOPWORDS.items() if k != "ru"}
-
-    def _guess(self, t: str) -> str:
-        if not t:
-            return "unk"
-        sample = t[:2000]
-        if self.kana.search(sample):
-            return "ja"
-        if self.cjk.search(sample):
-            return "zh"
-        if self.cyr.search(sample):
-            return "ru"
-        words = _WORD_RE.findall(sample.lower())
-        if not words:
-            return "unk"
-        best, best_score = "unk", 0
-        for lang, stops in self.stops.items():
-            score = sum(w in stops for w in words)
-            if score > best_score:
-                best, best_score = lang, score
-        return best if best_score >= 2 else ("en" if best_score > 0 and best == "en" else "unk")
+        self.kana_re = r"[぀-ヿ]"
+        self.cjk_re = r"[一-鿿]"
+        self.cyr_re = r"[Ѐ-ӿ]"
+        # one alternation per language, compiled once per actor; scores are
+        # C-regex counts over the whole column (no per-doc python)
+        self.stop_res = {
+            lang: r"\b(?:" + "|".join(sorted(stops, key=len, reverse=True)) + r")\b"
+            for lang, stops in _STOPWORDS.items()
+            if lang != "ru"
+        }
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["lang_pred"] = batch[self.text_col].fillna("").map(self._guess)
+        sample = batch[self.text_col].fillna("").str.slice(0, 2000)
+        low = sample.str.lower()
+        scores = pd.DataFrame({lang: low.str.count(rx) for lang, rx in self.stop_res.items()})
+        best = scores.idxmax(axis=1)
+        best_score = scores.max(axis=1)
+        pred = best.where(best_score >= 2, "unk")
+        pred = pred.mask((best_score == 1) & (best == "en"), "en")
+        # script detection overrides stopword voting
+        pred = pred.mask(sample.str.contains(self.cyr_re, regex=True), "ru")
+        pred = pred.mask(sample.str.contains(self.cjk_re, regex=True), "zh")
+        pred = pred.mask(sample.str.contains(self.kana_re, regex=True), "ja")
+        pred = pred.mask(sample.str.len() == 0, "unk")
+        batch["lang_pred"] = pred
         return batch
 
 
