@@ -138,6 +138,10 @@ class ReplayConfig:
     # (the realistic profile of webtext CDC ingest — events arrive as raw
     # html; byte-identity of the extractor is enforced by tests).
     extract_text: bool = False
+    # Keep superseded partition files so any committed epoch remains
+    # readable (read_lake(asof_epoch=...) time travel — the ES alias-swap
+    # analogue); GC old views later with Manifest.gc_history().
+    retain_history: bool = False
     # Optional per-batch transform (pa.Table -> pa.Table) applied after the
     # read — the dx_* transformer-chain hook (stages.transforms
     # .build_transformer_chain output plugs in here).
@@ -347,6 +351,7 @@ def _replay_locked(source: EventSource, cfg: ReplayConfig, metrics) -> ReplayRes
             entries=entries,
             schema_json=schema_json,
             wall_s=wall,
+            retain_history=cfg.retain_history,
         )
         # events consumed from the WAL this epoch = the offset span advanced;
         # per-partition entry counts are post-combiner applied rows.

@@ -221,16 +221,19 @@ def make_delta_merger(
     return merge_pids
 
 
-def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: bool = True):
+def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: bool = True,
+              asof_epoch: int | None = None):
     """Read the committed lake as a Dataset (manifest-listed files only —
     uncommitted tmp/garbage files are invisible). ``final_state`` filters
-    delete tombstones, yielding the upsert-resolved table state."""
+    delete tombstones, yielding the upsert-resolved table state.
+    ``asof_epoch`` reads the state as of an earlier committed epoch
+    (requires a lake written with retain_history=True)."""
     import ray.data as rd
 
     from ..state.manifest import Manifest
 
     man = Manifest.load(lake_dir)
-    files = man.committed_files()
+    files = man.files_asof(asof_epoch) if asof_epoch is not None else man.committed_files()
     if not files:
         schema = schema_from_json(man.schema_json) if man.schema_json else pa.schema([])
         return rd.from_arrow(schema.empty_table())

@@ -114,6 +114,7 @@ class Manifest:
         entries: list[dict[str, Any]],
         schema_json: str,
         wall_s: float,
+        retain_history: bool = False,
     ) -> bool:
         """Atomically publish one epoch. ``entries`` rows come from the merge
         stage: {pid, rows, events, max_lsn}. Returns False (no-op) if the
@@ -168,12 +169,65 @@ class Manifest:
             json.dump(commit_rec, f)
         os.replace(ctmp, cpath)
         # superseded partition files are garbage once the manifest moved on
-        for fpath in old_files:
+        # — unless history retention is on (time-travel reads via the
+        # commit records; GC them later with gc_history())
+        if not retain_history:
+            for fpath in old_files:
+                try:
+                    os.remove(fpath)
+                except OSError:
+                    pass
+        return True
+
+    # -- time travel -------------------------------------------------------
+    def files_asof(self, epoch: int) -> list[str]:
+        """Committed partition files as of ``epoch`` (inclusive),
+        reconstructed from the per-epoch lineage records. Requires the
+        lake to have been written with retain_history=True (otherwise
+        superseded files are deleted and only the latest state exists).
+        This is the engine's analogue of the elasticsearchwriter's atomic
+        alias swap (elasticsearch_writer.go:512-563): every committed
+        epoch IS a publishable alias."""
+        latest: dict[str, str] = {}
+        for rec in self.lineage():
+            if rec["epoch"] > epoch:
+                break
+            for pid, ent in rec["partitions"].items():
+                latest[pid] = ent["file"]
+        out = []
+        missing = []
+        for pid, rel in latest.items():
+            p = os.path.join(self.lake_dir, rel)
+            (out if os.path.exists(p) else missing).append(p)
+        if missing:
+            raise FileNotFoundError(
+                f"time-travel to epoch {epoch} needs {len(missing)} superseded "
+                "files that were GC'd — write the lake with retain_history=True"
+            )
+        return out
+
+    def gc_history(self, keep_epochs_after: int) -> int:
+        """Delete retained history files not referenced by the CURRENT
+        state or by the as-of view of any retained epoch (> horizon).
+        A file written long ago but still current at a retained epoch
+        survives (views are cumulative, not per-record)."""
+        needed: set[str] = {ent["file"] for ent in self.partitions.values()}
+        latest: dict[str, str] = {}
+        all_files: set[str] = set()
+        for rec in self.lineage():
+            for pid, ent in rec["partitions"].items():
+                latest[pid] = ent["file"]
+                all_files.add(ent["file"])
+            if rec["epoch"] > keep_epochs_after:
+                needed.update(latest.values())
+        removed = 0
+        for rel in all_files - needed:
             try:
-                os.remove(fpath)
+                os.remove(os.path.join(self.lake_dir, rel))
+                removed += 1
             except OSError:
                 pass
-        return True
+        return removed
 
     def lineage(self) -> list[dict[str, Any]]:
         """All commit records in epoch order (per-partition lineage log)."""
