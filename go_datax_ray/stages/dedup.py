@@ -250,6 +250,58 @@ def cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def minhash_dedup_corpus(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                         threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
+                         k: int = 3, seed: int = 42):
+    """End-to-end near-dup removal: candidates -> exact-Jaccard verify ->
+    union-find clusters -> keep each cluster's min-id representative.
+
+    Returns (deduped Dataset, stats dict). The verify step re-reads only
+    candidate docs (broadcast id-set filter), so the wide text column is
+    touched twice total: once for signatures, once for candidates."""
+    import ray
+
+    pairs_df = minhash_candidate_pairs(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
+        k=k, seed=seed,
+    ).to_pandas()
+    if len(pairs_df) == 0 or "id_a" not in pairs_df.columns:
+        # empty result datasets lose their schema
+        pairs_tbl = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    else:
+        pairs_tbl = pa.Table.from_pandas(pairs_df, preserve_index=False)
+    cand_ids = set(pairs_tbl.column("id_a").to_pylist()) | set(
+        pairs_tbl.column("id_b").to_pylist()
+    )
+    stats = {"candidate_pairs": pairs_tbl.num_rows, "candidate_docs": len(cand_ids)}
+    if not cand_ids:
+        return ds, {**stats, "verified_pairs": 0, "removed_docs": 0}
+    idset = pa.array(sorted(cand_ids), pa.int64())
+    cand_batches = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column(id_col), value_set=idset)),
+        batch_format="pyarrow",
+    ).to_arrow_refs()
+    cand_docs = pa.concat_tables(
+        [t for t in (ray.get(r) for r in cand_batches) if t.num_rows]
+    )
+    verified = verify_pairs(pairs_tbl, cand_docs, text_col=text_col, id_col=id_col,
+                            k=k, threshold=threshold)
+    reps = cluster_pairs(
+        list(zip(verified.column("id_a").to_pylist(), verified.column("id_b").to_pylist()))
+    )
+    losers = pa.array(sorted(i for i, r in reps.items() if r != i), pa.int64())
+    stats.update(verified_pairs=verified.num_rows, removed_docs=len(losers))
+    deduped = ds.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.fill_null(pc.is_in(t.column(id_col), value_set=losers), False))
+        ),
+        batch_format="pyarrow",
+    )
+    return deduped, stats
+
+
 # ---------------------------------------------------------------- simhash
 class SimHasher:
     """64-bit simhash over word tokens (term-frequency weighted)."""

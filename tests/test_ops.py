@@ -247,3 +247,16 @@ def test_ivf_topk_recall():
     # determinism: same seed -> same centroids
     cents2 = kmeans_fit(emb, n_clusters=8, seed=7)
     assert np.allclose(cents, cents2)
+
+
+def test_minhash_dedup_corpus_end_to_end():
+    from go_datax_ray.stages.dedup import minhash_dedup_corpus
+
+    ds = _dup_docs()  # 34 docs: 31 distinct, 3 dups of #3/#7 + near-dup of #5
+    deduped, stats = minhash_dedup_corpus(ds, threshold=0.5)
+    out = deduped.to_pandas().sort_values("doc_id")
+    assert stats["removed_docs"] == 4  # 30, 31, 32 (exact) + 33 (near)
+    assert set(out["doc_id"]) == set(range(30))
+    # idempotent: dedup of deduped removes nothing
+    again, stats2 = minhash_dedup_corpus(deduped, threshold=0.5)
+    assert stats2["removed_docs"] == 0
