@@ -487,6 +487,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return partial_agg_sum(li, key="l_returnflag", value_expr=cents, out_col="revenue_cents")
 
+    # -- sampling / selection / sketches ----------------------------------
+    def q_hash_sample(sf_dir: str):
+        from go_datax_ray.stages.sampling import hash_sample
+
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+        return hash_sample(ds, key="o_orderkey", rate=0.1)
+
+    def q_topk_per_group(sf_dir: str):
+        from go_datax_ray.stages.sampling import top_k_per_group
+
+        rd = rd_lazy()
+        ds = rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+        )
+        return top_k_per_group(
+            ds, group="o_custkey", order="o_totalprice", k=2, tiebreak="o_orderkey"
+        )
+
+    def q_approx_distinct(sf_dir: str):
+        from go_datax_ray.stages.sampling import approx_distinct
+
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        est = approx_distinct(ds, column="user_id")
+        return pa.table({"approx_distinct_users": pa.array([int(round(est))], pa.int64())})
+
     def q_snapshot_diff(sf_dir: str):
         """CDC bootstrap: diff two deterministic 'versions' of orders
         (old = keys not divisible by 7; new = keys not divisible by 5,
@@ -572,6 +599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": q_anti_join,
         "partial_agg_revenue": q_partial_agg_revenue,
         "snapshot_diff": q_snapshot_diff,
+        "hash_sample": q_hash_sample,
+        "topk_per_group": q_topk_per_group,
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -745,7 +775,18 @@ def oracle_sql() -> dict[str, str]:
               FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
             ) WHERE op IS NOT NULL
         """,
+        "hash_sample": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE md5_number_lower(CAST(o_orderkey AS VARCHAR)) % 1000000 < 100000
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+              FROM orders) WHERE rn <= 2
+        """,
         # minhash_dedup / simhash / embedding_neardup / quality_score /
-        # lang_id / media_features / ann_ivf are not SQL-expressible
-        # (sketches, heuristics, clustering, stubbed codecs) -> rows-only.
+        # lang_id / media_features / ann_ivf / approx_distinct are not
+        # SQL-expressible (sketches, heuristics, clustering, stubbed
+        # codecs) -> rows-only.
     }

@@ -1,0 +1,128 @@
+"""Sampling + per-group selection + mergeable sketches.
+
+* hash_sample — DETERMINISTIC sampling: keep rows where
+  md5_lower64(key) % denom < rate*denom. Reproducible at any
+  parallelism, stable across runs, and SQL-expressible
+  (md5_number_lower) — the right way to sample at 100 TB (seeded RNG
+  sampling depends on row visit order; hash sampling depends only on
+  the data).
+* top_k_per_group — per-key top-k by an order column (the reference has
+  no analytics at all; this is the groupby.map_groups selection shape).
+* HllSketch — HyperLogLog distinct-count: per-batch partial sketches
+  (map_batches) merged in a tiny reduce — the mergeable-sketch pattern
+  (sketches shuffle bytes, not rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import md5_lower64_array, splitmix64
+
+
+def hash_sample(ds, *, key: str, rate: float, salt: str = ""):
+    """Keep ~rate of rows, chosen by md5 of the key column (+salt).
+    Same key always samples the same way -> sampling is consistent
+    across tables sharing the key (joinable samples)."""
+    denom = np.uint64(1_000_000)
+    thresh = np.uint64(int(rate * 1_000_000))
+
+    def flt(t: pa.Table) -> pa.Table:
+        keys = t.column(key)
+        if not pa.types.is_string(keys.type):
+            keys = keys.cast(pa.string())
+        if salt:
+            keys = pc.binary_join_element_wise(keys, pa.scalar(salt), "")
+        h = md5_lower64_array(keys) % denom
+        return t.filter(pa.array(h < thresh))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_k_per_group(ds, *, group: str, order: str, k: int, descending: bool = True,
+                    tiebreak: str | None = None):
+    """Per-group top-k rows by ``order`` (ties broken by ``tiebreak``
+    ascending for determinism)."""
+    keys = [(order, "descending" if descending else "ascending")]
+    if tiebreak:
+        keys.append((tiebreak, "ascending"))
+
+    def head(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=keys)
+        return g.take(idx[:k])
+
+    return ds.groupby(group).map_groups(head, batch_format="pyarrow")
+
+
+class HllSketch:
+    """Minimal HyperLogLog (dense, 2^p registers, the standard bias-corrected
+    estimator). Mergeable: register-wise max."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of the remaining 64-p bits, +1
+        lz = np.full(len(h), 64 - self.p, dtype=np.uint8)
+        nonzero = rest != 0
+        if nonzero.any():
+            r = rest[nonzero]
+            shifts = np.zeros(len(r), dtype=np.uint8)
+            for b in (32, 16, 8, 4, 2, 1):
+                mask = r < (np.uint64(1) << np.uint64(64 - b))
+                shifts[mask] += b
+                r[mask] = r[mask] << np.uint64(b)
+            lz_nz = np.minimum(shifts, 64 - self.p)
+            lz[nonzero] = lz_nz
+        rank = (lz + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = np.count_nonzero(self.registers == 0)
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting for small n
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HllSketch":
+        s = cls(p=b[0])
+        s.registers = np.frombuffer(b[1:], dtype=np.uint8).copy()
+        return s
+
+
+def approx_distinct(ds, *, column: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT column): per-batch partial sketches
+    (one small binary row per batch crosses the wire), merged on the
+    driver. ~1.04/sqrt(2^p) relative error (~1.6% at p=12)."""
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(column)
+        if not pa.types.is_string(col.type):
+            col = col.cast(pa.string())
+        h = md5_lower64_array(col)
+        sk = HllSketch(p)
+        sk.add_hashes(h)
+        return pa.table({"sketch": pa.array([sk.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc = HllSketch(p)
+    for row in parts:
+        acc.merge(HllSketch.from_bytes(row["sketch"]))
+    return acc.estimate()
