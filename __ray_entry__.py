@@ -487,6 +487,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return partial_agg_sum(li, key="l_returnflag", value_expr=cents, out_col="revenue_cents")
 
+    def q_lineage(sf_dir: str):
+        """Per-partition lineage of a multi-epoch replay: source offsets ->
+        partition -> committed file + rows (the checkpoint/lineage record
+        the north rule requires; rows-only check)."""
+        import shutil
+
+        from go_datax_ray.pipelines.cdc_replay import (
+            DatasetEventSource,
+            ReplayConfig,
+            replay,
+        )
+        from go_datax_ray.state.manifest import Manifest
+
+        lake = "/tmp/gdr_lineage_lake"
+        shutil.rmtree(lake, ignore_errors=True)
+        ev = _events_as_cdc(sf_dir)
+        n = ev.count()
+        replay(
+            DatasetEventSource(ev, 0, n),
+            ReplayConfig(lake_dir=lake, num_partitions=8, epoch_size=max(n // 3, 1)),
+        )
+        rows = []
+        for rec in Manifest.load(lake).lineage():
+            for pid, ent in rec["partitions"].items():
+                rows.append(
+                    {
+                        "epoch": rec["epoch"],
+                        "lsn_lo": rec["lsn_lo"],
+                        "lsn_hi": rec["lsn_hi"],
+                        "partition": int(pid),
+                        "file": ent["file"],
+                        "rows": ent["rows"],
+                        "events": ent["events"],
+                    }
+                )
+        import pandas as pd
+
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
     # -- sampling / selection / sketches ----------------------------------
     def q_hash_sample(sf_dir: str):
         from go_datax_ray.stages.sampling import hash_sample
@@ -602,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "topk_per_group": q_topk_per_group,
         "approx_distinct": q_approx_distinct,
+        "lineage": q_lineage,
     }
 
 

@@ -78,13 +78,20 @@ def _add_bucket(t: pa.Table, key: str, n_buckets: int, side: str) -> pa.Table:
 
 
 def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
-                     how: Literal["inner", "left"] = "inner", suffix: str = "_r"):
+                     how: Literal["inner", "left"] = "inner", suffix: str = "_r",
+                     n_salts: int = 1):
     """Partitioned hash join of two Datasets on ``on``.
 
     Both sides are union'd with a bucket tag, one groupby("_bucket")
     co-locates matching buckets, and each group does a pandas merge of
     its left/right halves. Schemas may differ (missing columns
-    null-filled by the union)."""
+    null-filled by the union).
+
+    Skew: ``n_salts > 1`` splits every bucket into sub-buckets — LEFT
+    rows are spread round-robin across salts and the RIGHT side is
+    REPLICATED to all salts, so a hot key's probe work fans out over
+    n_salts reducers at the cost of right-side duplication (the standard
+    salted-join tradeoff; use when the left side carries the hot keys)."""
 
     from ..schema import conform
 
@@ -102,7 +109,21 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
 
     def prep(side: str):
         def fn(t: pa.Table) -> pa.Table:
-            return _add_bucket(conform(t, union_schema), on, n_buckets, side)
+            t = _add_bucket(conform(t, union_schema), on, n_buckets, side)
+            if n_salts <= 1:
+                return t.append_column(
+                    "_salt", pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64())
+                )
+            if side == "l":
+                # spread left rows across salts (round-robin within batch)
+                salt = np.arange(t.num_rows, dtype=np.int64) % n_salts
+                return t.append_column("_salt", pa.array(salt, pa.int64()))
+            # replicate right rows to every salt
+            n = t.num_rows
+            idx = np.repeat(np.arange(n), n_salts)
+            t = t.take(pa.array(idx))
+            salt = np.tile(np.arange(n_salts, dtype=np.int64), n)
+            return t.append_column("_salt", pa.array(salt, pa.int64()))
 
         return fn
 
@@ -119,7 +140,7 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
             return lg if how == "left" else lg.iloc[0:0]
         return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
 
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby(["_bucket", "_salt"]).map_groups(join_bucket, batch_format="pandas")
 
 
 def partial_agg_sum(ds, *, key: str, value_expr, out_col: str):

@@ -1,6 +1,7 @@
 """Broadcast / bucketed hash / semi / anti joins + partial aggregation."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -84,3 +85,21 @@ def test_partial_agg_matches_full():
             FROM '{SF}/lineitem.parquet' GROUP BY 1 ORDER BY 1"""
     ).df()
     assert out["sum_qty"].tolist() == want["sum_qty"].tolist()
+
+
+def test_salted_join_equals_unsalted():
+    from go_datax_ray.stages.joins import bucket_hash_join
+
+    rng = np.random.default_rng(5)
+    # hot key: 60% of left rows share key 7
+    lk = np.where(rng.random(2000) < 0.6, 7, rng.integers(0, 50, 2000))
+    left = rd.from_arrow(pa.table({"k": pa.array(lk, pa.int64()),
+                                   "n": pa.array(np.arange(2000), pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array(np.arange(50), pa.int64()),
+                                    "m": pa.array(np.arange(50) * 10, pa.int64())}))
+    plain = bucket_hash_join(left, right, on="k", n_buckets=8).to_pandas()
+    salted = bucket_hash_join(left, right, on="k", n_buckets=8, n_salts=4).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["k", "n", "m"]].values.tolist()))
+    assert key(salted) == key(plain)
+    lj_salt = bucket_hash_join(left, right, on="k", n_buckets=8, n_salts=4, how="left").to_pandas()
+    assert len(lj_salt) == 2000
