@@ -105,6 +105,43 @@ class ImageFeatures:
         )
 
 
+class ImageResize:
+    """Actor-pool stage: decode -> nearest-neighbour resize to
+    (out_w, out_h) -> re-encoded payload (fake backend: raw RGB bytes;
+    a real backend would produce an encoded image). Small batches —
+    wide rows."""
+
+    def __init__(self, out_w: int = 64, out_h: int = 64, backend: str = "fake"):
+        self.codec = DecodeBackend(backend)
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for mid, kind, payload, w, h in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            if kind != "image" or payload is None:
+                continue
+            img = self.codec.decode_image(payload, w or 8, h or 8)
+            ys = (np.arange(self.out_h) * img.shape[0] // self.out_h).clip(0, img.shape[0] - 1)
+            xs = (np.arange(self.out_w) * img.shape[1] // self.out_w).clip(0, img.shape[1] - 1)
+            resized = img[np.ix_(ys, xs)]
+            ids.append(mid)
+            payloads.append(resized.tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.large_binary()),
+                "width": pa.array([self.out_w] * len(ids), pa.int32()),
+                "height": pa.array([self.out_h] * len(ids), pa.int32()),
+            }
+        )
+
+
 class AudioFeatures:
     """Actor-pool stage: decode + frame-level RMS energy (vectorised)."""
 

@@ -185,3 +185,81 @@ def test_error_limit_aborts_job():
     }
     with pytest.raises(ErrorLimitExceeded):
         run_job(job)
+
+
+def test_image_resize_stage():
+    from go_datax_ray.stages.multimodal import ImageResize, make_media_table
+
+    ds = rd.from_arrow(make_media_table(30))
+    out = ds.map_batches(
+        ImageResize, fn_constructor_kwargs={"out_w": 8, "out_h": 4},
+        batch_format="pyarrow", batch_size=8, concurrency=2,
+    ).to_pandas()
+    assert len(out) == (make_media_table(30).column("kind").to_pandas() == "image").sum()
+    assert (out["width"] == 8).all() and (out["height"] == 4).all()
+    assert all(len(p) == 8 * 4 * 3 for p in out["payload"])  # RGB bytes
+    # deterministic
+    out2 = ds.map_batches(
+        ImageResize, fn_constructor_kwargs={"out_w": 8, "out_h": 4},
+        batch_format="pyarrow", batch_size=8, concurrency=2,
+    ).to_pandas()
+    assert out["payload"].tolist() == out2["payload"].tolist()
+
+
+def test_jsonl_writer_reader_roundtrip(tmp_path):
+    """jsonfilewriter output parses back identically through
+    jsonfilereader (writer/reader parity)."""
+    from go_datax_ray.engine import run_job
+
+    out_dir = tmp_path / "jout"
+    write_job = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "parquetreader",
+                        "parameter": {
+                            "path": f"{SF}/customer.parquet",
+                            "column": ["c_custkey", "c_name", "c_acctbal"],
+                        },
+                    },
+                    "writer": {
+                        "name": "jsonfilewriter",
+                        "parameter": {"path": str(out_dir), "fileName": "cust",
+                                      "fileFormat": "jsonl", "writeMode": "truncate"},
+                    },
+                }
+            ]
+        }
+    }
+    res = run_job(write_job)
+    assert res.records == 150
+    read_job = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "jsonfilereader",
+                        "parameter": {
+                            "path": str(out_dir),
+                            "column": [
+                                {"name": "c_custkey", "type": "long"},
+                                {"name": "c_name", "type": "string"},
+                                {"name": "c_acctbal", "type": "double"},
+                            ],
+                        },
+                    },
+                    "writer": {"name": "streamwriter", "parameter": {"print": False}},
+                }
+            ]
+        }
+    }
+    res2 = run_job(read_job)
+    assert res2.records == 150
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT c_custkey, c_name FROM '{SF}/customer.parquet' ORDER BY c_custkey"
+    ).df()
+    got_first = sorted(res2.sink_result["lines"])[:3]
+    assert all("\t" in ln for ln in got_first)
