@@ -21,6 +21,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 NUM_PARTS = 16  # partition count used by oracle-checked partition queries
+
+
+def pd_ts(s: str):
+    import pandas as pd
+
+    return pd.Timestamp(s)
 ANN_K = 5
 ANN_NUM_QUERIES = 8
 
@@ -487,6 +493,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return partial_agg_sum(li, key="l_returnflag", value_expr=cents, out_col="revenue_cents")
 
+    def q_tpch_q3_composed(sf_dir: str):
+        """TPC-H Q3-shaped composition from the engine's own operators:
+        semi-join filter (BUILDING customers) -> bucket hash join
+        (lineitem x orders) -> filtered partial aggregation (exact cents)
+        -> top-10. Demonstrates operator composition, not a SQL planner."""
+        import pyarrow.parquet as pq
+
+        from go_datax_ray.stages.joins import bucket_hash_join, partial_agg_sum, semi_join
+
+        rd = rd_lazy()
+        cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+        building = cust.filter(
+            pc.equal(cust.column("c_mktsegment"), pa.scalar("BUILDING"))
+        ).column("c_custkey").to_pylist()
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+        )
+        orders = semi_join(orders, building, on="o_custkey")
+        cutoff = pa.scalar(pd_ts("1995-03-15"))
+        orders = orders.map_batches(
+            lambda t: t.filter(pc.less(t.column("o_orderdate"), cutoff)),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "o_custkey", "o_orderdate"]),
+            batch_format="pyarrow",
+        )
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(
+            lambda t: t.filter(pc.greater(t.column("l_shipdate"), cutoff)),
+            batch_format="pyarrow",
+        )
+        joined = bucket_hash_join(li, orders, on="l_orderkey", n_buckets=16)
+
+        def cents(t: pa.Table):
+            rev = pc.multiply(
+                t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+            )
+            return pc.cast(
+                pc.round(pc.multiply(rev, pa.scalar(100.0)),
+                         options=pc.RoundOptions(round_mode="half_towards_infinity")),
+                pa.int64(),
+            )
+
+        agg = partial_agg_sum(joined, key="l_orderkey", value_expr=cents, out_col="revenue_cents")
+        return agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
+
     def q_lineage(sf_dir: str):
         """Per-partition lineage of a multi-epoch replay: source offsets ->
         partition -> committed file + rows (the checkpoint/lineage record
@@ -642,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": q_topk_per_group,
         "approx_distinct": q_approx_distinct,
         "lineage": q_lineage,
+        "tpch_q3_composed": q_tpch_q3_composed,
     }
 
 
@@ -814,6 +869,18 @@ def oracle_sql() -> dict[str, str]:
                           WHEN o.o_totalprice <> n.o_totalprice THEN 'U' END AS op
               FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
             ) WHERE op IS NOT NULL
+        """,
+        "tpch_q3_composed": """
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                     AS revenue_cents
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey
+            ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10
         """,
         "hash_sample": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -141,6 +141,10 @@ def main() -> dict:
         "quality_score",
         "ann_topk",
         "flagship_final_state",
+        "window_tumbling",
+        "bucket_hash_join",
+        "tpch_q3_composed",
+        "hash_sample",
     ):
         fn = qs[name]
 
