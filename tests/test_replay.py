@@ -293,3 +293,40 @@ def test_read_lake_streaming_matches_table(tmp_path):
     pruned = read_lake(lake, columns=["url", "lsn"])
     assert pruned.count() == t.num_rows
     assert [f.name for f in pruned.schema().base_schema] == ["url", "lsn"]
+
+
+def test_streaming_read_across_partial_evolution(tmp_path):
+    """After a v2 tail that touches only SOME partitions, the streaming
+    read_lake unifies mixed file schemas and v2 values survive when their
+    events win LWW."""
+    import ray.data as rd
+
+    from go_datax_ray.schema import CDC_EVENT_SCHEMA_V2
+    from go_datax_ray.sinks.lake import read_lake
+
+    lake = str(tmp_path / "lake")
+    _run(tmp_path / "lake", n_events=2000, num_partitions=8)
+    ev = pa.Table.from_pydict(
+        {
+            "lsn": pa.array([2005], pa.int64()),
+            "src_offset": pa.array([2005], pa.int64()),
+            "op": pa.array(["U"], pa.string()),
+            "url": pa.array(["https://evolved.example.org/x"], pa.string()),
+            "warc_ts": pa.array([9_000_000_000_000_000], pa.timestamp("us")),
+            "html": pa.array([b"<p>v2</p>"], pa.large_binary()),
+            "text": pa.array(["v2"], pa.large_string()),
+            "lang": pa.array(["en"], pa.string()),
+            "fetch_status": pa.array([200], pa.int64()),
+        },
+        schema=CDC_EVENT_SCHEMA_V2,
+    )
+    replay(
+        DatasetEventSource(rd.from_arrow(ev), 2005, 2006),
+        ReplayConfig(lake_dir=lake, num_partitions=8),
+    )
+    df = read_lake(lake).to_pandas()
+    assert "fetch_status" in df.columns  # unified across mixed-schema files
+    row = df[df["url"] == "https://evolved.example.org/x"]
+    assert row["fetch_status"].iloc[0] == 200 and row["text"].iloc[0] == "v2"
+    # v1-era rows null-filled
+    assert df["fetch_status"].notna().sum() == 1
