@@ -783,9 +783,13 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5
             FROM documents
         """,
+        # NB every SUM is wrapped CAST(... AS BIGINT): DuckDB SUM(BIGINT)
+        # returns HUGEINT (surfaced float64 driver-side) while the engine
+        # correctly emits int64 (VERDICT r1 finding #2).
         "groupby_events": """
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_cents
             FROM events GROUP BY event_type
         """,
         "ann_topk": f"""
@@ -800,14 +804,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "window_tumbling": """
             SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
-                   COUNT(*) AS n, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
         "window_sliding": """
             SELECT user_id,
                    time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
                      AS window_start,
-                   COUNT(*) AS n, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_cents
             FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
             GROUP BY 1, 2
         """,
@@ -823,7 +831,9 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-                   COUNT(*) AS n, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_cents
             FROM s GROUP BY user_id, sess
         """,
         "topk_orders": """
@@ -849,7 +859,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "partial_agg_revenue": """
             SELECT l_returnflag,
-                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT)
                      AS revenue_cents
             FROM lineitem GROUP BY l_returnflag
         """,
@@ -872,7 +883,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q3_composed": """
             SELECT l_orderkey,
-                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT)
                      AS revenue_cents
             FROM customer JOIN orders ON c_custkey = o_custkey
                           JOIN lineitem ON l_orderkey = o_orderkey

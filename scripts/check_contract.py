@@ -2,7 +2,11 @@
 queries()[name](sf_dir) and compare against oracle_sql()[name] via DuckDB
 (row count + schema + order-insensitive value comparison).
 
-Usage: python scripts/check_contract.py [sf_dir]
+Usage: python scripts/check_contract.py [sf_dir] [query_name ...]
+
+Dtype equality is enforced (the driver's value hash is dtype-sensitive):
+an int64 engine column vs a float64 oracle column FAILS here, as it
+would in CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
@@ -53,6 +58,8 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = m.queries(), m.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         t0 = time.perf_counter()
@@ -78,6 +85,15 @@ def main() -> int:
             status = "FAIL"
             failures.append(name)
             print(f"{status} {name}: cols {list(got.columns)} != {list(want.columns)}")
+            continue
+        dt_bad = [
+            (c, str(got[c].dtype), str(want[c].dtype))
+            for c in got.columns
+            if got[c].dtype != want[c].dtype
+        ]
+        if dt_bad:
+            failures.append(name)
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
             continue
         mismatch = None
         for c in got.columns:

@@ -103,3 +103,47 @@ def test_salted_join_equals_unsalted():
     assert key(salted) == key(plain)
     lj_salt = bucket_hash_join(left, right, on="k", n_buckets=8, n_salts=4, how="left").to_pandas()
     assert len(lj_salt) == 2000
+
+
+def test_bucket_hash_join_preserves_int_dtypes():
+    """VERDICT r1 #1: union null-fill must not leak float64 into int columns,
+    and int64 values > 2^53 must survive a left join exactly."""
+    from go_datax_ray.stages.joins import bucket_hash_join
+
+    big = 2**53 + 1  # not representable in float64
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3], pa.int64()),
+                "n32": pa.array([10, 20, 30], pa.int32()),
+                "big": pa.array([big, big + 2, big + 4], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1, 3], pa.int64()), "r64": pa.array([7, 9], pa.int64())})
+    )
+    inner = bucket_hash_join(left, right, on="k", n_buckets=4)
+    sch = inner.schema().base_schema
+    assert sch.field("n32").type == pa.int32()
+    assert sch.field("big").type == pa.int64()
+    assert sch.field("r64").type == pa.int64()
+    df = inner.to_pandas().sort_values("k")
+    assert df["big"].tolist() == [big, big + 4]
+    # left join: unmatched right int column is NULL, dtype stays integral
+    lj = bucket_hash_join(left, right, on="k", n_buckets=4, how="left")
+    assert lj.schema().base_schema.field("r64").type == pa.int64()
+    ldf = lj.to_pandas().sort_values("k")
+    assert ldf["big"].tolist() == [big, big + 2, big + 4]
+    assert ldf["r64"].isna().tolist() == [False, True, False]
+
+
+def test_bucket_hash_join_overlapping_column_suffix():
+    from go_datax_ray.stages.joins import bucket_hash_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2], "v": [10, 20]}))
+    right = rd.from_arrow(pa.table({"k": [1, 2], "v": [100, 200]}))
+    out = bucket_hash_join(left, right, on="k", n_buckets=2).to_pandas().sort_values("k")
+    assert sorted(out.columns) == ["k", "v", "v_r"]
+    assert out["v"].tolist() == [10, 20]
+    assert out["v_r"].tolist() == [100, 200]

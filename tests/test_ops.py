@@ -260,3 +260,36 @@ def test_minhash_dedup_corpus_end_to_end():
     # idempotent: dedup of deduped removes nothing
     again, stats2 = minhash_dedup_corpus(deduped, threshold=0.5)
     assert stats2["removed_docs"] == 0
+
+
+def test_cents_rounding_negative_and_half():
+    """VERDICT r1 #10: one rounding family (half-away-from-zero, DuckDB
+    ROUND) across tumbling/sliding/session — pinned on adversarial values."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_datax_ray.stages.windows import _to_cents
+
+    vals = [0.125, -0.125, 0.005, -0.005, 2.675, -2.675, 0.0, 1.115]
+    t = pa.table({"value": pa.array(vals, pa.float64())})
+    got = _to_cents(t, "value").column("_cents").to_pylist()
+    want = duckdb.sql(
+        "SELECT CAST(ROUND(v * 100) AS BIGINT) FROM (SELECT unnest(?) AS v)",
+        params=[vals],
+    ).fetchall()
+    assert got == [r[0] for r in want]
+
+    # session windows use the same kernel end-to-end
+    from go_datax_ray.stages.windows import session_windows
+
+    ts = pa.array(
+        [1_000_000 * i for i in range(len(vals))], pa.timestamp("us")
+    )
+    ds = rd.from_arrow(
+        pa.table({"user_id": pa.array([1] * len(vals), pa.int64()), "ts": ts,
+                  "value": pa.array(vals, pa.float64())})
+    )
+    out = session_windows(ds, gap_s=1800).to_pandas()
+    assert out["sum_value_cents"].tolist() == [sum(got)]
+    assert str(out["n"].dtype) == "int64"
