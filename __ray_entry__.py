@@ -218,21 +218,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return exact_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet"))
 
     def q_minhash_dedup(sf_dir: str):
-        from go_datax_ray.stages.dedup import minhash_candidate_pairs, verify_pairs
+        """Full in-cluster near-dup pipeline: LSH candidates -> distributed
+        exact-Jaccard verify (text never reaches the driver) -> counts."""
+        from go_datax_ray.stages.dedup import minhash_dedup_corpus
 
         rd = rd_lazy()
-        import pyarrow.parquet as pq
-
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
-        pairs = minhash_candidate_pairs(ds).to_pandas()
-        docs_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        verified = verify_pairs(pa.Table.from_pandas(pairs) if len(pairs) else pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-        ), docs_tbl, threshold=0.7)
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        _deduped, stats = minhash_dedup_corpus(ds, threshold=0.7)
         return pa.table(
             {
-                "n_candidate_pairs": pa.array([len(pairs)], pa.int64()),
-                "n_verified_pairs": pa.array([verified.num_rows], pa.int64()),
+                "n_candidate_pairs": pa.array([stats["candidate_pairs"]], pa.int64()),
+                "n_verified_pairs": pa.array([stats["verified_pairs"]], pa.int64()),
             }
         )
 

@@ -26,18 +26,62 @@ def md5_lower64(s: str | bytes) -> int:
     return int.from_bytes(hashlib.md5(s).digest()[8:16], "little")
 
 
+def _utf8_slices(arr: pa.Array):
+    """(memoryview, offsets) over an Arrow string array's UTF-8 data —
+    per-row byte slices with NO Python str materialisation or re-encode."""
+    if arr.offset != 0:
+        arr = pa.concat_arrays([arr])  # compact the slice
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype, count=len(arr) + 1)
+    return memoryview(arr.buffers()[2] or b""), offs
+
+
+def _hash_string_array(values, hasher) -> np.ndarray:
+    """Hash an Arrow/py sequence of strings with a bytes->uint64 hasher.
+
+    Hot-path shape (VERDICT r1 finding #7): ``dictionary_encode`` (C++)
+    collapses repeated keys, the Python-level hasher runs ONLY over the
+    unique strings (zero-copy memoryview slices of the UTF-8 buffer),
+    and a numpy gather fans the results back out. CDC keys repeat
+    heavily (4M events over ~2k urls), so the per-row Python loop of the
+    naive version becomes a per-UNIQUE loop. Nulls hash to 0.
+    """
+    if isinstance(values, pa.ChunkedArray):
+        if values.num_chunks != 1:
+            if values.num_chunks == 0:
+                return np.zeros(0, dtype=np.uint64)
+            return np.concatenate(
+                [_hash_string_array(c, hasher) for c in values.chunks]
+            )
+        values = values.chunk(0)
+    elif not isinstance(values, pa.Array):
+        values = pa.array(list(values), pa.string())
+    n = len(values)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    enc = values.dictionary_encode()
+    uniq = enc.dictionary
+    mv, offs = _utf8_slices(uniq)
+    hu = np.fromiter(
+        (hasher(mv[offs[i] : offs[i + 1]]) for i in range(len(uniq))),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    idx = enc.indices
+    if values.null_count:
+        mask = np.asarray(idx.is_null())
+        out = hu[np.asarray(idx.fill_null(0))]
+        out[mask] = 0
+        return out
+    return hu[np.asarray(idx)]
+
+
 def md5_lower64_array(values) -> np.ndarray:
-    """Vectorised-ish md5_lower64 over an Arrow/np/py sequence of strings."""
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.to_pylist()
-    out = np.empty(len(values), dtype=np.uint64)
+    """Vectorised md5_lower64 over an Arrow/np/py sequence of strings."""
     md5 = hashlib.md5
-    for i, v in enumerate(values):
-        if v is None:
-            out[i] = 0
-        else:
-            out[i] = int.from_bytes(md5(v.encode("utf-8")).digest()[8:16], "little")
-    return out
+    return _hash_string_array(
+        values, lambda b: int.from_bytes(md5(b).digest()[8:16], "little")
+    )
 
 
 def crc32_array(values) -> np.ndarray:
@@ -45,13 +89,7 @@ def crc32_array(values) -> np.ndarray:
     (mysql_reader.go:432-444), ~4x faster than md5 (zlib C loop)."""
     import zlib
 
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.to_pylist()
-    crc = zlib.crc32
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        out[i] = 0 if v is None else crc(v.encode("utf-8"))
-    return out
+    return _hash_string_array(values, zlib.crc32)
 
 
 def partition_ids(urls, num_partitions: int, hash_fn: str = "crc32") -> np.ndarray:

@@ -54,18 +54,31 @@ def add_content_hash(batch: pa.Table, *, text_col: str = "text", out_col: str = 
 
 def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id"):
     """Keep, per identical text, the row with the smallest key.
-    hash-partition (groupby content_hash) + per-group first — the
-    canonical exact-dedup shape."""
-    ds = ds.map_batches(
+
+    Payload-free shape (VERDICT r1 finding #6): the shuffle carries ONLY
+    the (content_hash, key) projection (~40 B/row vs the full document),
+    per-hash groups reduce to the NON-winner keys (everything but the min
+    key), and the corpus is anti-semi-joined on that loser-key set
+    (broadcast, map-side filter — the text column never enters a
+    shuffle). The broadcast is keys-only and sized by the duplicate rate,
+    not the corpus; the corpus input is read twice (hash pass + filter
+    pass), both streaming."""
+    from .joins import semi_join
+
+    hashed = ds.map_batches(
         add_content_hash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    proj = hashed.select_columns(["content_hash", key_col])
 
-    def first_by_key(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[(key_col, "ascending")])
-        return g.take(idx[:1]).drop_columns(["content_hash"])
+    def non_winners(g: pa.Table) -> pa.Table:
+        k = g.column(key_col)
+        return g.filter(pc.not_equal(k, pc.min(k))).select([key_col])
 
-    return ds.groupby("content_hash").map_groups(first_by_key, batch_format="pyarrow")
+    losers = proj.groupby("content_hash").map_groups(non_winners, batch_format="pyarrow")
+    # loser KEYS only reach the driver (8 B per duplicate doc), never text
+    loser_keys = [r[key_col] for r in losers.take_all()]
+    return semi_join(ds, loser_keys, on=key_col, anti=True)
 
 
 # --------------------------------------------------------------- shingles
@@ -102,10 +115,16 @@ class MinHasher:
     the seed (never re-derived per batch)."""
 
     def __init__(self, *, text_col: str = "text", id_col: str = "doc_id",
-                 num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42):
+                 num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42,
+                 min_shingles: int = 1):
         assert num_perm % bands == 0
         self.text_col, self.id_col = text_col, id_col
         self.num_perm, self.bands, self.k = num_perm, bands, k
+        # docs with < min_shingles shingles emit NO LSH rows: every empty/
+        # near-empty doc shares one all-MAX signature, which otherwise
+        # collapses them into a single quadratic bucket (VERDICT r1 #5).
+        # Identical trivial docs are exact_dedup's job, not near-dup's.
+        self.min_shingles = min_shingles
         idx = np.arange(num_perm, dtype=np.uint64)
         self.a = (splitmix64(idx + np.uint64(seed * 1315423911)) % (_MERSENNE - np.uint64(1))) + np.uint64(1)
         self.b = splitmix64(idx + np.uint64(seed * 2654435761 + 7)) % _MERSENNE
@@ -153,14 +172,32 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Emit LSH rows: (id, band, band_hash) — bands*rows per doc, id +
-        two int64s only; the text stays out of the shuffle."""
-        ids = batch.column(self.id_col).to_numpy()
+        two int64s only; the text stays out of the shuffle. Docs below
+        the min-shingle threshold are excluded from candidate
+        generation."""
+        all_ids = batch.column(self.id_col).to_numpy()
         texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
         r = self.num_perm // self.bands
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        keep_ids, sig_rows = [], []
         for i, t in enumerate(texts):
-            sigs[i] = self.signature(t or "")
+            sh = self._shingle_hashes_fast(t or "")
+            if len(sh) < self.min_shingles:
+                continue
+            with np.errstate(over="ignore"):
+                m = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+            keep_ids.append(all_ids[i])
+            sig_rows.append(m.min(axis=0))
+        n = len(keep_ids)
+        if n == 0:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int64()),
+                    "band_hash": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.asarray(keep_ids)
+        sigs = np.stack(sig_rows).astype(np.uint64)
         # band hash: mix the r signature values of each band, vectorised
         # over (docs x bands)
         chunks = sigs.reshape(n, self.bands, r)
@@ -179,33 +216,62 @@ class MinHasher:
         )
 
 
+_LOG = __import__("logging").getLogger("go_datax_ray.dedup")
+
+#: LSH buckets larger than this emit no pairs (logged, never silent):
+#: a bucket this hot is a degenerate signature collision (boilerplate),
+#: and O(n^2) pair generation inside it would dominate the whole job.
+MAX_LSH_BUCKET = 512
+
+
+def _bucket_pair_fn(id_col: str, max_bucket: int, what: str):
+    """Vectorised all-pairs within one LSH bucket, size-capped."""
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column(id_col).to_numpy().astype(np.int64))
+        n = len(ids)
+        if n > max_bucket:
+            _LOG.warning(
+                "%s bucket overflow: %d docs > cap %d — dropping pair "
+                "generation for this bucket (%d pairs skipped)",
+                what, n, max_bucket, n * (n - 1) // 2,
+            )
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        iu, ju = np.triu_indices(n, k=1)
+        return pa.table(
+            {"id_a": pa.array(ids[iu], pa.int64()), "id_b": pa.array(ids[ju], pa.int64())}
+        )
+
+    return bucket_pairs
+
+
+def _distinct_pairs(pairs):
+    """Distinct (id_a, id_b) via a count aggregate — a proper shuffle
+    aggregate instead of per-tiny-group map_groups."""
+    return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+
+
 def minhash_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                            num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42):
+                            num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42,
+                            min_shingles: int = 1, max_bucket: int = MAX_LSH_BUCKET):
     """docs -> candidate duplicate id pairs (a < b), deduplicated.
     Shuffle key: (band, band_hash); docs sharing any band bucket pair up."""
     lsh = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k, seed=seed
+            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k,
+            seed=seed, min_shingles=min_shingles,
         ),
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(g.column(id_col).to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
-
-    pairs = lsh.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    # distinct pairs (a doc pair can collide in several bands)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    pairs = lsh.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pair_fn(id_col, max_bucket, "minhash LSH"), batch_format="pyarrow"
     )
+    # distinct pairs (a doc pair can collide in several bands)
+    return _distinct_pairs(pairs)
 
 
 def verify_pairs(pairs_tbl: pa.Table, docs_tbl: pa.Table, *, text_col: str = "text",
@@ -230,6 +296,53 @@ def verify_pairs(pairs_tbl: pa.Table, docs_tbl: pa.Table, *, text_col: str = "te
     )
 
 
+def verify_pairs_distributed(pairs_ds, cand_docs_ds, *, text_col: str = "text",
+                             id_col: str = "doc_id", k: int = 3,
+                             threshold: float = 0.7, n_buckets: int = 32):
+    """In-cluster exact-Jaccard verification of candidate pairs.
+
+    Texts are attached to pairs via two bucketed hash joins against the
+    (pre-filtered) candidate-doc projection, then each batch verifies
+    its pairs locally. Only CANDIDATE texts ever shuffle; the driver
+    never materialises text (VERDICT r1 finding #4). ``cand_docs_ds``
+    must already be filtered to ids appearing in ``pairs_ds`` and
+    project exactly (id_col, text_col)."""
+    from .joins import bucket_hash_join
+
+    docs_a = cand_docs_ds.map_batches(
+        lambda t: pa.table({"id_a": t.column(id_col), "_text_a": t.column(text_col)}),
+        batch_format="pyarrow",
+    )
+    docs_b = cand_docs_ds.map_batches(
+        lambda t: pa.table({"id_b": t.column(id_col), "_text_b": t.column(text_col)}),
+        batch_format="pyarrow",
+    )
+    j = bucket_hash_join(pairs_ds, docs_a, on="id_a", n_buckets=n_buckets)
+    j = bucket_hash_join(j, docs_b, on="id_b", n_buckets=n_buckets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        ia = t.column("id_a").to_pylist()
+        ib = t.column("id_b").to_pylist()
+        ta = t.column("_text_a").to_pylist()
+        tb = t.column("_text_b").to_pylist()
+        oa, ob, sim = [], [], []
+        for a, b, x, y in zip(ia, ib, ta, tb):
+            jac = ngram_jaccard(x or "", y or "", k=k)
+            if jac >= threshold:
+                oa.append(a)
+                ob.append(b)
+                sim.append(jac)
+        return pa.table(
+            {
+                "id_a": pa.array(oa, pa.int64()),
+                "id_b": pa.array(ob, pa.int64()),
+                "jaccard": pa.array(sim, pa.float64()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
 def cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
     """Union-find over the (small, LSH-pruned) duplicate edge list:
     id -> cluster representative (min id). For adversarially huge edge
@@ -252,47 +365,41 @@ def cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
 
 def minhash_dedup_corpus(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
-                         k: int = 3, seed: int = 42):
-    """End-to-end near-dup removal: candidates -> exact-Jaccard verify ->
-    union-find clusters -> keep each cluster's min-id representative.
+                         k: int = 3, seed: int = 42, min_shingles: int = 1,
+                         max_bucket: int = MAX_LSH_BUCKET):
+    """End-to-end near-dup removal: candidates -> distributed exact-Jaccard
+    verify -> union-find clusters -> keep each cluster's min-id
+    representative.
 
-    Returns (deduped Dataset, stats dict). The verify step re-reads only
-    candidate docs (broadcast id-set filter), so the wide text column is
-    touched twice total: once for signatures, once for candidates."""
-    import ray
-
-    pairs_df = minhash_candidate_pairs(
+    Returns (deduped Dataset, stats dict). Driver footprint is ids/edges
+    only: candidate pairs (int64 pairs, LSH-pruned), candidate ids, and
+    verified edges — never document text (VERDICT r1 finding #4). The
+    wide text column is touched twice, both in-cluster: once for
+    signatures, once broadcast-filtered into the verify joins."""
+    pairs = minhash_candidate_pairs(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
-        k=k, seed=seed,
-    ).to_pandas()
-    if len(pairs_df) == 0 or "id_a" not in pairs_df.columns:
-        # empty result datasets lose their schema
-        pairs_tbl = pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-        )
-    else:
-        pairs_tbl = pa.Table.from_pandas(pairs_df, preserve_index=False)
-    cand_ids = set(pairs_tbl.column("id_a").to_pylist()) | set(
-        pairs_tbl.column("id_b").to_pylist()
-    )
-    stats = {"candidate_pairs": pairs_tbl.num_rows, "candidate_docs": len(cand_ids)}
-    if not cand_ids:
-        return ds, {**stats, "verified_pairs": 0, "removed_docs": 0}
+        k=k, seed=seed, min_shingles=min_shingles, max_bucket=max_bucket,
+    ).materialize()  # id pairs only — consumed by count + 2 joins below
+    stats = {"candidate_pairs": pairs.count()}
+    if stats["candidate_pairs"] == 0:
+        return ds, {**stats, "candidate_docs": 0, "verified_pairs": 0, "removed_docs": 0}
+    cand_ids = set(pairs.unique("id_a")) | set(pairs.unique("id_b"))
+    stats["candidate_docs"] = len(cand_ids)
     idset = pa.array(sorted(cand_ids), pa.int64())
-    cand_batches = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t.column(id_col), value_set=idset)),
+    cand_docs = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column(id_col), value_set=idset)).select(
+            [id_col, text_col]
+        ),
         batch_format="pyarrow",
-    ).to_arrow_refs()
-    cand_docs = pa.concat_tables(
-        [t for t in (ray.get(r) for r in cand_batches) if t.num_rows]
     )
-    verified = verify_pairs(pairs_tbl, cand_docs, text_col=text_col, id_col=id_col,
-                            k=k, threshold=threshold)
-    reps = cluster_pairs(
-        list(zip(verified.column("id_a").to_pylist(), verified.column("id_b").to_pylist()))
+    verified = verify_pairs_distributed(
+        pairs, cand_docs, text_col=text_col, id_col=id_col, k=k, threshold=threshold
     )
+    # verified EDGES (int64 pairs) are the only verify output on the driver
+    edges = [(r["id_a"], r["id_b"]) for r in verified.take_all()]
+    reps = cluster_pairs(edges)
     losers = pa.array(sorted(i for i, r in reps.items() if r != i), pa.int64())
-    stats.update(verified_pairs=verified.num_rows, removed_docs=len(losers))
+    stats.update(verified_pairs=len(edges), removed_docs=len(losers))
     deduped = ds.map_batches(
         lambda t: t.filter(
             pc.invert(pc.fill_null(pc.is_in(t.column(id_col), value_set=losers), False))
@@ -334,9 +441,12 @@ class SimHasher:
         return batch.append_column("simhash", pa.array(signed, pa.int64()))
 
 
-def simhash_candidate_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3):
+def simhash_candidate_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
+                            max_bucket: int = MAX_LSH_BUCKET):
     """Banded candidate generation: 4 x 16-bit bands; near-dups within
-    Hamming<=3 share at least one band (pigeonhole). Verify by popcount."""
+    Hamming<=3 share at least one band (pigeonhole). Verify by popcount
+    (vectorised); buckets above ``max_bucket`` are dropped with a log
+    line, mirroring the MinHash LSH cap."""
     hashed = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(id_col=id_col),
                             batch_format="pyarrow", concurrency=(1, 8))
 
@@ -358,30 +468,46 @@ def simhash_candidate_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3)
         explode_bands, batch_format="pyarrow"
     )
 
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(g.column(id_col).to_pylist(), g.column("simhash").to_pylist())
-        )
-        a, b, d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ham = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
-                if ham <= max_hamming and rows[i][0] != rows[j][0]:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    d.append(ham)
+        ids = g.column(id_col).to_numpy().astype(np.int64)
+        n = len(ids)
+        if n < 2:
+            return empty
+        if n > max_bucket:
+            _LOG.warning(
+                "simhash bucket overflow: %d docs > cap %d — dropping pair "
+                "generation for this bucket (%d pairs skipped)",
+                n, max_bucket, n * (n - 1) // 2,
+            )
+            return empty
+        sh = g.column("simhash").to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids, sh = ids[order], sh[order]
+        iu, ju = np.triu_indices(n, k=1)
+        x = (sh[iu] ^ sh[ju]).view(np.uint64)
+        ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1).astype(np.int64)
+        keep = (ham <= max_hamming) & (ids[iu] != ids[ju])
         return pa.table(
             {
-                "id_a": pa.array(a, pa.int64()),
-                "id_b": pa.array(b, pa.int64()),
-                "hamming": pa.array(d, pa.int64()),
+                "id_a": pa.array(ids[iu[keep]], pa.int64()),
+                "id_b": pa.array(ids[ju[keep]], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
             }
         )
 
     pairs = exploded.groupby(["band", "band_val"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    # distinct (hamming is identical across band collisions of a pair)
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # ------------------------------------------------------ embedding near-dup
@@ -411,10 +537,13 @@ class HyperplaneLSH:
 
 
 def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95, n_planes: int = 12,
-                            seed: int = 42, vec_col: str = "embedding", id_col: str = "vec_id"):
+                            seed: int = 42, vec_col: str = "embedding", id_col: str = "vec_id",
+                            max_bucket: int = 4 * MAX_LSH_BUCKET):
     """Cosine near-dup pairs via hyperplane LSH buckets + in-bucket exact
     cosine. Recall is per-bucket; raise recall by unioning several plane
-    seeds (scale knob)."""
+    seeds (scale knob). Buckets above ``max_bucket`` are dropped with a
+    log line (the cap is higher than the text-LSH one because the
+    in-bucket work is one BLAS matmul, not Python pair loops)."""
     bucketed = ds.map_batches(
         HyperplaneLSH,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
@@ -425,6 +554,18 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95, n_planes: 
 
     def in_bucket(g: pa.Table) -> pa.Table:
         ids = g.column(id_col).to_pylist()
+        if len(ids) > max_bucket:
+            _LOG.warning(
+                "embedding LSH bucket overflow: %d vecs > cap %d — dropping "
+                "pair generation for this bucket", len(ids), max_bucket,
+            )
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         mat = np.asarray(g.column("vec").to_pylist(), dtype=np.float64)
         sims = mat @ mat.T
         a, b, s = [], [], []
@@ -448,6 +589,7 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95, n_planes: 
         )
 
     pairs = bucketed.groupby("bucket").map_groups(in_bucket, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    from ray.data.aggregate import Max
+
+    # distinct (cosine identical across bucket collisions of a pair)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))

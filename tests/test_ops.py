@@ -293,3 +293,64 @@ def test_cents_rounding_negative_and_half():
     out = session_windows(ds, gap_s=1800).to_pandas()
     assert out["sum_value_cents"].tolist() == [sum(got)]
     assert str(out["n"].dtype) == "int64"
+
+
+def test_minhash_bucket_cap_and_min_shingles():
+    """VERDICT r1 #5: empty docs emit no LSH rows; oversized buckets drop
+    pair generation (logged) instead of going quadratic."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_datax_ray.stages.dedup import minhash_candidate_pairs
+
+    # 50 identical EMPTY docs + 2 real near-dups
+    texts = [""] * 50 + [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again!",
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    pairs = minhash_candidate_pairs(ds).to_pandas()
+    ids = set(pairs["id_a"]) | set(pairs["id_b"]) if len(pairs) else set()
+    assert ids <= {50, 51}  # empty docs never become candidates
+    assert {50, 51} <= ids  # the real near-dup pair is still found
+
+    # identical non-empty docs all land in one bucket -> cap drops them
+    many = ["common boilerplate sentence repeated verbatim everywhere"] * 40
+    ds2 = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array(many, pa.string())})
+    )
+    capped = minhash_candidate_pairs(ds2, max_bucket=10).to_pandas()
+    assert len(capped) == 0
+
+
+def test_verify_pairs_distributed_matches_driver_verify():
+    """The in-cluster verify (bucket joins + per-batch Jaccard) returns
+    the same verified pairs as the driver-side reference implementation."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_datax_ray.stages.dedup import (
+        minhash_candidate_pairs,
+        verify_pairs,
+        verify_pairs_distributed,
+    )
+
+    SFD = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{SFD}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ds).materialize()
+    import pyarrow.parquet as pq
+
+    docs_tbl = pq.read_table(f"{SFD}/documents.parquet", columns=["doc_id", "text"])
+    pairs_tbl = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
+    want = verify_pairs(pairs_tbl, docs_tbl, threshold=0.5)
+    got = verify_pairs_distributed(
+        pairs, rd.from_arrow(docs_tbl), threshold=0.5, n_buckets=4
+    ).to_pandas()
+    w = {(a, b) for a, b in zip(want.column("id_a").to_pylist(),
+                                want.column("id_b").to_pylist())}
+    g = set(zip(got["id_a"], got["id_b"]))
+    assert g == w
