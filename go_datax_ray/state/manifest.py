@@ -137,12 +137,12 @@ class Manifest:
                 "max_lsn": int(ent["max_lsn"]),
                 "epoch": epoch,
             }
-        self.epoch = epoch
-        self.watermark_lsn = max(self.watermark_lsn, lsn_hi)
-        if schema_json:
-            self.schema_json = schema_json
-        self._save_atomic()
-        # lineage record: source offsets -> partitions -> files (+ speed)
+        # Commit record FIRST (fsync'd), manifest swap second: the manifest
+        # pointer is the single source of commit truth, so a crash between
+        # the two leaves an orphan record for an epoch the manifest never
+        # acknowledged — lineage() filters those out. The reverse order
+        # could acknowledge an epoch whose lineage record was lost
+        # (ADVICE r1, manifest.py:166).
         os.makedirs(os.path.join(self.lake_dir, COMMITS_DIR), exist_ok=True)
         events_total = sum(int(e["events"]) for e in entries)
         commit_rec = {
@@ -167,7 +167,15 @@ class Manifest:
         ctmp = cpath + ".tmp"
         with open(ctmp, "w") as f:
             json.dump(commit_rec, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(ctmp, cpath)
+        # manifest swap LAST — this is the commit point
+        self.epoch = epoch
+        self.watermark_lsn = max(self.watermark_lsn, lsn_hi)
+        if schema_json:
+            self.schema_json = schema_json
+        self._save_atomic()
         # superseded partition files are garbage once the manifest moved on
         # — unless history retention is on (time-travel reads via the
         # commit records; GC them later with gc_history())
@@ -230,13 +238,32 @@ class Manifest:
         return removed
 
     def lineage(self) -> list[dict[str, Any]]:
-        """All commit records in epoch order (per-partition lineage log)."""
+        """Commit records in epoch order, reconciled against the manifest:
+        records beyond ``self.epoch`` (orphans from a crash between the
+        record write and the manifest swap) are ignored; a MISSING record
+        for an acknowledged epoch fails loudly — silent gaps would make
+        time-travel views quietly inconsistent (ADVICE r1)."""
         cdir = os.path.join(self.lake_dir, COMMITS_DIR)
         if not os.path.isdir(cdir):
+            if self.epoch >= 0:
+                raise FileNotFoundError(
+                    f"manifest acknowledges epoch {self.epoch} but no commit "
+                    f"records exist under {cdir}"
+                )
             return []
         out = []
         for name in sorted(os.listdir(cdir)):
-            if name.endswith(".json"):
+            if name.endswith(".json") and not name.endswith(".tmp"):
                 with open(os.path.join(cdir, name)) as f:
-                    out.append(json.load(f))
+                    rec = json.load(f)
+                if rec["epoch"] <= self.epoch:
+                    out.append(rec)
+        seen = {rec["epoch"] for rec in out}
+        missing = [e for e in range(self.epoch + 1) if e not in seen]
+        if missing:
+            raise FileNotFoundError(
+                f"lineage gap: manifest acknowledges epoch {self.epoch} but "
+                f"commit records for epochs {missing[:5]}{'...' if len(missing) > 5 else ''} "
+                "are missing"
+            )
         return out

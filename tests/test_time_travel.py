@@ -61,3 +61,37 @@ def test_no_retention_default_rejects_time_travel(tmp_path):
     replay(SynthEventSource(N, CFG), ReplayConfig(lake_dir=lake, num_partitions=4, epoch_size=1000))
     with pytest.raises(FileNotFoundError, match="retain_history"):
         read_lake(lake, asof_epoch=0)
+
+
+def test_lineage_reconciles_with_manifest(tmp_path):
+    """Orphan commit records (crash between record write and manifest swap)
+    are ignored; a missing record for an acknowledged epoch fails loudly."""
+    import json
+    import os
+
+    import pytest
+
+    from go_datax_ray.pipelines.cdc_replay import ReplayConfig, SynthEventSource, replay
+    from go_datax_ray.state.manifest import COMMITS_DIR, Manifest
+    from go_datax_ray.synth import SynthConfig
+
+    lake = str(tmp_path / "lake")
+    replay(
+        SynthEventSource(3000, SynthConfig(n_urls=300)),
+        ReplayConfig(lake_dir=lake, num_partitions=4, epoch_size=1000),
+    )
+    man = Manifest.load(lake)
+    n = len(man.lineage())
+    assert n == man.epoch + 1
+
+    # orphan record beyond manifest.epoch -> silently excluded
+    orphan = os.path.join(lake, COMMITS_DIR, f"epoch-{man.epoch + 1:06d}.json")
+    with open(orphan, "w") as f:
+        json.dump({"epoch": man.epoch + 1, "lsn_lo": 0, "lsn_hi": 0,
+                   "partitions": {}}, f)
+    assert len(Manifest.load(lake).lineage()) == n
+
+    # missing record for an acknowledged epoch -> loud failure
+    os.remove(os.path.join(lake, COMMITS_DIR, "epoch-000000.json"))
+    with pytest.raises(FileNotFoundError, match="lineage gap"):
+        Manifest.load(lake).lineage()
