@@ -291,12 +291,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(counts, batch_format="pyarrow")
 
     def q_quality_score(sf_dir: str):
+        """Oracle-checked columns are the four exactly-SQL-expressible
+        ratios (int-count divisions are IEEE-bit-exact across engines);
+        the exp()-based composite `quality` is excluded from the driver
+        hash (libm last-ulp risk) and pinned by a pytest golden instead."""
         from go_datax_ray.stages.text import QualityScore
 
         rd = rd_lazy()
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return ds.map_batches(QualityScore, batch_format="pandas", concurrency=2).map_batches(
-            lambda t: t.select(["doc_id", "quality", "stopword_ratio"]), batch_format="pyarrow"
+            lambda t: t.select(
+                ["doc_id", "punct_ratio", "stopword_ratio", "mean_word_len", "alpha_ratio"]
+            ),
+            batch_format="pyarrow",
         )
 
     def q_lang_id(sf_dir: str):
@@ -393,19 +400,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"event_type": pa.array(vals, pa.string())})
 
     def q_ann_ivf(sf_dir: str):
-        """IVF (k-means cells + probes) approximate top-k; rows-only check
-        (clustering is not SQL-expressible). Self-hit asserted in tests."""
-        from go_datax_ray.stages.ann import ivf_topk
+        """IVF (k-means cells + probes) approximate top-k with a
+        recall-property oracle (VERDICT r1 #7): per query, recall@k vs
+        the exact brute-force scan must clear 0.6 (observed >=0.8 with
+        12/16 probes; the mean >=0.9 bar lives in pytest). k-means isn't
+        SQL-expressible, but the property gate is driver-hashable."""
+        from go_datax_ray.stages.ann import brute_force_topk, ivf_topk
 
         rd = rd_lazy()
         import pyarrow.parquet as pq
 
         qt = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
+        qids = qt.column("vec_id").to_pylist()[:ANN_NUM_QUERIES]
         queries_mat = np.asarray(
             qt.column("embedding").to_pylist()[:ANN_NUM_QUERIES], dtype=np.float64
         )
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-        return ivf_topk(ds, queries_mat, k=ANN_K, n_clusters=16, n_probes=4)
+        ivf = ivf_topk(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries_mat,
+            k=ANN_K, n_clusters=16, n_probes=12,
+        ).to_pandas()
+        bf = brute_force_topk(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries_mat, k=ANN_K
+        ).to_pandas()
+        rows = []
+        for q in range(ANN_NUM_QUERIES):
+            hit = set(ivf[ivf["query_id"] == q]["vec_id"]) & set(
+                bf[bf["query_id"] == q]["vec_id"]
+            )
+            rows.append({"query_id": qids[q], "recall_ok": len(hit) / ANN_K >= 0.6})
+        import pandas as pd
+
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
     # -- joins / lookups ---------------------------------------------------
     def q_broadcast_join(sf_dir: str):
@@ -596,12 +621,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_approx_distinct(sf_dir: str):
+        """Tolerance oracle (VERDICT r1 #7): emit the EXACT distinct count
+        (distributed Ray unique — SQL-checkable) plus the property that
+        the HLL estimate is within 5% of it; a drifting sketch flips the
+        boolean and fails the driver hash."""
         from go_datax_ray.stages.sampling import approx_distinct
 
         rd = rd_lazy()
         ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
         est = approx_distinct(ds, column="user_id")
-        return pa.table({"approx_distinct_users": pa.array([int(round(est))], pa.int64())})
+        exact = len(rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).unique("user_id"))
+        return pa.table(
+            {
+                "exact_distinct_users": pa.array([exact], pa.int64()),
+                "est_within_5pct": pa.array([abs(est / exact - 1.0) < 0.05], pa.bool_()),
+            }
+        )
 
     def q_snapshot_diff(sf_dir: str):
         """CDC bootstrap: diff two deterministic 'versions' of orders
@@ -696,7 +731,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _stopword_patterns():
+    """RE2/Python-compatible stopword alternations (verified count-exact on
+    this corpus, incl. accented stopwords) for the quality/lang oracles."""
+    from go_datax_ray.stages.text import _STOPWORDS
+
+    def pat(stops):
+        return r"\b(?:" + "|".join(sorted(stops, key=len, reverse=True)) + r")\b"
+
+    return pat(set().union(*_STOPWORDS.values())), {
+        lang: pat(s) for lang, s in _STOPWORDS.items() if lang != "ru"
+    }
+
+
 def oracle_sql() -> dict[str, str]:
+    all_stops_pat, lang_pats = _stopword_patterns()
+    lang_scores = ",\n                   ".join(
+        f"len(regexp_extract_all(lower(substr(coalesce(text,''),1,2000)), '{p}')) AS s_{l}"
+        for l, p in lang_pats.items()
+    )
+    best = "greatest(s_en,s_de,s_fr,s_es,s_pt)"
     cdc_final = """
         SELECT user_id, event_id AS lsn, ts, event_type, value FROM (
           SELECT *, row_number() OVER (
@@ -900,8 +954,66 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) rn
               FROM orders) WHERE rn <= 2
         """,
-        # minhash_dedup / simhash / embedding_neardup / quality_score /
-        # lang_id / media_features / ann_ivf / approx_distinct are not
-        # SQL-expressible (sketches, heuristics, clustering, stubbed
-        # codecs) -> rows-only.
+        # int-count divisions are IEEE-exact in both engines; the regexp
+        # counts were verified identical (RE2 vs Python re) on this corpus
+        "quality_score": f"""
+            WITH c AS (
+              SELECT doc_id,
+                     greatest(length(coalesce(text,'')), 1) AS nc,
+                     greatest(len(regexp_extract_all(lower(coalesce(text,'')), '\\w+')), 1) AS nw,
+                     len(regexp_extract_all(lower(coalesce(text,'')), '\\w+')) AS n_words,
+                     len(regexp_extract_all(lower(coalesce(text,'')), '\\w')) AS word_chars,
+                     len(regexp_extract_all(coalesce(text,''), '[^\\w\\s]')) AS punct,
+                     len(regexp_extract_all(lower(coalesce(text,'')), '{all_stops_pat}')) AS stops,
+                     len(regexp_extract_all(coalesce(text,''), '[^\\W\\d_]')) AS alpha
+              FROM documents)
+            SELECT doc_id,
+                   CAST(punct AS DOUBLE) / nc AS punct_ratio,
+                   CAST(stops AS DOUBLE) / nw AS stopword_ratio,
+                   CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / nw
+                        ELSE 0.0 END AS mean_word_len,
+                   CAST(alpha AS DOUBLE) / nc AS alpha_ratio
+            FROM c
+        """,
+        # replicates LangId exactly: stopword-vote idxmax (first-max wins in
+        # en,de,fr,es,pt order), >=2 threshold, single-hit-en special case,
+        # script overrides (kana > cjk > cyrillic), empty -> unk
+        "lang_id": f"""
+            WITH t AS (
+              SELECT doc_id, substr(coalesce(text,''),1,2000) AS smp,
+                   {lang_scores}
+              FROM documents)
+            SELECT doc_id,
+                   CASE
+                     WHEN length(smp) = 0 THEN 'unk'
+                     WHEN regexp_matches(smp, '[぀-ヿ]') THEN 'ja'
+                     WHEN regexp_matches(smp, '[一-鿿]') THEN 'zh'
+                     WHEN regexp_matches(smp, '[Ѐ-ӿ]') THEN 'ru'
+                     WHEN {best} >= 2 THEN
+                       CASE WHEN s_en = {best} THEN 'en'
+                            WHEN s_de = {best} THEN 'de'
+                            WHEN s_fr = {best} THEN 'fr'
+                            WHEN s_es = {best} THEN 'es'
+                            ELSE 'pt' END
+                     WHEN {best} = 1 AND s_en = 1 THEN 'en'
+                     ELSE 'unk'
+                   END AS lang_pred
+            FROM t
+        """,
+        # exact half is a true SQL oracle; the boolean is the HLL 5%
+        # tolerance property (engine-computed, driver-hashed)
+        "approx_distinct": """
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+                   TRUE AS est_within_5pct
+            FROM events
+        """,
+        # recall-property oracle: ids from SQL, recall@k>=0.6 as a hashed
+        # boolean (k-means itself is not SQL-expressible)
+        "ann_ivf": f"""
+            SELECT vec_id AS query_id, TRUE AS recall_ok
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ANN_NUM_QUERIES})
+        """,
+        # minhash_dedup / simhash / embedding_neardup / media_features /
+        # lineage are not SQL-expressible (sketches, banded LSH, stubbed
+        # codecs, manifest state) -> rows-only with pytest property gates.
     }

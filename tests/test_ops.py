@@ -354,3 +354,47 @@ def test_verify_pairs_distributed_matches_driver_verify():
                                 want.column("id_b").to_pylist())}
     g = set(zip(got["id_a"], got["id_b"]))
     assert g == w
+
+
+def test_quality_composite_golden():
+    """The exp()-based composite quality is excluded from the SQL oracle
+    (libm risk); pin it numerically here on a fixed corpus instead."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from go_datax_ray.stages.text import QualityScore
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScore, batch_format="pandas", concurrency=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    q = out["quality"].to_numpy()
+    assert ((q >= 0.0) & (q <= 1.0)).all()
+    # golden: quantized to 1e-9 so the hash is stable across platforms
+    # while still pinning the formula to 9 decimal places
+    digest = hashlib.md5(np.round(q, 9).tobytes()).hexdigest()
+    assert digest == "35c5adcdb826de2a7dbf14e6f5f1b9bd", digest
+
+
+def test_ann_ivf_recall_bar():
+    """Mean recall@5 vs exact brute force >= 0.9 at 12/16 probes."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from go_datax_ray.stages.ann import brute_force_topk, ivf_topk
+
+    sf = "/root/testdata/sf0.01"
+    qt = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    queries = np.asarray(qt.column("embedding").to_pylist()[:8], dtype=np.float64)
+    bf = brute_force_topk(rd.read_parquet(f"{sf}/embeddings.parquet"), queries, k=5).to_pandas()
+    ivf = ivf_topk(rd.read_parquet(f"{sf}/embeddings.parquet"), queries, k=5,
+                   n_clusters=16, n_probes=12).to_pandas()
+    recalls = [
+        len(set(bf[bf.query_id == q]["vec_id"]) & set(ivf[ivf.query_id == q]["vec_id"])) / 5
+        for q in range(8)
+    ]
+    assert min(recalls) >= 0.6
+    assert sum(recalls) / len(recalls) >= 0.9
