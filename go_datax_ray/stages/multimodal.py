@@ -1,14 +1,19 @@
 """Multimodal (image/audio/video) stages: opaque binary columns + typed
 metadata, processed by actor-pool map_batches stages.
 
-The decode kernels themselves are STUBBED — this container ships no
-image/audio codecs (no PIL/cv2/ffmpeg) — behind ``DecodeBackend``:
-``backend="fake"`` is a deterministic pure-python stand-in (tests run
-against it); ``backend="real"`` raises NotImplementedError at actor
-construction with the dependency named. Everything Ray-side is real:
-schema contract, actor-pool lifecycle (codec init once per actor),
-small batch sizes for large payloads, zero-copy Arrow in/out, and
-output layout.
+Codecs, via ``DecodeBackend``:
+  * ``backend="png"`` (default) — REAL pure-stdlib codecs
+    (stages/codecs.py): PNG decode/encode (zlib + full filter pipeline)
+    for images, RIFF/PCM16 WAV for audio. Actual bytes in, actual
+    pixels/samples out.
+  * ``backend="fake"`` — deterministic pseudo-decoder (payload bytes ->
+    pixels), kept for hermetic plumbing tests.
+  * ``backend="pil"`` — raises NotImplementedError at actor
+    construction: JPEG/WebP/video need PIL/cv2/ffmpeg, which this
+    container doesn't ship. The gate names the dependency.
+Everything Ray-side is real either way: schema contract, actor-pool
+lifecycle (codec init once per actor), small batch sizes for large
+payloads, zero-copy Arrow in/out, and output layout.
 
 Schema contract (media table):
     media_id: int64, kind: string in {image,audio,video},
@@ -42,16 +47,24 @@ class DecodeBackend:
     """Codec holder, constructed once per actor (the expensive part in a
     real deployment: lib init, model load, GPU context)."""
 
-    def __init__(self, backend: str = "fake"):
+    def __init__(self, backend: str = "png"):
         self.backend = backend
-        if backend == "real":
+        if backend == "pil" or backend == "real":
             raise NotImplementedError(
-                "real decode needs PIL/cv2/soundfile/ffmpeg — not shipped in "
-                "this container; run with backend='fake' or install codecs"
+                "JPEG/WebP/video decode needs PIL/cv2/soundfile/ffmpeg — not "
+                "shipped in this container; use backend='png' (pure-stdlib "
+                "PNG/WAV codecs) or backend='fake'"
             )
+        if backend not in ("png", "fake"):
+            raise ValueError(f"unknown decode backend {backend!r}")
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
-        """fake: deterministic pseudo-pixels from payload bytes."""
+        if self.backend == "png":
+            from .codecs import png_decode
+
+            img = png_decode(payload)
+            return img[:, :, None].repeat(3, axis=2) if img.ndim == 2 else img[:, :, :3]
+        # fake: deterministic pseudo-pixels from payload bytes
         seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "little")
         h = max(int(height), 1)
         w = max(int(width), 1)
@@ -61,7 +74,19 @@ class DecodeBackend:
             base = np.tile(base, reps)[: h * w * 3]
         return (base.reshape(h, w, 3).astype(np.int32) + seed % 256).astype(np.uint8)
 
+    def encode_image(self, img: np.ndarray) -> bytes:
+        if self.backend == "png":
+            from .codecs import png_encode
+
+            return png_encode(img)
+        return np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
     def decode_audio(self, payload: bytes, n_samples: int) -> np.ndarray:
+        if self.backend == "png":
+            from .codecs import wav_decode
+
+            wave, _sr = wav_decode(payload)
+            return wave if wave.ndim == 1 else wave.mean(axis=1)
         base = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
         n = max(int(n_samples), 1)
         if len(base) < n:
@@ -73,7 +98,7 @@ class ImageFeatures:
     """Actor-pool stage: decode + 8x8 mean-pool thumbnail features + a
     perceptual-ish hash. Small batch_size — payloads are wide rows."""
 
-    def __init__(self, backend: str = "fake"):
+    def __init__(self, backend: str = "png"):
         self.codec = DecodeBackend(backend)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -107,11 +132,10 @@ class ImageFeatures:
 
 class ImageResize:
     """Actor-pool stage: decode -> nearest-neighbour resize to
-    (out_w, out_h) -> re-encoded payload (fake backend: raw RGB bytes;
-    a real backend would produce an encoded image). Small batches —
-    wide rows."""
+    (out_w, out_h) -> re-encoded payload (png backend: a real PNG;
+    fake backend: raw RGB bytes). Small batches — wide rows."""
 
-    def __init__(self, out_w: int = 64, out_h: int = 64, backend: str = "fake"):
+    def __init__(self, out_w: int = 64, out_h: int = 64, backend: str = "png"):
         self.codec = DecodeBackend(backend)
         self.out_w, self.out_h = out_w, out_h
 
@@ -131,7 +155,7 @@ class ImageResize:
             xs = (np.arange(self.out_w) * img.shape[1] // self.out_w).clip(0, img.shape[1] - 1)
             resized = img[np.ix_(ys, xs)]
             ids.append(mid)
-            payloads.append(resized.tobytes())
+            payloads.append(self.codec.encode_image(resized))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -145,7 +169,7 @@ class ImageResize:
 class AudioFeatures:
     """Actor-pool stage: decode + frame-level RMS energy (vectorised)."""
 
-    def __init__(self, backend: str = "fake", frame: int = 1024):
+    def __init__(self, backend: str = "png", frame: int = 1024):
         self.codec = DecodeBackend(backend)
         self.frame = frame
 
@@ -203,17 +227,31 @@ def frame_sample(batch: pa.Table, *, every_n: int = 10) -> pa.Table:
 
 
 def make_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media table for tests/benchmarks."""
+    """Deterministic synthetic media table for tests/benchmarks. Image
+    payloads are REAL PNGs and audio payloads REAL PCM16 WAVs (encoded
+    with the pure-stdlib codecs); video payloads stay opaque bytes
+    (decode honestly gated — no ffmpeg in this container)."""
     from ..hashing import mix_streams
+    from .codecs import png_encode, wav_encode
 
     idx = np.arange(n, dtype=np.uint64)
     kinds = np.array(["image", "audio", "video"])[
         (mix_streams(idx, seed, 1) % np.uint64(3)).astype(np.int64)
     ]
     payloads = []
-    for i in range(n):
-        sub = mix_streams(np.arange(256 + i * 7, dtype=np.uint64), seed + i, 2)
-        payloads.append((sub % np.uint64(256)).astype(np.uint8).tobytes())
+    for i, kind in enumerate(kinds):
+        if kind == "image":
+            px = mix_streams(np.arange(16 * 16 * 3, dtype=np.uint64), seed + i, 2)
+            payloads.append(
+                png_encode((px % np.uint64(256)).astype(np.uint8).reshape(16, 16, 3))
+            )
+        elif kind == "audio":
+            sub = mix_streams(np.arange(4096, dtype=np.uint64), seed + i, 3)
+            wave = (sub % np.uint64(65536)).astype(np.float64) / 32767.5 - 1.0
+            payloads.append(wav_encode(wave, 16000))
+        else:
+            sub = mix_streams(np.arange(256 + i * 7, dtype=np.uint64), seed + i, 2)
+            payloads.append((sub % np.uint64(256)).astype(np.uint8).tobytes())
     return pa.Table.from_pydict(
         {
             "media_id": pa.array(np.arange(n), pa.int64()),

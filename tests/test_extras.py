@@ -197,7 +197,10 @@ def test_image_resize_stage():
     ).to_pandas()
     assert len(out) == (make_media_table(30).column("kind").to_pandas() == "image").sum()
     assert (out["width"] == 8).all() and (out["height"] == 4).all()
-    assert all(len(p) == 8 * 4 * 3 for p in out["payload"])  # RGB bytes
+    # payloads are REAL PNGs now (pure-stdlib codec)
+    from go_datax_ray.stages.codecs import png_decode
+
+    assert all(png_decode(p).shape == (4, 8, 3) for p in out["payload"])
     # deterministic
     out2 = ds.map_batches(
         ImageResize, fn_constructor_kwargs={"out_w": 8, "out_h": 4},
