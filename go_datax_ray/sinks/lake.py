@@ -13,10 +13,12 @@ copy-on-write partition merge:
     -> additive-evolve schemas -> concat with this epoch's LWW winners
     -> LWW again (old rows carry their own (warc_ts, lsn))
     -> sort by url (byte-deterministic file content)
-    -> write _tmp/part-{pid}-epoch-{e}.parquet
+    -> write the content-addressed final path part-{pid}/...-epoch-{e}
 
-Visibility is decided by the manifest commit (state.manifest) — the
-merge itself only produces tmp files, so retried tasks are harmless.
+Visibility is decided by the manifest commit (state.manifest): the
+written epoch file is invisible garbage until the manifest points at it,
+so retried tasks (deterministic bytes, same path) are harmless and NO
+rename is needed on data files — the data plane is S3-compatible.
 
 The merge runs inside ``groupby("part_id").map_groups`` after the
 key-hash shuffle: each invocation sees exactly one partition's events.
@@ -37,7 +39,7 @@ import pyarrow.parquet as pq
 
 from ..schema import conform, evolve
 from ..stages.lww import lww_sorted, lww_table
-from ..state.manifest import tmp_path
+from ..state.manifest import final_path
 
 # columns that belong to the engine, not the payload
 _ENGINE_COLS = ("part_id", "salt")
@@ -125,7 +127,7 @@ def make_partition_merger(
             merged = lww_sorted(new)
         if extract_missing_text:
             merged = _fill_text(merged)
-        out = tmp_path(lake_dir, pid, epoch)
+        out = final_path(lake_dir, pid, epoch)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         pq.write_table(merged, out, compression="zstd", compression_level=1,
                        row_group_size=64 * 1024)
@@ -157,8 +159,8 @@ def make_delta_merger(
     """Merge fn for the delta exchange: input batches carry partition ids;
     each pid's delta files (written by the partition-pruned
     ``write_parquet(partition_cols=["part_id"])`` stage) are read, LWW'd
-    against the committed partition file, and written to the epoch tmp
-    path. Duplicate delta rows from retried upstream write tasks are
+    against the committed partition file, and written to the epoch's
+    content-addressed final path (invisible until the manifest commit). Duplicate delta rows from retried upstream write tasks are
     harmless — LWW collapses them (idempotent reduction)."""
     import glob as _glob
 
@@ -187,7 +189,7 @@ def make_delta_merger(
                 new = lww_sorted(new)
             if extract_missing_text:
                 new = _fill_text(new)
-            outp = tmp_path(lake_dir, pid, epoch)
+            outp = final_path(lake_dir, pid, epoch)
             os.makedirs(os.path.dirname(outp), exist_ok=True)
             pq.write_table(new, outp, compression="zstd", compression_level=1,
                            row_group_size=64 * 1024)
@@ -283,7 +285,7 @@ def compact(lake_dir: str, *, drop_tombstones_below_lsn: int | None = None) -> d
         keep = pc.invert(pc.fill_null(is_dead_tomb, False))
         out = t.filter(keep)
         dropped += t.num_rows - out.num_rows
-        outp = tmp_path(lake_dir, pid, epoch)
+        outp = final_path(lake_dir, pid, epoch)
         os.makedirs(os.path.dirname(outp), exist_ok=True)
         pq.write_table(out, outp, compression="zstd", compression_level=1,
                        row_group_size=64 * 1024)

@@ -5,14 +5,19 @@ writes per-task temp paths and renames them at job Post
 (/root/reference/plugins/writer/hdfswriter/hdfs_writer.go:366-506; note the
 reference never actually wires job-level Post, SURVEY.md §3.1). Ours:
 
-  1. merge tasks write ``_tmp/part-{pid}-epoch-{e}.parquet`` with
-     DETERMINISTIC names and byte-deterministic content, so a retried Ray
-     task overwrites the same bytes (never double-applies);
-  2. the driver promotes tmp -> ``part={pid}/...`` with ``os.replace``
-     (atomic on one filesystem);
-  3. visibility is decided solely by ``_manifest.json``, itself replaced
-     atomically; a replay of an already-committed epoch is detected and
-     becomes a no-op (idempotent re-commit).
+  1. merge tasks write DIRECTLY to the content-addressed final path
+     ``part-{pid}/part-{pid}-epoch-{e}.parquet`` — deterministic name +
+     byte-deterministic content, so a retried Ray task overwrites the
+     same bytes (never double-applies). NO rename on data files, which
+     makes the data plane S3-compatible (object stores have no atomic
+     rename);
+  2. visibility is decided solely by ``_manifest.json``: an uncommitted
+     epoch file is invisible garbage until the manifest points at it.
+     The manifest swap itself uses ``os.replace`` locally; on S3-class
+     storage it maps to a conditional PUT / versioned pointer — a
+     single-object swap either way;
+  3. a replay of an already-committed epoch is detected and becomes a
+     no-op (idempotent re-commit).
 
 The manifest also carries the committed table schema (for Avro-style
 additive evolution) and per-partition lineage: source-offset watermark ->
@@ -35,15 +40,14 @@ from typing import Any
 
 MANIFEST_NAME = "_manifest.json"
 COMMITS_DIR = "_commits"
-TMP_DIR = "_tmp"
-
-
-def tmp_path(lake_dir: str, pid: int, epoch: int) -> str:
-    return os.path.join(lake_dir, TMP_DIR, f"part-{pid:05d}-epoch-{epoch:06d}.parquet")
 
 
 def final_path(lake_dir: str, pid: int, epoch: int) -> str:
-    # non-hive dir name (no '=') so read_parquet doesn't invent a partition col
+    """Content-addressed data file: a pure function of (partition, epoch).
+    Merge tasks write here directly; the manifest pointer decides
+    visibility, so no rename is ever needed on data files (S3-ready).
+    Non-hive dir name (no '=') so read_parquet doesn't invent a
+    partition column."""
     return os.path.join(lake_dir, f"part-{pid:05d}", f"part-{pid:05d}-epoch-{epoch:06d}.parquet")
 
 
@@ -124,10 +128,12 @@ class Manifest:
         old_files: list[str] = []
         for ent in entries:
             pid = int(ent["pid"])
-            src = tmp_path(self.lake_dir, pid, epoch)
             dst = final_path(self.lake_dir, pid, epoch)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
+            if not os.path.exists(dst):
+                raise FileNotFoundError(
+                    f"commit_epoch({epoch}): merge output missing for "
+                    f"partition {pid}: {dst}"
+                )
             prev = self.partitions.get(str(pid))
             if prev is not None:
                 old_files.append(os.path.join(self.lake_dir, prev["file"]))
