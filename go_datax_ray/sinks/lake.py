@@ -309,6 +309,53 @@ def compact(lake_dir: str, *, drop_tombstones_below_lsn: int | None = None) -> d
     return {"dropped_tombstones": dropped, "epoch": epoch}
 
 
+def delete_where(lake_dir: str, where: list[list]) -> dict[str, int]:
+    """ES deleteByConditions analogue (elasticsearch_writer.go:1257-1286):
+    flip every committed row matching the ``where`` conjunction
+    ([["col", op, value], ...], the parquet-reader filter grammar) to a
+    delete tombstone, in one atomically-committed epoch. Rows keep their
+    own (warc_ts, lsn), so the delete is exactly as durable as the state
+    it deleted — a later CDC event with a newer version key still wins
+    (the same semantics as deleteBy-then-index in the reference)."""
+    import pyarrow.compute as pc
+
+    from ..sources.parquet import build_filter
+    from ..state.manifest import Manifest
+
+    expr = build_filter(where)
+    if expr is None:
+        raise ValueError("delete_where needs at least one condition")
+    man = Manifest.load(lake_dir)
+    epoch = man.epoch + 1
+    entries = []
+    flipped = 0
+    for pid_s, ent in man.partitions.items():
+        pid = int(pid_s)
+        t = pq.read_table(os.path.join(lake_dir, ent["file"]))
+        import pyarrow.dataset as pads
+
+        # evaluate the expression as a boolean mask over the partition
+        mask_tbl = pads.dataset(t).scanner(columns={"_m": expr}).to_table()
+        mask = pc.fill_null(mask_tbl.column("_m"), False)
+        flips = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        if flips:
+            new_op = pc.if_else(mask, pa.scalar("D"), t.column("op"))
+            t = t.set_column(t.column_names.index("op"), "op", new_op)
+            flipped += flips
+        outp = final_path(lake_dir, pid, epoch)
+        os.makedirs(os.path.dirname(outp), exist_ok=True)
+        pq.write_table(t, outp, compression="zstd", compression_level=1,
+                       row_group_size=64 * 1024)
+        entries.append({"pid": pid, "rows": t.num_rows, "events": 0,
+                        "max_lsn": ent["max_lsn"]})
+    if entries:
+        man.commit_epoch(
+            epoch, lsn_lo=man.watermark_lsn, lsn_hi=man.watermark_lsn,
+            entries=entries, schema_json=man.schema_json or "", wall_s=0.0,
+        )
+    return {"deleted": flipped, "epoch": epoch}
+
+
 def read_lake_table(lake_dir: str, *, final_state: bool = True) -> pa.Table:
     """Driver-side small read of the whole lake (tests/golden checks only)."""
     from ..state.manifest import Manifest

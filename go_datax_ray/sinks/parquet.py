@@ -19,6 +19,30 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _apply_mappings(ds, colspec: list[dict[str, Any]], lenient: bool):
+    """ES index-mapping analogue (elasticsearch_writer.go:404-500): the
+    writer's declared column list becomes an enforced output schema —
+    each batch is cast through the §1.1 casting matrix and projected to
+    exactly the declared columns, in order."""
+    from ..stages.cast import cast_column
+
+    names = [c["name"] for c in colspec]
+    types = {c["name"]: c.get("type", "string") for c in colspec}
+
+    def conform_batch(t: pa.Table) -> pa.Table:
+        cols = []
+        for n in names:
+            if n in t.column_names:
+                cols.append(cast_column(t.column(n), types[n], lenient=lenient))
+            else:
+                from ..schema import REF_TYPE_MAP
+
+                cols.append(pa.nulls(t.num_rows, REF_TYPE_MAP[types[n]]))
+        return pa.table(dict(zip(names, cols)))
+
+    return ds.map_batches(conform_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def write(ds, param: dict[str, Any]) -> dict[str, Any]:
     path = param["path"]
     mode = param.get("writeMode", "append")
@@ -26,6 +50,9 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
         shutil.rmtree(path, ignore_errors=True)
     elif mode == "nonConflict" and os.path.isdir(path) and os.listdir(path):
         raise FileExistsError(f"writeMode=nonConflict but {path} is not empty")
+    colspec = param.get("column")
+    if colspec and colspec != ["*"] and isinstance(colspec[0], dict):
+        ds = _apply_mappings(ds, colspec, bool(param.get("lenientCast", False)))
     if mode == "upsert":
         return write_upsert(ds, param)
     n = ds.count()
@@ -42,6 +69,11 @@ def write_upsert(ds, param: dict[str, Any]) -> dict[str, Any]:
 
     key = param.get("primaryKey", "url")
     version_col = param.get("versionColumn")
+    # ES routing analogue (elasticsearch_writer.go:1361-1378): placement
+    # follows hash(routing column) instead of the key. Same contract as
+    # ES: a key's routing value must be stable across its versions, or
+    # the versions land in different partitions and won't merge.
+    routing = param.get("routing")
     man = Manifest.load(param["path"])
     base_lsn = man.watermark_lsn + 1
 
@@ -51,6 +83,8 @@ def write_upsert(ds, param: dict[str, Any]) -> dict[str, Any]:
         out = batch
         if key != "url":
             out = out.append_column("url", pc.cast(out.column(key), pa.string()))
+        if routing:
+            out = out.append_column("_routing", pc.cast(out.column(routing), pa.string()))
         if version_col:
             out = out.append_column("warc_ts", out.column(version_col).cast(pa.timestamp("us")))
         elif "warc_ts" not in out.column_names:
@@ -80,6 +114,7 @@ def write_upsert(ds, param: dict[str, Any]) -> dict[str, Any]:
         ReplayConfig(
             lake_dir=param["path"],
             num_partitions=int(param.get("numPartitions", 16)),
+            key="_routing" if routing else "url",
         ),
     )
     return {"records": res.events, "path": param["path"]}

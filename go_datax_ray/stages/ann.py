@@ -19,6 +19,17 @@ import ray
 
 
 def _to_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, dim) float64, via the flattened values
+    buffer (no per-row Python lists) when lengths are uniform."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        if col.null_count == 0:
+            vals = col.flatten().to_numpy(zero_copy_only=False)
+            n = len(col)
+            if n and vals.size % n == 0:
+                return vals.reshape(n, vals.size // n).astype(np.float64, copy=False)
     return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
@@ -48,6 +59,44 @@ class BatchTopK:
                 "query_id": pa.array(qidx, pa.int64()),
                 self.id_col: pa.array(ids[cand], pa.int64()),
                 "cosine": pa.array(sims[qidx, cand], pa.float64()),
+            }
+        )
+
+
+class MaskedTopK:
+    """Actor-pool stage for probe-pruned search: per-query local top-k
+    over ONLY the rows whose group (cell/bucket) the query probes.
+    Fully vectorised: disallowed (query, row) sims are set to -inf
+    BEFORE the top-k, so probe filtering costs one boolean gather and
+    never wastes top-k slots on rows the query won't accept
+    (VERDICT r1 minor #8)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, probe_mask: np.ndarray,
+                 group_col: str):
+        self.q = _normalize(ray.get(queries_ref))
+        self.k = k
+        self.id_col = id_col
+        self.mask = probe_mask  # (Q, n_groups) bool
+        self.group_col = group_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_to_matrix(batch.column("vec")))
+        ids = batch.column(self.id_col).to_numpy()
+        groups = batch.column(self.group_col).to_numpy().astype(np.int64)
+        sims = self.q @ mat.T  # (Q, B)
+        sims = np.where(self.mask[:, groups], sims, -np.inf)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        qn, kn = top.shape
+        qidx = np.repeat(np.arange(qn, dtype=np.int64), kn)
+        cand = top.ravel()
+        vals = sims[qidx, cand]
+        keep = np.isfinite(vals)
+        return pa.table(
+            {
+                "query_id": pa.array(qidx[keep], pa.int64()),
+                self.id_col: pa.array(ids[cand[keep]], pa.int64()),
+                "cosine": pa.array(vals[keep], pa.float64()),
             }
         )
 
@@ -150,29 +199,14 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_clusters: int = 16,
 
     pruned = ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
     qref = ray.put(q)
+    # (Q, n_cells) probe-membership mask — the vectorised keep-filter
+    probe_mask = np.zeros((q.shape[0], centroids.shape[0]), dtype=bool)
+    for qi, row in enumerate(probe_cells):
+        probe_mask[qi, row] = True
 
-    class CellTopK(BatchTopK):
-        def __init__(self, queries_ref, k, id_col, probe_cells):
-            super().__init__(queries_ref, k, "vec", id_col)
-            self.probe_cells = probe_cells
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = super().__call__(batch)
-            cells = dict(
-                zip(batch.column(self.id_col).to_pylist(), batch.column("cell").to_pylist())
-            )
-            keep = [
-                cells[v] in self.probe_cells[qi]
-                for qi, v in zip(
-                    out.column("query_id").to_pylist(), out.column(self.id_col).to_pylist()
-                )
-            ]
-            return out.filter(pa.array(keep))
-
-    probe_sets = [set(row.tolist()) for row in probe_cells]
     cands = pruned.map_batches(
-        CellTopK,
-        fn_constructor_args=(qref, k, id_col, probe_sets),
+        MaskedTopK,
+        fn_constructor_args=(qref, k, id_col, probe_mask, "cell"),
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
@@ -227,25 +261,14 @@ def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, n_planes: int = 8, seed: i
     )
 
     qref = ray.put(q)
-
-    class ProbeTopK(BatchTopK):
-        def __init__(self, queries_ref, k, vec_col, id_col, buckets_per_query):
-            super().__init__(queries_ref, k, "vec", id_col)
-            self.buckets_per_query = buckets_per_query
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = super().__call__(batch)
-            # keep only (query, candidate) pairs whose bucket the query probes
-            bks = dict(zip(batch.column(self.id_col).to_pylist(), batch.column("bucket").to_pylist()))
-            keep = [
-                bks[v] in self.buckets_per_query[qi]
-                for qi, v in zip(out.column("query_id").to_pylist(), out.column(self.id_col).to_pylist())
-            ]
-            return out.filter(pa.array(keep))
+    # (Q, 2^n_planes) probe-membership mask (vectorised keep-filter)
+    probe_mask = np.zeros((q.shape[0], 1 << n_planes), dtype=bool)
+    for qi, buckets in enumerate(target_buckets):
+        probe_mask[qi, sorted(buckets)] = True
 
     cands = pruned.map_batches(
-        ProbeTopK,
-        fn_constructor_args=(qref, k, vec_col, id_col, target_buckets),
+        MaskedTopK,
+        fn_constructor_args=(qref, k, id_col, probe_mask, "bucket"),
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),

@@ -57,7 +57,8 @@ def token_stats(batch: pd.DataFrame, *, text_col: str = "text") -> pd.DataFrame:
     s = batch[text_col].fillna("")
     batch["n_chars"] = s.str.len().astype("int64")
     batch["n_tokens_ws"] = s.str.split().str.len().fillna(0).astype("int64")
-    batch["n_tokens_bpe"] = s.map(lambda t: len(_BPE_RE.findall(t))).astype("int64")
+    # str.count(compiled_re) == len(findall) and runs in the C regex loop
+    batch["n_tokens_bpe"] = s.str.count(_BPE_RE).astype("int64")
     return batch
 
 
@@ -149,21 +150,50 @@ def fingerprint_md5(batch: pa.Table, *, text_col: str = "text", out_col: str = "
 
 
 _FP_BASE = np.uint64(1000003)
+_FP_INIT = np.uint64(1469598103934665603)
+_FP_WORD_CACHE: dict[str, int] = {}
+_FP_POWERS = np.ones(1, dtype=np.uint64)  # B^0; grown on demand
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    """Descending powers [B^(n-1) .. B^0] mod 2^64, cached."""
+    global _FP_POWERS
+    if len(_FP_POWERS) < n:
+        with np.errstate(over="ignore"):
+            ext = np.empty(n, dtype=np.uint64)
+            ext[: len(_FP_POWERS)] = _FP_POWERS
+            for i in range(len(_FP_POWERS), n):
+                ext[i] = ext[i - 1] * _FP_BASE
+            _FP_POWERS = ext
+    return _FP_POWERS[:n][::-1]
 
 
 def fingerprint_rolling(batch: pa.Table, *, text_col: str = "text", out_col: str = "fp_roll") -> pa.Table:
     """64-bit polynomial rolling hash over word tokens (Rabin–Karp style):
-    order-sensitive document fingerprint, cheap to compute incrementally."""
+    order-sensitive document fingerprint, cheap to compute incrementally.
+    Horner's loop closed-form: h = INIT*B^m + sum(wh_i * B^(m-1-i)) mod
+    2^64 — one numpy dot per doc; per-word md5 runs only on cache misses
+    (vocabularies repeat heavily across documents)."""
     out = np.zeros(batch.num_rows, dtype=np.uint64)
+    cache = _FP_WORD_CACHE
+    md5 = hashlib.md5
     with np.errstate(over="ignore"):
         for i, t in enumerate(batch.column(text_col).to_pylist()):
             if not t:
                 continue
-            h = np.uint64(1469598103934665603)
-            for w in t.split():
-                wh = np.uint64(
-                    int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
-                )
-                h = h * _FP_BASE + wh
-            out[i] = h
+            words = t.split()
+            wh = np.fromiter(
+                (
+                    cache.get(w)
+                    or cache.setdefault(
+                        w, int.from_bytes(md5(w.encode("utf-8")).digest()[:8], "little")
+                    )
+                    for w in words
+                ),
+                dtype=np.uint64,
+                count=len(words),
+            )
+            m = len(wh)
+            h = _FP_INIT * np.uint64(pow(int(_FP_BASE), m, 1 << 64))
+            out[i] = h + (wh * _fp_powers(m)).sum(dtype=np.uint64)
     return batch.append_column(out_col, pa.array(out.astype(np.int64).tolist(), pa.int64()))

@@ -1,0 +1,107 @@
+"""MinHash corpus-dedup soak: scale the documents table Nx, run the full
+in-cluster pipeline (candidates -> distributed verify -> filter), and
+report wall time, pair counts, and peak driver RSS.
+
+The round-1 verdict's acceptance test for de-drivering the verify step:
+at >=10x sf0.1 the driver RSS must stay flat (ids/edges only — no
+document text on the driver), and verified_pairs at 1x must match the
+pre-rewrite count.
+
+Usage: python scripts/dedup_soak.py [multiplier] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def scaled_docs(sf_dir: str, mult: int):
+    """documents table tiled ``mult`` times with shifted doc_ids and a
+    deterministic word-level perturbation on the copies (so copies are
+    NEAR-dups of the originals — the realistic web-corpus profile —
+    rather than exact dups of everything)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_base = base.count()
+
+    def make_copy(i: int):
+        def shift(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy() + i * n_base
+            texts = t.column("text").to_pylist()
+            if i > 0:
+                # drop one word per doc, position varies by copy index
+                out = []
+                for d, x in zip(ids, texts):
+                    w = (x or "").split()
+                    if len(w) > 3:
+                        w.pop(int(d) % len(w))
+                    out.append(" ".join(w))
+                texts = out
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.large_string()
+                                     if t.column("text").type == pa.large_string()
+                                     else pa.string()),
+                }
+            )
+
+        return base.map_batches(shift, batch_format="pyarrow")
+
+    ds = make_copy(0)
+    for i in range(1, mult):
+        ds = ds.union(make_copy(i))
+    return ds, n_base
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    import ray
+
+    ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from go_datax_ray.stages.dedup import minhash_dedup_corpus
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    ds, n_base = scaled_docs(sf_dir, mult)
+    t0 = time.perf_counter()
+    deduped, stats = minhash_dedup_corpus(ds, threshold=0.7)
+    n_out = deduped.count()
+    wall = time.perf_counter() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    print(
+        json.dumps(
+            {
+                "metric": "minhash_dedup_soak",
+                "multiplier": mult,
+                "docs_in": n_base * mult,
+                "docs_out": n_out,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(n_base * mult / wall, 1),
+                "driver_peak_rss_mb": round(rss1 / 1024, 1),
+                "driver_rss_growth_mb": round((rss1 - rss0) / 1024, 1),
+                **stats,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -266,3 +266,56 @@ def test_jsonl_writer_reader_roundtrip(tmp_path):
     ).df()
     got_first = sorted(res2.sink_result["lines"])[:3]
     assert all("\t" in ln for ln in got_first)
+
+
+def test_delete_where_and_routing_and_mappings(tmp_path):
+    """ES-writer analogue knobs: deleteBy conditions, routing column,
+    index-mapping (declared output schema) enforcement."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_datax_ray.sinks.lake import delete_where, read_lake_table
+    from go_datax_ray.sinks.parquet import write as pwrite
+
+    lake = str(tmp_path / "lake")
+    t = pa.table({
+        "pk": pa.array([1, 2, 3, 4], pa.int64()),
+        "grp": ["a", "a", "b", "b"],
+        "v": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+        "ver": pa.array([1, 1, 1, 1], pa.timestamp("us")),
+    })
+    pwrite(rd.from_arrow(t), {"path": lake, "writeMode": "upsert",
+                              "primaryKey": "pk", "versionColumn": "ver",
+                              "routing": "grp", "numPartitions": 4})
+    full = read_lake_table(lake)
+    assert full.num_rows == 4
+    # routing: all rows of one grp share a partition
+    df = full.select(["grp", "part_id"]).to_pandas()
+    assert df.groupby("grp")["part_id"].nunique().max() == 1
+
+    out = delete_where(lake, [["grp", "=", "a"], ["v", "<", 15.0]])
+    assert out["deleted"] == 1
+    left = read_lake_table(lake).to_pandas()
+    assert sorted(left["pk"]) == [2, 3, 4]
+    # delete survives an unrelated subsequent upsert (tombstone committed)
+    t2 = pa.table({"pk": pa.array([5], pa.int64()), "grp": ["c"],
+                   "v": pa.array([50.0], pa.float64()),
+                   "ver": pa.array([2], pa.timestamp("us"))})
+    pwrite(rd.from_arrow(t2), {"path": lake, "writeMode": "upsert",
+                               "primaryKey": "pk", "versionColumn": "ver",
+                               "routing": "grp", "numPartitions": 4})
+    assert sorted(read_lake_table(lake).to_pandas()["pk"]) == [2, 3, 4, 5]
+
+    # mappings: declared columns become the enforced output schema
+    outp = str(tmp_path / "plain")
+    res = pwrite(rd.from_arrow(t), {
+        "path": outp,
+        "column": [{"name": "pk", "type": "string"}, {"name": "v", "type": "long"}],
+    })
+    assert res["records"] == 4
+    import pyarrow.parquet as pq
+
+    got = pq.read_table(outp)
+    assert got.column_names == ["pk", "v"]
+    assert got.schema.field("pk").type == pa.string()
+    assert got.schema.field("v").type == pa.int64()
