@@ -224,6 +224,23 @@ _LOG = __import__("logging").getLogger("go_datax_ray.dedup")
 MAX_LSH_BUCKET = 512
 
 
+def _shuffle_blocks(requested: int | None) -> int:
+    """Bound the block count feeding a sort shuffle: Ray's sort shuffle
+    materialises O(blocks x reducers) object refs on the driver (reducers
+    = input blocks), so unbounded map-stage block counts quadratically
+    blow up driver heap. Default: 2 blocks per CPU, floor 64 — sized so
+    reducers track cluster parallelism, not upstream file count."""
+    if requested is not None:
+        return requested
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:  # noqa: BLE001 — not initialised yet
+        cpus = 32
+    return max(64, cpus * 2)
+
+
 def _bucket_pair_fn(id_col: str, max_bucket: int, what: str):
     """Vectorised all-pairs within one LSH bucket, size-capped."""
 
@@ -255,7 +272,8 @@ def _distinct_pairs(pairs):
 
 def minhash_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                             num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42,
-                            min_shingles: int = 1, max_bucket: int = MAX_LSH_BUCKET):
+                            min_shingles: int = 1, max_bucket: int = MAX_LSH_BUCKET,
+                            shuffle_blocks: int | None = None):
     """docs -> candidate duplicate id pairs (a < b), deduplicated.
     Shuffle key: (band, band_hash); docs sharing any band bucket pair up."""
     lsh = ds.map_batches(
@@ -267,6 +285,7 @@ def minhash_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+    lsh = lsh.repartition(_shuffle_blocks(shuffle_blocks))
     pairs = lsh.groupby(["band", "band_hash"]).map_groups(
         _bucket_pair_fn(id_col, max_bucket, "minhash LSH"), batch_format="pyarrow"
     )
@@ -309,25 +328,67 @@ def verify_pairs_distributed(pairs_ds, cand_docs_ds, *, text_col: str = "text",
     project exactly (id_col, text_col)."""
     from .joins import bucket_hash_join
 
-    docs_a = cand_docs_ds.map_batches(
-        lambda t: pa.table({"id_a": t.column(id_col), "_text_a": t.column(text_col)}),
-        batch_format="pyarrow",
+    # fixed projections -> statically-known schemas for the joins (no
+    # Dataset.schema() partial execution on the driver)
+    def proj(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    f"id_{side}": t.column(id_col).cast(pa.int64()),
+                    f"_text_{side}": t.column(text_col).cast(pa.large_string()),
+                }
+            )
+
+        return fn
+
+    def pair_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t.column("id_a").cast(pa.int64()),
+                "id_b": t.column("id_b").cast(pa.int64()),
+            }
+        )
+
+    pairs_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    docs_a_schema = pa.schema([("id_a", pa.int64()), ("_text_a", pa.large_string())])
+    docs_b_schema = pa.schema([("id_b", pa.int64()), ("_text_b", pa.large_string())])
+    j1_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("_text_a", pa.large_string())]
     )
-    docs_b = cand_docs_ds.map_batches(
-        lambda t: pa.table({"id_b": t.column(id_col), "_text_b": t.column(text_col)}),
-        batch_format="pyarrow",
+    docs_a = cand_docs_ds.map_batches(proj("a"), batch_format="pyarrow")
+    docs_b = cand_docs_ds.map_batches(proj("b"), batch_format="pyarrow")
+    j = bucket_hash_join(
+        pairs_ds.map_batches(pair_proj, batch_format="pyarrow"), docs_a,
+        on="id_a", n_buckets=n_buckets, schemas=(pairs_schema, docs_a_schema),
     )
-    j = bucket_hash_join(pairs_ds, docs_a, on="id_a", n_buckets=n_buckets)
-    j = bucket_hash_join(j, docs_b, on="id_b", n_buckets=n_buckets)
+    j = bucket_hash_join(
+        j, docs_b, on="id_b", n_buckets=n_buckets, schemas=(j1_schema, docs_b_schema),
+    )
 
     def verify(t: pa.Table) -> pa.Table:
         ia = t.column("id_a").to_pylist()
         ib = t.column("id_b").to_pylist()
         ta = t.column("_text_a").to_pylist()
         tb = t.column("_text_b").to_pylist()
+        # shingle ONCE per doc in the batch, not once per pair: a popular
+        # near-dup appears in many pairs (bucket joins co-locate a doc's
+        # pairs, so the hit rate is high)
+        sh_cache: dict[int, np.ndarray] = {}
+
+        def shingles(doc_id: int, text: str | None) -> np.ndarray:
+            s = sh_cache.get(doc_id)
+            if s is None:
+                s = sh_cache.setdefault(doc_id, _shingle_hashes(text or "", k))
+            return s
+
         oa, ob, sim = [], [], []
         for a, b, x, y in zip(ia, ib, ta, tb):
-            jac = ngram_jaccard(x or "", y or "", k=k)
+            sa, sb = shingles(a, x), shingles(b, y)
+            if len(sa) == 0 and len(sb) == 0:
+                jac = 1.0
+            else:
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                jac = inter / (len(sa) + len(sb) - inter)
             if jac >= threshold:
                 oa.append(a)
                 ob.append(b)
@@ -466,7 +527,7 @@ def simhash_candidate_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
 
     exploded = hashed.select_columns([id_col, "simhash"]).map_batches(
         explode_bands, batch_format="pyarrow"
-    )
+    ).repartition(_shuffle_blocks(None))
 
     empty = pa.table(
         {
@@ -588,7 +649,9 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95, n_planes: 
             }
         )
 
-    pairs = bucketed.groupby("bucket").map_groups(in_bucket, batch_format="pyarrow")
+    pairs = bucketed.repartition(_shuffle_blocks(None)).groupby("bucket").map_groups(
+        in_bucket, batch_format="pyarrow"
+    )
     from ray.data.aggregate import Max
 
     # distinct (cosine identical across bucket collisions of a pair)

@@ -96,7 +96,8 @@ def _add_bucket(t: pa.Table, key: str, n_buckets: int, side: str) -> pa.Table:
 
 def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
                      how: Literal["inner", "left"] = "inner", suffix: str = "_r",
-                     n_salts: int = 1):
+                     n_salts: int = 1,
+                     schemas: tuple[pa.Schema, pa.Schema] | None = None):
     """Partitioned hash join of two Datasets on ``on``.
 
     Both sides are union'd with a bucket tag, one groupby("_bucket")
@@ -112,8 +113,14 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
 
     from ..schema import conform
 
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+    if schemas is not None:
+        # caller-supplied schemas skip Dataset.schema(), which EXECUTES a
+        # partial plan and fetches a sample block (with payload) into the
+        # driver — measured ~0.5 GB driver RSS on the dedup-verify joins
+        l_schema, r_schema = schemas
+    else:
+        l_schema = left.schema().base_schema
+        r_schema = right.schema().base_schema
     l_names = list(l_schema.names)
     r_names = list(r_schema.names)
     # union schema: left columns then right-only columns (join key shared)
@@ -158,6 +165,14 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
     both = left.map_batches(prep("l"), batch_format="pyarrow").union(
         right.map_batches(prep("r"), batch_format="pyarrow")
     )
+    # Bound the sort-shuffle fan-out: reducer count follows input block
+    # count, and the shuffle materialises O(blocks x reducers) object refs
+    # in the driver — with only n_buckets*n_salts distinct groups, any
+    # reducer beyond that is pure overhead. Coalescing to the group count
+    # turned a 331k-ref (~1 GB driver heap) shuffle into a ~1k-ref one on
+    # the dedup-verify joins.
+    total_groups = n_buckets * max(n_salts, 1)
+    both = both.repartition(total_groups)
 
     def join_bucket(g: pa.Table) -> pa.Table:
         # Split sides as ARROW tables first: within a side the union's
