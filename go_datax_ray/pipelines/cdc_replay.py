@@ -172,16 +172,21 @@ def _exchange_and_merge(ds, cfg: ReplayConfig, man: Manifest, epoch: int,
     from ..sinks.lake import make_delta_merger
 
     if cfg.exchange == "delta":
-        delta_dir = os.path.join(cfg.lake_dir, "_delta", f"epoch-{epoch:06d}")
-        shutil.rmtree(delta_dir, ignore_errors=True)  # idempotent epoch restart
+        from ..state.fs import LakeFS
+
+        fsh = LakeFS(cfg.lake_dir)
+        delta_dir = fsh.join("_delta", f"epoch-{epoch:06d}")
+        fsh.rmtree(delta_dir)  # idempotent epoch restart
         # lz4 for intra-epoch delta temporaries: measured fastest
         # encode+decode of the codecs available (they live minutes)
-        ds.write_parquet(delta_dir, partition_cols=["part_id"], compression="lz4")
+        pafs = fsh.pa_filesystem()
+        ds.write_parquet(delta_dir, partition_cols=["part_id"], compression="lz4",
+                         **({"filesystem": pafs} if pafs is not None else {}))
         pids = sorted(
             int(d.split("=", 1)[1])
-            for d in os.listdir(delta_dir)
+            for d in fsh.listdir(delta_dir)
             if d.startswith("part_id=")
-        ) if os.path.isdir(delta_dir) else []
+        ) if fsh.isdir(delta_dir) else []
         if not pids:
             return []
         merge = make_delta_merger(
@@ -190,7 +195,7 @@ def _exchange_and_merge(ds, cfg: ReplayConfig, man: Manifest, epoch: int,
         )
         pid_ds = rd.from_items([{"pid": p} for p in pids], override_num_blocks=len(pids))
         entries = pid_ds.map_batches(merge, batch_format="numpy", batch_size=1).take_all()
-        shutil.rmtree(delta_dir, ignore_errors=True)
+        fsh.rmtree(delta_dir)
         return entries
 
     if cfg.exchange == "repartition":
@@ -270,6 +275,16 @@ def replay(source: EventSource, cfg: ReplayConfig) -> ReplayResult:
 
         metrics = get_metrics_actor()
 
+    from ..state.fs import LakeFS
+
+    fsh = LakeFS(cfg.lake_dir)
+    if not fsh.local:
+        # no POSIX flock on object stores: single-writer coordination is
+        # the deployment's job there (e.g. one replay job per lake); the
+        # manifest watermark still makes concurrent replays safe, just
+        # not mutually exclusive
+        fsh.makedirs(fsh.root)
+        return _replay_locked(source, cfg, metrics)
     _os.makedirs(cfg.lake_dir, exist_ok=True)
     lock_f = open(_os.path.join(cfg.lake_dir, "_writer.lock"), "w")
     try:

@@ -18,6 +18,7 @@ from .sinks import parquet as parquet_sink
 from .sinks import stream as stream_sink
 from .sinks import txtfile as txtfile_sink
 from .sources import jsonfile as jsonfile_src
+from .sources import orcfile
 from .sources import parquet as parquet_src
 from .sources import sqldb
 from .sources import stream as stream_src
@@ -60,6 +61,7 @@ SOURCES = {
     "parquetreader": parquet_src.read,
     "sqlitereader": sqldb.read,  # real DB-API source
     "sqlreader": sqldb.read,
+    "orcfilereader": orcfile.read,  # real ORC (the reference's hdfs ORC path is a stub)
 }
 
 # The reference's network RDBMS/warehouse readers map onto the parquet
@@ -80,6 +82,7 @@ SINKS = {
     "parquetwriter": parquet_sink.write,
     "sqlitewriter": sqldb.write,  # real DB-API sink
     "sqlwriter": sqldb.write,
+    "orcfilewriter": orcfile.write,
 }
 
 # Network RDBMS/warehouse writers -> parquet sink (writeMode=upsert gives

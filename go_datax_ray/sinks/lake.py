@@ -39,6 +39,7 @@ import pyarrow.parquet as pq
 
 from ..schema import conform, evolve
 from ..stages.lww import lww_sorted, lww_table
+from ..state.fs import LakeFS
 from ..state.manifest import final_path
 
 # columns that belong to the engine, not the payload
@@ -113,12 +114,13 @@ def make_partition_merger(
     """
 
     def merge(group: pa.Table) -> pa.Table:
+        fsh = LakeFS(lake_dir)  # per-task; fsspec caches filesystems
         pid = int(group.column("part_id")[0].as_py())
         events = group.num_rows
         new = _strip_engine_cols(group)
         old_path = committed.get(pid)
-        if old_path is not None and os.path.exists(old_path):
-            old = pq.read_table(old_path)
+        if old_path is not None and fsh.exists(old_path):
+            old = fsh.read_parquet(old_path)
             target = evolve(old.schema, new.schema)
             merged = lww_sorted(
                 pa.concat_tables([conform(old, target), conform(new, target)])
@@ -128,9 +130,9 @@ def make_partition_merger(
         if extract_missing_text:
             merged = _fill_text(merged)
         out = final_path(lake_dir, pid, epoch)
-        os.makedirs(os.path.dirname(out), exist_ok=True)
-        pq.write_table(merged, out, compression="zstd", compression_level=1,
-                       row_group_size=64 * 1024)
+        fsh.makedirs(out.rsplit("/", 1)[0] if not fsh.local else os.path.dirname(out))
+        fsh.write_parquet(merged, out, compression="zstd", compression_level=1,
+                          row_group_size=64 * 1024)
         if metrics is not None:
             metrics.inc.remote(f"partition/{pid}/events", events)
         return pa.table(
@@ -165,13 +167,17 @@ def make_delta_merger(
     import glob as _glob
 
     def merge_pids(batch: dict) -> pa.Table:
+        fsh = LakeFS(lake_dir)
         out: list[pa.Table] = []
         for pid in batch["pid"]:
             pid = int(pid)
-            files = sorted(_glob.glob(os.path.join(delta_dir, f"part_id={pid}", "*.parquet")))
+            pat = (os.path.join if fsh.local else __import__("posixpath").join)(
+                delta_dir, f"part_id={pid}", "*.parquet"
+            )
+            files = sorted(_glob.glob(pat) if fsh.local else fsh.fs.glob(pat))
             if not files:
                 continue
-            parts = [pq.read_table(f) for f in files]
+            parts = [fsh.read_parquet(f) for f in files]
             target = parts[0].schema
             for p in parts[1:]:
                 target = evolve(target, p.schema)
@@ -181,8 +187,8 @@ def make_delta_merger(
                 "part_id", pa.array(np.full(new.num_rows, pid), pa.int64())
             )
             old_path = committed.get(pid)
-            if old_path is not None and os.path.exists(old_path):
-                old = pq.read_table(old_path)
+            if old_path is not None and fsh.exists(old_path):
+                old = fsh.read_parquet(old_path)
                 t2 = evolve(old.schema, new.schema)
                 new = lww_sorted(pa.concat_tables([conform(old, t2), conform(new, t2)]))
             else:
@@ -190,9 +196,9 @@ def make_delta_merger(
             if extract_missing_text:
                 new = _fill_text(new)
             outp = final_path(lake_dir, pid, epoch)
-            os.makedirs(os.path.dirname(outp), exist_ok=True)
-            pq.write_table(new, outp, compression="zstd", compression_level=1,
-                           row_group_size=64 * 1024)
+            fsh.makedirs(outp.rsplit("/", 1)[0] if not fsh.local else os.path.dirname(outp))
+            fsh.write_parquet(new, outp, compression="zstd", compression_level=1,
+                              row_group_size=64 * 1024)
             if metrics is not None:
                 metrics.inc.remote(f"partition/{pid}/events", events)
             out.append(
@@ -244,7 +250,9 @@ def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: b
     if final_state and columns is not None and "op" not in columns:
         read_cols = list(columns) + ["op"]  # needed for the tombstone filter
         drop_op = True
-    ds = rd.read_parquet(files, columns=read_cols)
+    pafs = man.fsh.pa_filesystem()
+    ds = rd.read_parquet(files, columns=read_cols,
+                         **({"filesystem": pafs} if pafs is not None else {}))
     if final_state:
         def _final(t: pa.Table) -> pa.Table:
             t = t.filter(pa.compute.not_equal(t.column("op"), pa.scalar("D")))
@@ -277,7 +285,7 @@ def compact(lake_dir: str, *, drop_tombstones_below_lsn: int | None = None) -> d
     dropped = 0
     for pid_s, ent in man.partitions.items():
         pid = int(pid_s)
-        t = pq.read_table(os.path.join(lake_dir, ent["file"]))
+        t = man.fsh.read_parquet(man.fsh.join(ent["file"]))
         is_dead_tomb = pc.and_(
             pc.equal(t.column("op"), pa.scalar("D")),
             pc.less(t.column("lsn"), pa.scalar(horizon, pa.int64())),
@@ -286,9 +294,9 @@ def compact(lake_dir: str, *, drop_tombstones_below_lsn: int | None = None) -> d
         out = t.filter(keep)
         dropped += t.num_rows - out.num_rows
         outp = final_path(lake_dir, pid, epoch)
-        os.makedirs(os.path.dirname(outp), exist_ok=True)
-        pq.write_table(out, outp, compression="zstd", compression_level=1,
-                       row_group_size=64 * 1024)
+        man.fsh.makedirs(outp.rsplit("/", 1)[0] if not man.fsh.local else os.path.dirname(outp))
+        man.fsh.write_parquet(out, outp, compression="zstd", compression_level=1,
+                              row_group_size=64 * 1024)
         entries.append(
             {
                 "pid": pid,
@@ -331,7 +339,7 @@ def delete_where(lake_dir: str, where: list[list]) -> dict[str, int]:
     flipped = 0
     for pid_s, ent in man.partitions.items():
         pid = int(pid_s)
-        t = pq.read_table(os.path.join(lake_dir, ent["file"]))
+        t = man.fsh.read_parquet(man.fsh.join(ent["file"]))
         import pyarrow.dataset as pads
 
         # evaluate the expression as a boolean mask over the partition
@@ -343,9 +351,9 @@ def delete_where(lake_dir: str, where: list[list]) -> dict[str, int]:
             t = t.set_column(t.column_names.index("op"), "op", new_op)
             flipped += flips
         outp = final_path(lake_dir, pid, epoch)
-        os.makedirs(os.path.dirname(outp), exist_ok=True)
-        pq.write_table(t, outp, compression="zstd", compression_level=1,
-                       row_group_size=64 * 1024)
+        man.fsh.makedirs(outp.rsplit("/", 1)[0] if not man.fsh.local else os.path.dirname(outp))
+        man.fsh.write_parquet(t, outp, compression="zstd", compression_level=1,
+                              row_group_size=64 * 1024)
         entries.append({"pid": pid, "rows": t.num_rows, "events": 0,
                         "max_lsn": ent["max_lsn"]})
     if entries:
@@ -364,11 +372,11 @@ def read_lake_table(lake_dir: str, *, final_state: bool = True) -> pa.Table:
     files = man.committed_files()
     if not files:
         return pa.schema([]).empty_table()
-    schemas = [pq.read_schema(f) for f in files]
-    target = schemas[0]
-    for s in schemas[1:]:
-        target = evolve(target, s)
-    t = pa.concat_tables([conform(pq.read_table(f), target) for f in files])
+    tables = [man.fsh.read_parquet(f) for f in files]
+    target = tables[0].schema
+    for tb in tables[1:]:
+        target = evolve(target, tb.schema)
+    t = pa.concat_tables([conform(tb, target) for tb in tables])
     if final_state:
         t = t.filter(pa.compute.not_equal(t.column("op"), pa.scalar("D")))
     return t.sort_by([("part_id", "ascending"), ("url", "ascending")])

@@ -36,7 +36,10 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
+from functools import cached_property
 from typing import Any
+
+from .fs import LakeFS
 
 MANIFEST_NAME = "_manifest.json"
 COMMITS_DIR = "_commits"
@@ -47,8 +50,9 @@ def final_path(lake_dir: str, pid: int, epoch: int) -> str:
     Merge tasks write here directly; the manifest pointer decides
     visibility, so no rename is ever needed on data files (S3-ready).
     Non-hive dir name (no '=') so read_parquet doesn't invent a
-    partition column."""
-    return os.path.join(lake_dir, f"part-{pid:05d}", f"part-{pid:05d}-epoch-{epoch:06d}.parquet")
+    partition column. ``lake_dir`` may be a plain path or an fsspec URI;
+    the returned path is fs-native (see state.fs.LakeFS)."""
+    return LakeFS(lake_dir).join(f"part-{pid:05d}", f"part-{pid:05d}-epoch-{epoch:06d}.parquet")
 
 
 @dataclass
@@ -63,13 +67,18 @@ class Manifest:
     # pid(str) -> {"file": rel, "rows": int, "max_lsn": int, "epoch": int}
     partitions: dict[str, dict[str, Any]] = field(default_factory=dict)
 
+    @cached_property
+    def fsh(self) -> LakeFS:
+        return LakeFS(self.lake_dir)
+
     # -- load/save ---------------------------------------------------------
     @classmethod
     def load(cls, lake_dir: str) -> "Manifest":
-        p = os.path.join(lake_dir, MANIFEST_NAME)
-        if not os.path.exists(p):
+        fsh = LakeFS(lake_dir)
+        p = fsh.join(MANIFEST_NAME)
+        if not fsh.exists(p):
             return cls(lake_dir=lake_dir)
-        with open(p) as f:
+        with fsh.open(p, "r" if fsh.local else "rb") as f:
             d = json.load(f)
         return cls(
             lake_dir=lake_dir,
@@ -81,33 +90,27 @@ class Manifest:
         )
 
     def _save_atomic(self) -> None:
-        os.makedirs(self.lake_dir, exist_ok=True)
-        p = os.path.join(self.lake_dir, MANIFEST_NAME)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "num_partitions": self.num_partitions,
-                    "watermark_lsn": self.watermark_lsn,
-                    "epoch": self.epoch,
-                    "schema_json": self.schema_json,
-                    "partitions": self.partitions,
-                },
-                f,
-            )
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, p)
+        self.fsh.makedirs(self.fsh.root)
+        payload = json.dumps(
+            {
+                "num_partitions": self.num_partitions,
+                "watermark_lsn": self.watermark_lsn,
+                "epoch": self.epoch,
+                "schema_json": self.schema_json,
+                "partitions": self.partitions,
+            }
+        )
+        self.fsh.write_json_atomic(self.fsh.join(MANIFEST_NAME), payload)
 
     # -- queries -----------------------------------------------------------
     def partition_file(self, pid: int) -> str | None:
         ent = self.partitions.get(str(pid))
         if ent is None:
             return None
-        return os.path.join(self.lake_dir, ent["file"])
+        return self.fsh.join(ent["file"])
 
     def committed_files(self) -> list[str]:
-        return [os.path.join(self.lake_dir, e["file"]) for e in self.partitions.values()]
+        return [self.fsh.join(e["file"]) for e in self.partitions.values()]
 
     # -- commit protocol ---------------------------------------------------
     def commit_epoch(
@@ -129,16 +132,16 @@ class Manifest:
         for ent in entries:
             pid = int(ent["pid"])
             dst = final_path(self.lake_dir, pid, epoch)
-            if not os.path.exists(dst):
+            if not self.fsh.exists(dst):
                 raise FileNotFoundError(
                     f"commit_epoch({epoch}): merge output missing for "
                     f"partition {pid}: {dst}"
                 )
             prev = self.partitions.get(str(pid))
             if prev is not None:
-                old_files.append(os.path.join(self.lake_dir, prev["file"]))
+                old_files.append(self.fsh.join(prev["file"]))
             self.partitions[str(pid)] = {
-                "file": os.path.relpath(dst, self.lake_dir),
+                "file": self.fsh.relpath(dst),
                 "rows": int(ent["rows"]),
                 "max_lsn": int(ent["max_lsn"]),
                 "epoch": epoch,
@@ -149,7 +152,7 @@ class Manifest:
         # acknowledged — lineage() filters those out. The reverse order
         # could acknowledge an epoch whose lineage record was lost
         # (ADVICE r1, manifest.py:166).
-        os.makedirs(os.path.join(self.lake_dir, COMMITS_DIR), exist_ok=True)
+        self.fsh.makedirs(self.fsh.join(COMMITS_DIR))
         events_total = sum(int(e["events"]) for e in entries)
         commit_rec = {
             "epoch": epoch,
@@ -169,13 +172,8 @@ class Manifest:
                 for e in entries
             },
         }
-        cpath = os.path.join(self.lake_dir, COMMITS_DIR, f"epoch-{epoch:06d}.json")
-        ctmp = cpath + ".tmp"
-        with open(ctmp, "w") as f:
-            json.dump(commit_rec, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(ctmp, cpath)
+        cpath = self.fsh.join(COMMITS_DIR, f"epoch-{epoch:06d}.json")
+        self.fsh.write_json_atomic(cpath, json.dumps(commit_rec))
         # manifest swap LAST — this is the commit point
         self.epoch = epoch
         self.watermark_lsn = max(self.watermark_lsn, lsn_hi)
@@ -188,8 +186,8 @@ class Manifest:
         if not retain_history:
             for fpath in old_files:
                 try:
-                    os.remove(fpath)
-                except OSError:
+                    self.fsh.remove(fpath)
+                except (OSError, FileNotFoundError):
                     pass
         return True
 
@@ -211,8 +209,8 @@ class Manifest:
         out = []
         missing = []
         for pid, rel in latest.items():
-            p = os.path.join(self.lake_dir, rel)
-            (out if os.path.exists(p) else missing).append(p)
+            p = self.fsh.join(rel)
+            (out if self.fsh.exists(p) else missing).append(p)
         if missing:
             raise FileNotFoundError(
                 f"time-travel to epoch {epoch} needs {len(missing)} superseded "
@@ -237,9 +235,9 @@ class Manifest:
         removed = 0
         for rel in all_files - needed:
             try:
-                os.remove(os.path.join(self.lake_dir, rel))
+                self.fsh.remove(self.fsh.join(rel))
                 removed += 1
-            except OSError:
+            except (OSError, FileNotFoundError):
                 pass
         return removed
 
@@ -249,8 +247,8 @@ class Manifest:
         record write and the manifest swap) are ignored; a MISSING record
         for an acknowledged epoch fails loudly — silent gaps would make
         time-travel views quietly inconsistent (ADVICE r1)."""
-        cdir = os.path.join(self.lake_dir, COMMITS_DIR)
-        if not os.path.isdir(cdir):
+        cdir = self.fsh.join(COMMITS_DIR)
+        if not self.fsh.isdir(cdir):
             if self.epoch >= 0:
                 raise FileNotFoundError(
                     f"manifest acknowledges epoch {self.epoch} but no commit "
@@ -258,9 +256,11 @@ class Manifest:
                 )
             return []
         out = []
-        for name in sorted(os.listdir(cdir)):
+        for name in self.fsh.listdir(cdir):
             if name.endswith(".json") and not name.endswith(".tmp"):
-                with open(os.path.join(cdir, name)) as f:
+                with self.fsh.open(
+                    self.fsh.join(COMMITS_DIR, name), "r" if self.fsh.local else "rb"
+                ) as f:
                     rec = json.load(f)
                 if rec["epoch"] <= self.epoch:
                     out.append(rec)

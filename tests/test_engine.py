@@ -436,3 +436,59 @@ def test_sqlite_split_queries():
     assert len(qs) == 3
     assert qs[0] == "SELECT a, b FROM t WHERE (b > 0) AND id >= 0 AND id < 100"
     assert qs[-1].endswith("id >= 200 AND id <= 299")
+
+
+def test_orc_round_trip(tmp_path):
+    """orcfilewriter -> orcfilereader round trip with column pruning and
+    a where filter (the reference's hdfs ORC path, implemented for real)."""
+    import duckdb
+
+    src = str(tmp_path / "orc")
+    job_w = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "parquetreader",
+                        "parameter": {
+                            "path": "/root/testdata/sf0.001/orders.parquet",
+                            "column": ["o_orderkey", "o_custkey", "o_totalprice"],
+                        },
+                    },
+                    "writer": {"name": "orcfilewriter",
+                               "parameter": {"path": src, "fileName": "orders"}},
+                }
+            ]
+        }
+    }
+    res = run_job(job_w)
+    assert res.records == 1500
+    # idempotent rerun in truncate mode produces the same content-hash files
+    job_w["job"]["content"][0]["writer"]["parameter"]["writeMode"] = "truncate"
+    res2 = run_job(job_w)
+    assert sorted(res2.sink_result["files"]) == sorted(res.sink_result["files"])
+
+    job_r = {
+        "job": {
+            "setting": {"speed": {"channel": 2}},
+            "content": [
+                {
+                    "reader": {
+                        "name": "orcfilereader",
+                        "parameter": {
+                            "path": src + "/*.orc",
+                            "column": ["o_orderkey", "o_totalprice"],
+                            "where": [["o_totalprice", ">", 100000.0]],
+                        },
+                    },
+                    "writer": {"name": "streamwriter", "parameter": {"print": False}},
+                }
+            ]
+        }
+    }
+    res3 = run_job(job_r)
+    want = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/orders.parquet' "
+        "WHERE o_totalprice > 100000"
+    ).fetchone()[0]
+    assert res3.records == want
