@@ -491,6 +491,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
         return semi_join(ev, keys, on="user_id", anti=True)
 
+    def q_asof_join(sf_dir: str):
+        """Event-to-snapshot as-of join: each event picks up the customer's
+        latest order price at or before the event time (bucketed
+        co-group + sorted merge_asof per bucket)."""
+        from ray.data.aggregate import Max
+
+        from go_datax_ray.stages.joins import asof_join
+
+        rd = rd_lazy()
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+        )
+        # unique (key, ts) on the right side -> deterministic as-of pick
+        right = orders.map_batches(
+            lambda t: t.rename_columns(["user_id", "ts", "o_totalprice"]),
+            batch_format="pyarrow",
+        ).groupby(["user_id", "ts"]).aggregate(Max("o_totalprice", alias_name="last_order_price"))
+        ev_schema = pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()),
+             ("ts", pa.timestamp("us"))]
+        )
+        r_schema = pa.schema(
+            [("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+             ("last_order_price", pa.float64())]
+        )
+        out = asof_join(ev, right, by="user_id", on="ts", n_buckets=16,
+                        schemas=(ev_schema, r_schema))
+        return out.map_batches(
+            lambda t: t.select(["event_id", "user_id", "ts", "last_order_price"]),
+            batch_format="pyarrow",
+        )
+
+    def q_range_join(sf_dir: str):
+        """Interval join: events matched to overlapping value bands
+        (binned replication + in-bin vectorized compare)."""
+        from go_datax_ray.stages.joins import range_join
+
+        rd = rd_lazy()
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+        bands = pa.table(
+            {
+                "band_id": pa.array(range(12), pa.int64()),
+                "lo": pa.array([k * 10.0 for k in range(12)], pa.float64()),
+                "hi": pa.array([k * 10.0 + 15.0 for k in range(12)], pa.float64()),
+            }
+        )
+        out = range_join(
+            ev, rd.from_arrow(bands), value_col="value", lo_col="lo", hi_col="hi",
+            bin_width=10.0,
+            schemas=(
+                pa.schema([("event_id", pa.int64()), ("value", pa.float64())]),
+                bands.schema,
+            ),
+        )
+        return out.map_batches(
+            lambda t: t.select(["event_id", "band_id"]), batch_format="pyarrow"
+        )
+
     def q_partial_agg_revenue(sf_dir: str):
         from go_datax_ray.stages.joins import partial_agg_sum
 
@@ -721,6 +781,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_hash_join": q_bucket_hash_join,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "partial_agg_revenue": q_partial_agg_revenue,
         "snapshot_diff": q_snapshot_diff,
         "hash_sample": q_hash_sample,
@@ -906,6 +968,24 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": """
             SELECT event_id, user_id FROM events
             WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        """,
+        "asof_join": """
+            WITH r AS (
+              SELECT o_custkey AS user_id, o_orderdate AS ts,
+                     MAX(o_totalprice) AS last_order_price
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts, r.last_order_price
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.user_id AND e.ts >= r.ts
+        """,
+        "range_join": """
+            WITH bands AS (
+              SELECT CAST(k AS BIGINT) AS band_id, k * 10.0 AS lo, k * 10.0 + 15.0 AS hi
+              FROM (SELECT unnest(range(12)) AS k)
+            )
+            SELECT e.event_id, b.band_id
+            FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         """,
         "partial_agg_revenue": """
             SELECT l_returnflag,

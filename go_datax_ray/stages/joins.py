@@ -195,6 +195,165 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
     return both.groupby(["_bucket", "_salt"]).map_groups(join_bucket, batch_format="pyarrow")
 
 
+def asof_join(left, right, *, by: str, on: str, n_buckets: int = 32,
+              suffix: str = "_r",
+              schemas: tuple[pa.Schema, pa.Schema] | None = None):
+    """As-of (backward) join: for each left row, attach the LATEST right
+    row with ``right[on] <= left[on]`` within the same ``by`` key — the
+    classic event-to-snapshot alignment (trades->quotes, events->config).
+
+    Ray-Data shape: both sides are tagged and bucketed by ``hash(by) %
+    n_buckets`` (the documented partitioning assumption: one key's rows
+    co-locate), one groupby co-locates the buckets, and each group runs
+    a sorted ``pandas.merge_asof`` on its two halves. Unmatched left
+    rows keep nulls in the right columns (left-outer as-of, matching
+    DuckDB ``ASOF LEFT JOIN``). Output dtypes are conformed back to the
+    input Arrow types (no NaN-driven int->float leaks)."""
+    if schemas is not None:
+        l_schema, r_schema = schemas
+    else:
+        l_schema = left.schema().base_schema
+        r_schema = right.schema().base_schema
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    fields = {f.name: f.type for f in l_schema}
+    for f in r_schema:
+        if f.name in fields and f.name not in (by, on) and fields[f.name] != f.type:
+            raise TypeError(f"column {f.name!r} type conflict across join sides")
+        fields.setdefault(f.name, f.type)
+    union_schema = pa.schema([pa.field(n, t) for n, t in fields.items()])
+    out_fields = [pa.field(f.name, f.type) for f in l_schema]
+    for f in r_schema:
+        if f.name in (by, on):
+            continue
+        out_name = f.name + suffix if f.name in l_names else f.name
+        out_fields.append(pa.field(out_name, f.type))
+    out_schema = pa.schema(out_fields)
+
+    from ..schema import conform
+
+    def prep(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return _add_bucket(conform(t, union_schema), by, n_buckets, side)
+
+        return fn
+
+    both = left.map_batches(prep("l"), batch_format="pyarrow").union(
+        right.map_batches(prep("r"), batch_format="pyarrow")
+    )
+    both = both.repartition(n_buckets)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("_side")
+        lg = g.filter(pc.equal(side, pa.scalar("l"))).select(l_names)
+        if lg.num_rows == 0:
+            return out_schema.empty_table()
+        rg = g.filter(pc.equal(side, pa.scalar("r"))).select(r_names)
+        ldf = lg.to_pandas().sort_values(on, kind="mergesort")
+        if rg.num_rows == 0:
+            return conform(pa.Table.from_pandas(ldf, preserve_index=False), out_schema)
+        rdf = rg.to_pandas().sort_values(on, kind="mergesort")
+        merged = pd.merge_asof(
+            ldf, rdf, on=on, by=by, direction="backward", suffixes=("", suffix)
+        )
+        return _conform_merged(
+            pa.Table.from_pandas(merged, preserve_index=False), out_schema
+        )
+
+    return both.groupby(["_bucket"]).map_groups(join_bucket, batch_format="pyarrow")
+
+
+def range_join(left, right, *, value_col: str, lo_col: str, hi_col: str,
+               bin_width: float, suffix: str = "_r",
+               schemas: tuple[pa.Schema, pa.Schema] | None = None):
+    """Interval join: pair every left row with every right interval where
+    ``lo <= value < hi`` (inclusive-lo / exclusive-hi).
+
+    Ray-Data shape (binned equi-join reduction): the value axis is cut
+    into ``bin_width`` bins; each RIGHT interval is replicated to every
+    bin it overlaps, each LEFT row lands in exactly one bin, one groupby
+    co-locates them, and the in-group pairing is a vectorised numpy
+    broadcast compare. Each (row, interval) pair materialises exactly
+    once (the interval's copy in the row's bin). ``bin_width`` should be
+    >= the typical interval width — wider intervals replicate to
+    ceil(width/bin_width)+1 bins."""
+    if schemas is not None:
+        l_schema, r_schema = schemas
+    else:
+        l_schema = left.schema().base_schema
+        r_schema = right.schema().base_schema
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    out_fields = [pa.field(f.name, f.type) for f in l_schema]
+    for f in r_schema:
+        out_name = f.name + suffix if f.name in l_names else f.name
+        out_fields.append(pa.field(out_name, f.type))
+    out_schema = pa.schema(out_fields)
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy().astype(np.float64)
+        b = np.floor(v / bin_width).astype(np.int64)
+        t = t.append_column("_bin", pa.array(b, pa.int64()))
+        return t.append_column("_side", pa.array(["l"] * t.num_rows, pa.string()))
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        lo = t.column(lo_col).to_numpy().astype(np.float64)
+        hi = t.column(hi_col).to_numpy().astype(np.float64)
+        b0 = np.floor(lo / bin_width).astype(np.int64)
+        # hi is exclusive: the last overlapped bin is the one containing
+        # the largest value strictly below hi
+        b1 = np.floor(np.nextafter(hi, -np.inf) / bin_width).astype(np.int64)
+        b1 = np.maximum(b1, b0)
+        counts = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows), counts)
+        bins = np.concatenate(
+            [np.arange(a, z + 1, dtype=np.int64) for a, z in zip(b0, b1)]
+        ) if t.num_rows else np.zeros(0, dtype=np.int64)
+        rt = t.take(pa.array(idx))
+        rt = rt.append_column("_bin", pa.array(bins, pa.int64()))
+        return rt.append_column("_side", pa.array(["r"] * rt.num_rows, pa.string()))
+
+    from ..schema import conform
+
+    union_fields = {f.name: f.type for f in l_schema}
+    for f in r_schema:
+        if f.name in union_fields and union_fields[f.name] != f.type:
+            raise TypeError(f"column {f.name!r} type conflict across join sides")
+        union_fields.setdefault(f.name, f.type)
+    union_schema = pa.schema([pa.field(n, t) for n, t in union_fields.items()])
+
+    both = left.map_batches(
+        lambda t: prep_left(conform(t, union_schema)), batch_format="pyarrow"
+    ).union(
+        right.map_batches(
+            lambda t: prep_right(conform(t, union_schema)), batch_format="pyarrow"
+        )
+    )
+    both = both.repartition(64)
+
+    def join_bin(g: pa.Table) -> pa.Table:
+        side = g.column("_side")
+        lg = g.filter(pc.equal(side, pa.scalar("l"))).select(l_names)
+        rg = g.filter(pc.equal(side, pa.scalar("r"))).select(r_names)
+        if lg.num_rows == 0 or rg.num_rows == 0:
+            return out_schema.empty_table()
+        v = lg.column(value_col).to_numpy().astype(np.float64)
+        lo = rg.column(lo_col).to_numpy().astype(np.float64)
+        hi = rg.column(hi_col).to_numpy().astype(np.float64)
+        mask = (v[:, None] >= lo[None, :]) & (v[:, None] < hi[None, :])
+        li, ri = np.nonzero(mask)
+        out_l = lg.take(pa.array(li))
+        out_r = rg.take(pa.array(ri))
+        cols = list(out_l.columns)
+        names = list(l_names)
+        for name in r_names:
+            cols.append(out_r.column(name))
+            names.append(name + suffix if name in l_names else name)
+        return pa.Table.from_arrays(cols, names=names).cast(out_schema)
+
+    return both.groupby(["_bin"]).map_groups(join_bin, batch_format="pyarrow")
+
+
 def partial_agg_sum(ds, *, key: str, value_expr, out_col: str):
     """The pre-aggregation (combiner) pattern: per-batch partial sums per
     key inside map_batches, then a tiny groupby over the partials —

@@ -147,3 +147,51 @@ def test_bucket_hash_join_overlapping_column_suffix():
     assert sorted(out.columns) == ["k", "v", "v_r"]
     assert out["v"].tolist() == [10, 20]
     assert out["v_r"].tolist() == [100, 200]
+
+
+def test_asof_join_semantics():
+    from go_datax_ray.stages.joins import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "ts": pa.array([5, 15, 25, 10, 10], pa.int64()),
+        "n": pa.array([0, 1, 2, 3, 4], pa.int32()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([10, 20, 10], pa.int64()),
+        "px": pa.array([100, 200, 300], pa.int64()),
+    }))
+    out = asof_join(left, right, by="k", on="ts", n_buckets=4).to_pandas()
+    out = out.sort_values("n").reset_index(drop=True)
+    # k=1: ts=5 -> no match; ts=15 -> 100; ts=25 -> 200
+    # k=2: ts=10 -> exact match 300; k=3: key absent -> null
+    assert out["px"].isna().tolist() == [True, False, False, False, True]
+    assert out["px"].dropna().tolist() == [100.0, 200.0, 300.0] or \
+        out["px"].dropna().tolist() == [100, 200, 300]
+    # int dtype preserved despite null-fill
+    sch = asof_join(left, right, by="k", on="ts", n_buckets=4).schema().base_schema
+    assert sch.field("px").type == pa.int64()
+    assert sch.field("n").type == pa.int32()
+
+
+def test_range_join_bins_and_bounds():
+    from go_datax_ray.stages.joins import range_join
+
+    left = rd.from_arrow(pa.table({
+        "id": pa.array([0, 1, 2, 3], pa.int64()),
+        "v": pa.array([0.0, 9.999, 10.0, 35.0], pa.float64()),
+    }))
+    # interval spanning several bins + exclusive-hi boundary checks
+    right = rd.from_arrow(pa.table({
+        "band": pa.array([0, 1], pa.int64()),
+        "lo": pa.array([0.0, 5.0], pa.float64()),
+        "hi": pa.array([10.0, 40.0], pa.float64()),
+    }))
+    out = range_join(left, right, value_col="v", lo_col="lo", hi_col="hi",
+                     bin_width=10.0).to_pandas()
+    pairs = set(zip(out["id"], out["band"]))
+    # v=0.0 in [0,10) and not [5,40)? 0<5 -> band 0 only
+    # v=9.999 in both; v=10.0 excluded from [0,10) (hi exclusive), in [5,40)
+    # v=35.0 only in [5,40)
+    assert pairs == {(0, 0), (1, 0), (1, 1), (2, 1), (3, 1)}
