@@ -324,6 +324,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "fp_md5"]
         )
 
+    def q_token_freq(sf_dir: str):
+        """Corpus-wide top-20 token frequencies (per-batch combiner ->
+        small groupby-sum -> deterministic top-k)."""
+        from go_datax_ray.stages.text import token_frequencies
+
+        rd = rd_lazy()
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        return token_frequencies(ds, top_k=20)
+
+    def q_full_outer_join(sf_dir: str):
+        """Full-outer bucketed join of per-customer order counts with
+        per-user event counts (unmatched rows on either side survive,
+        null-filled, dtypes intact)."""
+        from go_datax_ray.stages.joins import bucket_hash_join
+
+        rd = rd_lazy()
+        orders = (
+            rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+            .groupby("o_custkey").count()
+            .map_batches(lambda t: t.rename_columns(["k", "n_orders"]),
+                         batch_format="pyarrow")
+        )
+        events = (
+            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+            .groupby("user_id").count()
+            .map_batches(lambda t: t.rename_columns(["k", "n_events"]),
+                         batch_format="pyarrow")
+        )
+        return bucket_hash_join(orders, events, on="k", n_buckets=16, how="full")
+
     # -- aggregation -------------------------------------------------------
     def q_groupby_events(sf_dir: str):
         rd = rd_lazy()
@@ -768,6 +798,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "token_freq": q_token_freq,
+        "full_outer_join": q_full_outer_join,
         "groupby_events": q_groupby_events,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -894,6 +926,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5
             FROM documents
+        """,
+        "token_freq": """
+            WITH t AS (
+              SELECT unnest(regexp_split_to_array(lower(text), '\\W+')) AS token
+              FROM documents
+            )
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "full_outer_join": """
+            WITH l AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders
+                       FROM orders GROUP BY 1),
+                 r AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY 1)
+            SELECT COALESCE(l.k, r.k) AS k, l.n_orders, r.n_events
+            FROM l FULL OUTER JOIN r ON l.k = r.k
         """,
         # NB every SUM is wrapped CAST(... AS BIGINT): DuckDB SUM(BIGINT)
         # returns HUGEINT (surfaced float64 driver-side) while the engine

@@ -95,8 +95,8 @@ def _add_bucket(t: pa.Table, key: str, n_buckets: int, side: str) -> pa.Table:
 
 
 def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
-                     how: Literal["inner", "left"] = "inner", suffix: str = "_r",
-                     n_salts: int = 1,
+                     how: Literal["inner", "left", "right", "full"] = "inner",
+                     suffix: str = "_r", n_salts: int = 1,
                      schemas: tuple[pa.Schema, pa.Schema] | None = None):
     """Partitioned hash join of two Datasets on ``on``.
 
@@ -109,9 +109,16 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
     rows are spread round-robin across salts and the RIGHT side is
     REPLICATED to all salts, so a hot key's probe work fans out over
     n_salts reducers at the cost of right-side duplication (the standard
-    salted-join tradeoff; use when the left side carries the hot keys)."""
+    salted-join tradeoff; use when the left side carries the hot keys).
+    Outer variants (``right``/``full``) keep unmatched rows of the
+    respective side null-filled; they require ``n_salts == 1`` (salting
+    replicates the right side, which would duplicate its unmatched
+    rows)."""
 
     from ..schema import conform
+
+    if how in ("right", "full") and n_salts > 1:
+        raise ValueError(f"how={how!r} is incompatible with n_salts > 1")
 
     if schemas is not None:
         # caller-supplied schemas skip Dataset.schema(), which EXECUTES a
@@ -135,12 +142,28 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
     # group's result is conformed back to THIS schema so pandas' NaN-driven
     # int->float coercion never leaks into the output (VERDICT r1 finding #1).
     out_fields = [pa.field(f.name, f.type) for f in l_schema]
+    right_src = {}  # output column name -> right-side source column
     for f in r_schema:
         if f.name == on:
             continue
         out_name = f.name + suffix if f.name in l_names else f.name
+        right_src[out_name] = f.name
         out_fields.append(pa.field(out_name, f.type))
     out_schema = pa.schema(out_fields)
+    l_name_set = set(l_names)
+
+    def right_only(rg: pa.Table) -> pa.Table:
+        """Unmatched-right rows shaped to the output schema (key from the
+        right side, left-only columns null)."""
+        cols = []
+        for f in out_schema:
+            if f.name == on:
+                cols.append(rg.column(on).combine_chunks().cast(f.type))
+            elif f.name in right_src:
+                cols.append(rg.column(right_src[f.name]).combine_chunks().cast(f.type))
+            else:
+                cols.append(pa.nulls(rg.num_rows, f.type))
+        return pa.Table.from_arrays(cols, schema=out_schema)
 
     def prep(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -180,14 +203,17 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
         # side's to_pandas keeps exact integer dtypes (no NaN upcast).
         side = g.column("_side")
         lg = g.filter(pc.equal(side, pa.scalar("l"))).select(l_names)
-        if lg.num_rows == 0:
-            return out_schema.empty_table()
         rg = g.filter(pc.equal(side, pa.scalar("r"))).select(r_names)
+        if lg.num_rows == 0:
+            if how in ("right", "full") and rg.num_rows:
+                return right_only(rg)
+            return out_schema.empty_table()
         if rg.num_rows == 0:
-            if how == "inner":
-                return out_schema.empty_table()
-            return conform(lg, out_schema)  # left join: null-fill right cols
-        merged = lg.to_pandas().merge(rg.to_pandas(), on=on, how=how, suffixes=("", suffix))
+            if how in ("left", "full"):
+                return conform(lg, out_schema)  # null-fill right cols
+            return out_schema.empty_table()
+        pd_how = "outer" if how == "full" else how
+        merged = lg.to_pandas().merge(rg.to_pandas(), on=on, how=pd_how, suffixes=("", suffix))
         return _conform_merged(
             pa.Table.from_pandas(merged, preserve_index=False), out_schema
         )

@@ -149,6 +149,29 @@ def fingerprint_md5(batch: pa.Table, *, text_col: str = "text", out_col: str = "
     return batch.append_column(out_col, pa.array(out, pa.string()))
 
 
+def token_frequencies(ds, *, text_col: str = "text", top_k: int | None = None):
+    """Corpus token frequencies — the combiner pattern over text: each
+    batch pre-aggregates its own token counts (regex split + value_counts,
+    all C loops), so the shuffle carries one row per (token, batch)
+    instead of one per token OCCURRENCE; a small groupby-sum reduces, and
+    an optional deterministic top-k (count desc, token asc) caps the
+    result."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.split(r"\W+").explode()
+        counts = toks[toks != ""].value_counts()
+        return pd.DataFrame({"token": counts.index, "_c": counts.to_numpy().astype("int64")})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = partials.groupby("token").aggregate(Sum("_c", alias_name="n"))
+    if top_k is not None:
+        out = out.sort(["n", "token"], descending=[True, False]).limit(top_k)
+    return out
+
+
 _FP_BASE = np.uint64(1000003)
 _FP_INIT = np.uint64(1469598103934665603)
 _FP_WORD_CACHE: dict[str, int] = {}

@@ -195,3 +195,28 @@ def test_range_join_bins_and_bounds():
     # v=9.999 in both; v=10.0 excluded from [0,10) (hi exclusive), in [5,40)
     # v=35.0 only in [5,40)
     assert pairs == {(0, 0), (1, 0), (1, 1), (2, 1), (3, 1)}
+
+
+def test_bucket_hash_join_right_and_full_outer():
+    from go_datax_ray.stages.joins import bucket_hash_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                   "a": pa.array([10, 20], pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([2, 3], pa.int64()),
+                                    "b": pa.array([200, 300], pa.int64())}))
+    rj = bucket_hash_join(left, right, on="k", n_buckets=4, how="right").to_pandas()
+    rj = rj.sort_values("k").reset_index(drop=True)
+    assert rj["k"].tolist() == [2, 3]
+    assert rj["a"].isna().tolist() == [False, True]
+    fj = bucket_hash_join(left, right, on="k", n_buckets=4, how="full").to_pandas()
+    fj = fj.sort_values("k").reset_index(drop=True)
+    assert fj["k"].tolist() == [1, 2, 3]
+    assert fj["a"].isna().tolist() == [False, False, True]
+    assert fj["b"].isna().tolist() == [True, False, False]
+    # dtype preserved through the outer null-fills
+    sch = bucket_hash_join(left, right, on="k", n_buckets=4, how="full").schema().base_schema
+    assert sch.field("a").type == pa.int64() and sch.field("b").type == pa.int64()
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_salts"):
+        bucket_hash_join(left, right, on="k", how="full", n_salts=2)
