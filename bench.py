@@ -149,6 +149,8 @@ def main() -> dict:
         "bucket_hash_join",
         "tpch_q3_composed",
         "hash_sample",
+        "asof_join",
+        "token_freq",
     ):
         fn = qs[name]
 

@@ -168,6 +168,8 @@ class JobConfig:
     writer_param: dict[str, Any]
     transformers: list[dict[str, Any]] = field(default_factory=list)
     channel: int = 1
+    speed_record: int | None = None  # max records/sec (ENFORCED, unlike ref)
+    speed_byte: int | None = None  # max bytes/sec (ENFORCED, unlike ref)
     error_limit_record: int | None = None
     error_limit_percentage: float | None = None
     raw: dict[str, Any] = field(default_factory=dict)
@@ -186,6 +188,8 @@ class JobConfig:
             writer_param=content["writer"].get("parameter", {}),
             transformers=content.get("transformer", []),
             channel=int(speed.get("channel", 1)),
+            speed_record=int(speed["record"]) if speed.get("record", -1) > 0 else None,
+            speed_byte=int(speed["byte"]) if speed.get("byte", -1) > 0 else None,
             error_limit_record=el.get("record"),
             error_limit_percentage=el.get("percentage"),
             raw=d,

@@ -96,6 +96,17 @@ def run_job(cfg: JobConfig | dict | str) -> JobResult:
 
         ds = ds.map_batches(guarded, batch_format="pyarrow", zero_copy_batch=True)
 
+    if cfg.speed_record or cfg.speed_byte:
+        # ENFORCED speed.record / speed.byte (the reference documents but
+        # never enforces them — state/metrics.make_rate_limiter)
+        from .state.metrics import make_rate_limiter, throttle_stage
+
+        limiter = make_rate_limiter(cfg.speed_record, cfg.speed_byte)
+        ds = ds.map_batches(
+            throttle_stage(limiter), batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=1024,
+        )
+
     res = JobResult()
     sink_out = SINKS[cfg.writer_name](ds, cfg.writer_param)
     res.sink_result = sink_out

@@ -241,6 +241,36 @@ class Manifest:
                 pass
         return removed
 
+    def gc_orphans(self) -> int:
+        """Remove UNREFERENCED epoch data files — debris from crashed or
+        aborted epochs that wrote their content-addressed file but never
+        reached the manifest swap. Rename-free commits make such debris
+        normal; it is invisible to readers (manifest decides visibility)
+        but costs storage. A file is kept iff the current manifest or any
+        commit record references it. Safe to run any time the writer
+        lock is held (files for an IN-FLIGHT epoch > self.epoch are
+        orphans only if no writer is active)."""
+        referenced: set[str] = {ent["file"] for ent in self.partitions.values()}
+        for rec in self.lineage():
+            for ent in rec["partitions"].values():
+                referenced.add(ent["file"])
+        removed = 0
+        for pid_s in list(self.partitions) + [
+            str(p) for p in range(self.num_partitions)
+        ]:
+            pdir = self.fsh.join(f"part-{int(pid_s):05d}")
+            if not self.fsh.isdir(pdir):
+                continue
+            for name in self.fsh.listdir(pdir):
+                rel = f"part-{int(pid_s):05d}/{name}"
+                if name.endswith(".parquet") and rel not in referenced:
+                    try:
+                        self.fsh.remove(self.fsh.join(rel))
+                        removed += 1
+                    except (OSError, FileNotFoundError):
+                        pass
+        return removed
+
     def lineage(self) -> list[dict[str, Any]]:
         """Commit records in epoch order, reconciled against the manifest:
         records beyond ``self.epoch`` (orphans from a crash between the

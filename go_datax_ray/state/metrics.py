@@ -136,3 +136,58 @@ def format_job_stats(records: int, byts: int, wall_s: float, errors: int = 0) ->
         f"All Task WaitWriterTime 0.000s | All Task WaitReaderTime 0.000s | "
         f"Percentage 100.00%"
     )
+
+
+def make_rate_limiter(record_rate: int | None, byte_rate: int | None):
+    """Global token-bucket rate limiter for speed.record / speed.byte.
+
+    The reference documents these knobs but never enforces them
+    (/root/reference/docs/USER_GUIDE.md:136-150); here they are REAL: a
+    detached-free actor tracks cumulative records/bytes across ALL
+    parallel tasks, and each batch sleeps inside its map task until the
+    cumulative rate falls under the cap — the sleep stalls the task,
+    and Ray's streaming backpressure propagates the stall upstream to
+    the reader (the reference's Channel-based flow control, inverted)."""
+    import time as _time
+
+    import ray as _ray
+
+    @_ray.remote(num_cpus=0)
+    class _RateLimiter:
+        def __init__(self):
+            self.t0 = _time.monotonic()
+            self.records = 0
+            self.bytes = 0
+
+        def acquire(self, n_records: int, n_bytes: int) -> float:
+            """Record a batch; return seconds the caller must sleep so the
+            cumulative rate stays under the caps."""
+            self.records += n_records
+            self.bytes += n_bytes
+            elapsed = _time.monotonic() - self.t0
+            wait = 0.0
+            if record_rate:
+                wait = max(wait, self.records / record_rate - elapsed)
+            if byte_rate:
+                wait = max(wait, self.bytes / byte_rate - elapsed)
+            return wait
+
+    return _RateLimiter.remote()
+
+
+def throttle_stage(limiter):
+    """map_batches fn: charge the batch to the global limiter and sleep
+    off any overage (pass-through otherwise)."""
+    import time as _time
+
+    import pyarrow as _pa
+
+    import ray as _ray
+
+    def throttle(t: _pa.Table) -> _pa.Table:
+        wait = _ray.get(limiter.acquire.remote(t.num_rows, t.nbytes))
+        if wait > 0:
+            _time.sleep(min(wait, 30.0))
+        return t
+
+    return throttle

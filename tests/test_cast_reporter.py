@@ -146,3 +146,40 @@ def test_example_jobs_run():
 
     t = read_lake_table("/tmp/gdr_example_lake")
     assert t.num_rows == 150  # customers at sf0.001, deduped by key
+
+
+def test_speed_record_enforced():
+    """speed.record is ENFORCED (token-bucket actor): a 400-record job
+    capped at 500 rec/s must take >= ~0.6s and still deliver every
+    record."""
+    import time
+
+    from go_datax_ray.engine import run_job
+
+    job = {
+        "job": {
+            "setting": {"speed": {"channel": 2, "record": 500}},
+            "content": [
+                {
+                    "reader": {
+                        "name": "streamreader",
+                        "parameter": {
+                            "sliceRecordCount": 200,
+                            "column": [{"type": "long", "value": "7"}],
+                        },
+                    },
+                    "writer": {"name": "streamwriter", "parameter": {"print": False}},
+                }
+            ],
+        }
+    }
+    t0 = time.perf_counter()
+    res = run_job(job)
+    wall = time.perf_counter() - t0
+    assert res.records == 400  # sliceRecordCount x channel
+    assert wall >= 0.5  # 400 rec @ 500/s, minus the first-batch allowance
+    # uncapped control: same job without the limit is much faster
+    del job["job"]["setting"]["speed"]["record"]
+    t0 = time.perf_counter()
+    run_job(job)
+    assert time.perf_counter() - t0 < wall

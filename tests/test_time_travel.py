@@ -95,3 +95,32 @@ def test_lineage_reconciles_with_manifest(tmp_path):
     os.remove(os.path.join(lake, COMMITS_DIR, "epoch-000000.json"))
     with pytest.raises(FileNotFoundError, match="lineage gap"):
         Manifest.load(lake).lineage()
+
+
+def test_gc_orphans_removes_uncommitted_epoch_files(tmp_path):
+    """Rename-free commits leave debris from crashed epochs; gc_orphans
+    removes exactly the unreferenced data files."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_datax_ray.pipelines.cdc_replay import ReplayConfig, SynthEventSource, replay
+    from go_datax_ray.sinks.lake import read_lake_table
+    from go_datax_ray.state.manifest import Manifest, final_path
+
+    lake = str(tmp_path / "lake")
+    replay(
+        SynthEventSource(3000, SynthConfig(n_urls=300)),
+        ReplayConfig(lake_dir=lake, num_partitions=4, epoch_size=1000),
+    )
+    before = read_lake_table(lake)
+    man = Manifest.load(lake)
+    # crash debris: a "future epoch" file that never reached the manifest
+    orphan = final_path(lake, 1, man.epoch + 1)
+    pq.write_table(pa.table({"url": ["zombie"]}), orphan)
+    assert man.gc_orphans() == 1
+    assert not os.path.exists(orphan)
+    # committed state untouched, all referenced files intact
+    assert read_lake_table(lake).equals(before)
+    assert man.gc_orphans() == 0
