@@ -315,6 +315,47 @@ def verify_pairs(pairs_tbl: pa.Table, docs_tbl: pa.Table, *, text_col: str = "te
     )
 
 
+class _BroadcastPairVerifier:
+    """Actor-pool verify for SMALL candidate sets: the candidate-doc
+    blocks are broadcast as object refs and each actor builds an id->
+    shingle-set index ONCE in __init__ (zero-copy reads from the object
+    store; the driver never touches text). Pairs then verify with no
+    shuffle at all."""
+
+    def __init__(self, doc_refs, text_col: str, id_col: str, k: int, threshold: float):
+        import ray
+
+        self.k, self.threshold = k, threshold
+        self.shingles: dict[int, np.ndarray] = {}
+        for ref in doc_refs:
+            t = ray.get(ref)
+            for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+                self.shingles[i] = _shingle_hashes(txt or "", k)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        oa, ob, sim = [], [], []
+        empty = np.zeros(0, dtype=np.uint64)
+        for a, b in zip(t.column("id_a").to_pylist(), t.column("id_b").to_pylist()):
+            sa = self.shingles.get(a, empty)
+            sb = self.shingles.get(b, empty)
+            if len(sa) == 0 and len(sb) == 0:
+                jac = 1.0
+            else:
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= self.threshold:
+                oa.append(a)
+                ob.append(b)
+                sim.append(jac)
+        return pa.table(
+            {
+                "id_a": pa.array(oa, pa.int64()),
+                "id_b": pa.array(ob, pa.int64()),
+                "jaccard": pa.array(sim, pa.float64()),
+            }
+        )
+
+
 def verify_pairs_distributed(pairs_ds, cand_docs_ds, *, text_col: str = "text",
                              id_col: str = "doc_id", k: int = 3,
                              threshold: float = 0.7, n_buckets: int = 32):
@@ -427,7 +468,8 @@ def cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
 def minhash_dedup_corpus(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
                          k: int = 3, seed: int = 42, min_shingles: int = 1,
-                         max_bucket: int = MAX_LSH_BUCKET):
+                         max_bucket: int = MAX_LSH_BUCKET,
+                         broadcast_threshold: int = 20_000):
     """End-to-end near-dup removal: candidates -> distributed exact-Jaccard
     verify -> union-find clusters -> keep each cluster's min-id
     representative.
@@ -437,14 +479,24 @@ def minhash_dedup_corpus(ds, *, text_col: str = "text", id_col: str = "doc_id",
     verified edges — never document text (VERDICT r1 finding #4). The
     wide text column is touched twice, both in-cluster: once for
     signatures, once broadcast-filtered into the verify joins."""
+    import ray
+
     pairs = minhash_candidate_pairs(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
         k=k, seed=seed, min_shingles=min_shingles, max_bucket=max_bucket,
-    ).materialize()  # id pairs only — consumed by count + 2 joins below
+    ).materialize()  # id pairs only — consumed by the steps below
     stats = {"candidate_pairs": pairs.count()}
     if stats["candidate_pairs"] == 0:
         return ds, {**stats, "candidate_docs": 0, "verified_pairs": 0, "removed_docs": 0}
-    cand_ids = set(pairs.unique("id_a")) | set(pairs.unique("id_b"))
+    # candidate ids straight off the materialized blocks (ids only, no
+    # extra distributed jobs)
+    cand_ids: set[int] = set()
+    for ref in pairs.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            continue  # empty blocks can drop their schema
+        cand_ids.update(t.column("id_a").to_pylist())
+        cand_ids.update(t.column("id_b").to_pylist())
     stats["candidate_docs"] = len(cand_ids)
     idset = pa.array(sorted(cand_ids), pa.int64())
     cand_docs = ds.map_batches(
@@ -453,9 +505,21 @@ def minhash_dedup_corpus(ds, *, text_col: str = "text", id_col: str = "doc_id",
         ),
         batch_format="pyarrow",
     )
-    verified = verify_pairs_distributed(
-        pairs, cand_docs, text_col=text_col, id_col=id_col, k=k, threshold=threshold
-    )
+    # strategy switch: small candidate sets verify shuffle-free against a
+    # broadcast doc index (refs only — text never lands on the driver);
+    # large sets go through the bucketed-join verify
+    if len(cand_ids) <= broadcast_threshold:
+        doc_refs = cand_docs.materialize().to_arrow_refs()
+        verified = pairs.map_batches(
+            _BroadcastPairVerifier,
+            fn_constructor_args=(doc_refs, text_col, id_col, k, threshold),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    else:
+        verified = verify_pairs_distributed(
+            pairs, cand_docs, text_col=text_col, id_col=id_col, k=k, threshold=threshold
+        )
     # verified EDGES (int64 pairs) are the only verify output on the driver
     edges = [(r["id_a"], r["id_b"]) for r in verified.take_all()]
     reps = cluster_pairs(edges)
