@@ -114,4 +114,6 @@ def diff_snapshots(old_ds, new_ds, *, key: str, compare_cols: list[str] | None =
         out["_bucket"] = bucket
         return out.sort_values([key]).reset_index(drop=True)
 
-    return both.groupby("_bucket").map_groups(diff_bucket, batch_format="pandas")
+    from ..stages.partition import bounded_groupby
+
+    return bounded_groupby(both, "_bucket").map_groups(diff_bucket, batch_format="pandas")

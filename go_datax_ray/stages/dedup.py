@@ -75,7 +75,9 @@ def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id"):
         k = g.column(key_col)
         return g.filter(pc.not_equal(k, pc.min(k))).select([key_col])
 
-    losers = proj.groupby("content_hash").map_groups(non_winners, batch_format="pyarrow")
+    from .partition import bounded_groupby
+
+    losers = bounded_groupby(proj, "content_hash").map_groups(non_winners, batch_format="pyarrow")
     # loser KEYS only reach the driver (8 B per duplicate doc), never text
     loser_keys = [r[key_col] for r in losers.take_all()]
     return semi_join(ds, loser_keys, on=key_col, anti=True)
@@ -225,20 +227,9 @@ MAX_LSH_BUCKET = 512
 
 
 def _shuffle_blocks(requested: int | None) -> int:
-    """Bound the block count feeding a sort shuffle: Ray's sort shuffle
-    materialises O(blocks x reducers) object refs on the driver (reducers
-    = input blocks), so unbounded map-stage block counts quadratically
-    blow up driver heap. Default: 2 blocks per CPU, floor 64 — sized so
-    reducers track cluster parallelism, not upstream file count."""
-    if requested is not None:
-        return requested
-    import ray
+    from .partition import shuffle_blocks
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 32))
-    except Exception:  # noqa: BLE001 — not initialised yet
-        cpus = 32
-    return max(64, cpus * 2)
+    return shuffle_blocks(requested)
 
 
 def _bucket_pair_fn(id_col: str, max_bucket: int, what: str):

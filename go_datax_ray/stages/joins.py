@@ -392,6 +392,8 @@ def partial_agg_sum(ds, *, key: str, value_expr, out_col: str):
         agg = df.groupby(key, as_index=False)["_v"].sum()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
+    from .partition import bounded_groupby
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby(key).aggregate(Sum("_v", alias_name=out_col))
+    out = bounded_groupby(partials, key).aggregate(Sum("_v", alias_name=out_col))
     return out

@@ -46,3 +46,25 @@ def partition_events(ds, *, key: str = "url", num_partitions: int = 64,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def shuffle_blocks(requested: int | None = None) -> int:
+    """Bound the block count feeding a sort shuffle: Ray's sort shuffle
+    materialises O(blocks x reducers) object refs on the driver (reducers
+    = input blocks), so unbounded map-stage block counts quadratically
+    blow up driver heap. Default: 2 blocks per CPU, floor 64 — sized so
+    reducers track cluster parallelism, not upstream file count."""
+    if requested is not None:
+        return requested
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:  # noqa: BLE001 — not initialised yet
+        cpus = 32
+    return max(64, cpus * 2)
+
+
+def bounded_groupby(ds, keys):
+    """groupby with the sort-shuffle fan-out bounded (see shuffle_blocks)."""
+    return ds.repartition(shuffle_blocks()).groupby(keys)

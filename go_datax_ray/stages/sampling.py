@@ -54,7 +54,9 @@ def top_k_per_group(ds, *, group: str, order: str, k: int, descending: bool = Tr
         idx = pc.sort_indices(g, sort_keys=keys)
         return g.take(idx[:k])
 
-    return ds.groupby(group).map_groups(head, batch_format="pyarrow")
+    from .partition import bounded_groupby
+
+    return bounded_groupby(ds, group).map_groups(head, batch_format="pyarrow")
 
 
 class HllSketch:

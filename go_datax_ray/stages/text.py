@@ -165,8 +165,10 @@ def token_frequencies(ds, *, text_col: str = "text", top_k: int | None = None):
         counts = toks[toks != ""].value_counts()
         return pd.DataFrame({"token": counts.index, "_c": counts.to_numpy().astype("int64")})
 
+    from .partition import bounded_groupby
+
     partials = ds.map_batches(partial, batch_format="pandas")
-    out = partials.groupby("token").aggregate(Sum("_c", alias_name="n"))
+    out = bounded_groupby(partials, "token").aggregate(Sum("_c", alias_name="n"))
     if top_k is not None:
         out = out.sort(["n", "token"], descending=[True, False]).limit(top_k)
     return out

@@ -62,7 +62,9 @@ def tumbling_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: 
         batch_format="pyarrow", zero_copy_batch=True,
     )
     ds = ds.map_batches(_to_cents, fn_kwargs={"value_col": value_col}, batch_format="pyarrow")
-    out = ds.groupby([key, "window_start"]).aggregate(
+    from .partition import bounded_groupby
+
+    out = bounded_groupby(ds, [key, "window_start"]).aggregate(
         Count(alias_name="n"), Sum("_cents", alias_name="sum_value_cents")
     )
     return out.map_batches(_pin_ts_us(["window_start"]), batch_format="pyarrow")
@@ -93,7 +95,9 @@ def sliding_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: i
         batch_format="pyarrow", zero_copy_batch=True,
     )
     ds = ds.map_batches(_to_cents, fn_kwargs={"value_col": value_col}, batch_format="pyarrow")
-    out = ds.groupby([key, "window_start"]).aggregate(
+    from .partition import bounded_groupby
+
+    out = bounded_groupby(ds, [key, "window_start"]).aggregate(
         Count(alias_name="n"), Sum("_cents", alias_name="sum_value_cents")
     )
     return out.map_batches(_pin_ts_us(["window_start"]), batch_format="pyarrow")
@@ -131,7 +135,9 @@ def session_windows(ds, *, key: str = "user_id", ts_col: str = "ts", gap_s: int 
             [key, "session_start", "session_end", "n", "sum_value_cents"]
         ]
 
-    out = ds.groupby(key).map_groups(sessions, batch_format="pandas")
+    from .partition import bounded_groupby
+
+    out = bounded_groupby(ds, key).map_groups(sessions, batch_format="pandas")
     return out.map_batches(
         _pin_ts_us(["session_start", "session_end"]), batch_format="pyarrow"
     )
