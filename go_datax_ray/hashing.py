@@ -61,6 +61,8 @@ def _hash_string_array(values, hasher) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     enc = values.dictionary_encode()
     uniq = enc.dictionary
+    if len(uniq) == 0:  # all-null column
+        return np.zeros(n, dtype=np.uint64)
     mv, offs = _utf8_slices(uniq)
     hu = np.fromiter(
         (hasher(mv[offs[i] : offs[i + 1]]) for i in range(len(uniq))),

@@ -1,0 +1,98 @@
+"""Lake admin CLI: inspect and maintain a partitioned CDC lake.
+
+    python -m go_datax_ray.lake_cli status  LAKE_DIR
+    python -m go_datax_ray.lake_cli lineage LAKE_DIR
+    python -m go_datax_ray.lake_cli count   LAKE_DIR [--asof-epoch N]
+    python -m go_datax_ray.lake_cli compact LAKE_DIR [--horizon LSN]
+    python -m go_datax_ray.lake_cli gc-orphans LAKE_DIR
+    python -m go_datax_ray.lake_cli gc-history LAKE_DIR --keep-after N
+    python -m go_datax_ray.lake_cli delete-where LAKE_DIR --where '[["col","op",value],...]'
+
+Owns its own Ray session (only for ``count``); every other command is
+pure manifest/filesystem work. LAKE_DIR may be a local path or any
+fsspec URI (file://, s3://, ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="go_datax_ray.lake_cli")
+    p.add_argument("cmd", choices=["status", "lineage", "count", "compact",
+                                   "gc-orphans", "gc-history", "delete-where"])
+    p.add_argument("lake_dir")
+    p.add_argument("--asof-epoch", type=int, default=None)
+    p.add_argument("--horizon", type=int, default=None)
+    p.add_argument("--keep-after", type=int, default=None)
+    p.add_argument("--where", type=str, default=None)
+    args = p.parse_args(argv)
+
+    from .state.manifest import Manifest
+
+    man = Manifest.load(args.lake_dir)
+
+    if args.cmd == "status":
+        print(json.dumps({
+            "lake_dir": args.lake_dir,
+            "epoch": man.epoch,
+            "watermark_lsn": man.watermark_lsn,
+            "num_partitions": man.num_partitions,
+            "committed_partitions": len(man.partitions),
+            "rows": sum(int(e["rows"]) for e in man.partitions.values()),
+        }, indent=2))
+        return 0
+
+    if args.cmd == "lineage":
+        for rec in man.lineage():
+            print(json.dumps(rec))
+        return 0
+
+    if args.cmd == "count":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        from .sinks.lake import read_lake
+
+        n = read_lake(args.lake_dir, asof_epoch=args.asof_epoch).count()
+        print(json.dumps({"rows": n, "asof_epoch": args.asof_epoch}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "compact":
+        from .sinks.lake import compact
+
+        print(json.dumps(compact(args.lake_dir,
+                                 drop_tombstones_below_lsn=args.horizon)))
+        return 0
+
+    if args.cmd == "gc-orphans":
+        print(json.dumps({"removed": man.gc_orphans()}))
+        return 0
+
+    if args.cmd == "gc-history":
+        if args.keep_after is None:
+            p.error("gc-history requires --keep-after")
+        print(json.dumps({"removed": man.gc_history(args.keep_after)}))
+        return 0
+
+    if args.cmd == "delete-where":
+        if not args.where:
+            p.error("delete-where requires --where")
+        from .sinks.lake import delete_where
+
+        print(json.dumps(delete_where(args.lake_dir, json.loads(args.where))))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -319,3 +319,30 @@ def test_delete_where_and_routing_and_mappings(tmp_path):
     assert got.column_names == ["pk", "v"]
     assert got.schema.field("pk").type == pa.string()
     assert got.schema.field("v").type == pa.int64()
+
+
+def test_lake_cli(tmp_path):
+    import json
+
+    from go_datax_ray.lake_cli import main as cli
+    from go_datax_ray.pipelines.cdc_replay import ReplayConfig, SynthEventSource, replay
+    from go_datax_ray.synth import SynthConfig
+
+    lake = str(tmp_path / "lake")
+    replay(SynthEventSource(2000, SynthConfig(n_urls=200)),
+           ReplayConfig(lake_dir=lake, num_partitions=4, epoch_size=1000))
+    import io
+    from contextlib import redirect_stdout
+
+    def run(*args):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert cli(list(args)) == 0
+        return buf.getvalue()
+
+    st = json.loads(run("status", lake))
+    assert st["epoch"] == 1 and st["committed_partitions"] == 4
+    assert len(run("lineage", lake).strip().splitlines()) == 2
+    assert json.loads(run("gc-orphans", lake))["removed"] == 0
+    out = json.loads(run("delete-where", lake, "--where", '[["lang","=","es"]]'))
+    assert out["epoch"] == 2

@@ -398,3 +398,19 @@ def test_ann_ivf_recall_bar():
     ]
     assert min(recalls) >= 0.6
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_simhash_golden():
+    """SimHash is deterministic md5-bit voting; pin it numerically on the
+    fixed corpus (rows-only in the driver -> golden digest here)."""
+    import hashlib
+
+    import numpy as np
+
+    from go_datax_ray.stages.dedup import SimHasher
+
+    t = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"]) \
+        .to_pandas().sort_values("doc_id")
+    vals = np.array([SimHasher.simhash64(x or "") for x in t["text"]], dtype=np.uint64)
+    digest = hashlib.md5(vals.tobytes()).hexdigest()
+    assert digest == "16d8acb7d789948cae2bbf0afd59ca9c", digest
