@@ -31,6 +31,14 @@ ANN_K = 5
 ANN_NUM_QUERIES = 8
 
 
+
+
+def _pool():
+    from go_datax_ray.stages.partition import actor_pool
+
+    return actor_pool()
+
+
 def _rd():
     import ray.data as rd
 
@@ -237,7 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         rd = rd_lazy()
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2).select_columns(
+        return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=_pool()).select_columns(
             ["doc_id", "simhash"]
         )
 
@@ -299,7 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         rd = rd_lazy()
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        return ds.map_batches(QualityScore, batch_format="pandas", concurrency=2).map_batches(
+        return ds.map_batches(QualityScore, batch_format="pandas", concurrency=_pool()).map_batches(
             lambda t: t.select(
                 ["doc_id", "punct_ratio", "stopword_ratio", "mean_word_len", "alpha_ratio"]
             ),
@@ -311,7 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         rd = rd_lazy()
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        return ds.map_batches(LangId, batch_format="pandas", concurrency=2).map_batches(
+        return ds.map_batches(LangId, batch_format="pandas", concurrency=_pool()).map_batches(
             lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
         )
 

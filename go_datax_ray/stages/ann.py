@@ -18,6 +18,13 @@ import pyarrow as pa
 import ray
 
 
+def _actor_pool():
+    from .partition import actor_pool
+
+    return actor_pool()
+
+
+
 def _to_matrix(col) -> np.ndarray:
     """list<float> column -> (n, dim) float64, via the flattened values
     buffer (no per-row Python lists) when lengths are uniform."""
@@ -112,7 +119,7 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
         fn_constructor_args=(qref, k, vec_col, id_col),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=_actor_pool(),
     )
 
     def reduce_topk(g: pa.Table) -> pa.Table:
@@ -209,7 +216,7 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_clusters: int = 16,
         fn_constructor_args=(qref, k, id_col, probe_mask, "cell"),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=_actor_pool(),
     )
 
     def reduce_topk(g: pa.Table) -> pa.Table:
@@ -251,7 +258,7 @@ def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, n_planes: int = 8, seed: i
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
                                    vec_col=vec_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=_actor_pool(),
     )
     wanted_arr = pa.array(sorted(wanted), pa.int64())
     pruned = bucketed.map_batches(
@@ -271,7 +278,7 @@ def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, n_planes: int = 8, seed: i
         fn_constructor_args=(qref, k, id_col, probe_mask, "bucket"),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=_actor_pool(),
     )
 
     def reduce_topk(g: pa.Table) -> pa.Table:

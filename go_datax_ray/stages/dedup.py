@@ -37,6 +37,12 @@ import pyarrow.compute as pc
 
 from ..hashing import splitmix64
 
+
+def _actor_pool():
+    from .partition import actor_pool
+
+    return actor_pool()
+
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -274,7 +280,7 @@ def minhash_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id
             seed=seed, min_shingles=min_shingles,
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=_actor_pool(),
     )
     lsh = lsh.repartition(_shuffle_blocks(shuffle_blocks))
     pairs = lsh.groupby(["band", "band_hash"]).map_groups(
@@ -505,7 +511,7 @@ def minhash_dedup_corpus(ds, *, text_col: str = "text", id_col: str = "doc_id",
             _BroadcastPairVerifier,
             fn_constructor_args=(doc_refs, text_col, id_col, k, threshold),
             batch_format="pyarrow",
-            concurrency=(1, 8),
+            concurrency=_actor_pool(),
         )
     else:
         verified = verify_pairs_distributed(
@@ -564,7 +570,7 @@ def simhash_candidate_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
     (vectorised); buckets above ``max_bucket`` are dropped with a log
     line, mirroring the MinHash LSH cap."""
     hashed = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(id_col=id_col),
-                            batch_format="pyarrow", concurrency=(1, 8))
+                            batch_format="pyarrow", concurrency=_actor_pool())
 
     def explode_bands(t: pa.Table) -> pa.Table:
         sh = t.column("simhash").to_numpy().astype(np.int64).view(np.uint64)
@@ -665,7 +671,7 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95, n_planes: 
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
                                    vec_col=vec_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=_actor_pool(),
     )
 
     def in_bucket(g: pa.Table) -> pa.Table:

@@ -27,6 +27,13 @@ import pyarrow.compute as pc
 
 import ray
 
+
+def _actor_pool():
+    from .partition import actor_pool
+
+    return actor_pool()
+
+
 from ..hashing import crc32_array
 
 
@@ -49,7 +56,7 @@ def broadcast_join(ds, small: pd.DataFrame | pa.Table, *, on: str,
         _BroadcastProbe,
         fn_constructor_args=(ref, on, how, suffix),
         batch_format="pandas",
-        concurrency=(1, 8),
+        concurrency=_actor_pool(),
     )
 
 

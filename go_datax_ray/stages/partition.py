@@ -68,3 +68,18 @@ def shuffle_blocks(requested: int | None = None) -> int:
 def bounded_groupby(ds, keys):
     """groupby with the sort-shuffle fan-out bounded (see shuffle_blocks)."""
     return ds.repartition(shuffle_blocks()).groupby(keys)
+
+
+def actor_pool(min_actors: int = 1) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds for stateful map_batches stages:
+    ceiling tracks the cluster (cpus-2, floor 8) instead of a hardcoded
+    8, so per-doc stages don't cap at a quarter of a 32-cpu box; the
+    pool only grows when the backlog demands it, so a high ceiling is
+    free for small inputs."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:  # noqa: BLE001
+        cpus = 32
+    return (min_actors, max(8, cpus - 2))
