@@ -24,7 +24,6 @@ def _actor_pool():
     return actor_pool()
 
 
-
 def _to_matrix(col) -> np.ndarray:
     """list<float> column -> (n, dim) float64, via the flattened values
     buffer (no per-row Python lists) when lengths are uniform."""

@@ -27,14 +27,13 @@ import pyarrow.compute as pc
 
 import ray
 
+from ..hashing import crc32_array
+
 
 def _actor_pool():
     from .partition import actor_pool
 
     return actor_pool()
-
-
-from ..hashing import crc32_array
 
 
 class _BroadcastProbe:
