@@ -62,6 +62,7 @@ SOURCES = {
     "sqlitereader": sqldb.read,  # real DB-API source
     "sqlreader": sqldb.read,
     "orcfilereader": orcfile.read,  # real ORC (the reference's hdfs ORC path is a stub)
+    "duckdbreader": sqldb.read,  # second real DB-API engine in-container
 }
 
 # The reference's network RDBMS/warehouse readers map onto the parquet
@@ -83,6 +84,7 @@ SINKS = {
     "sqlitewriter": sqldb.write,  # real DB-API sink
     "sqlwriter": sqldb.write,
     "orcfilewriter": orcfile.write,
+    "duckdbwriter": sqldb.write,
 }
 
 # Network RDBMS/warehouse writers -> parquet sink (writeMode=upsert gives

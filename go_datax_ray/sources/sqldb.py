@@ -1,12 +1,13 @@
-"""sqlreader: a REAL generic SQL database source (sqlite-backed here).
+"""sqlreader: a REAL generic SQL database source (DB-API backed).
 
 Mirrors the reference RDBMS reader semantics — column list, WHERE
 clause, querySql override, splitPk range splitting
 (/root/reference/plugins/reader/mysqlreader/mysql_reader.go:214-444,
-:550-616 fetch loop) — against an actual database file instead of the
-parquet collapse. sqlite is the only DB engine in this container; the
-split/query machinery is engine-agnostic (swap the connection factory
-for any DB-API driver).
+:550-616 fetch loop) — against an actual database instead of the
+parquet collapse. Two drivers ship in this container: sqlite
+(``driver: "sqlite"``, default) and DuckDB (``driver: "duckdb"``); the
+split/query machinery is engine-agnostic (any DB-API connection
+factory works).
 
 Ray-Data shape: each split becomes its own ``ray.data.read_sql``
 dataset (one read task touching only its key range), and the splits
@@ -22,8 +23,16 @@ import sqlite3
 from typing import Any
 
 
+def _strip_jdbc(url: str) -> str:
+    for prefix in ("jdbc:sqlite:", "jdbc:duckdb:"):
+        if url.startswith(prefix):
+            return url[len(prefix):]
+    return url
+
+
 def _db_path(param: dict[str, Any]) -> str:
-    """Accept DataX-style jdbcUrl ('jdbc:sqlite:/path/db') or plain path."""
+    """Accept DataX-style jdbcUrl ('jdbc:sqlite:/path/db',
+    'jdbc:duckdb:/path/db') or plain path."""
     conn = param.get("connection")
     if conn:
         ent = conn[0] if isinstance(conn, list) else conn
@@ -31,12 +40,39 @@ def _db_path(param: dict[str, Any]) -> str:
         if isinstance(url, list):
             url = url[0]
         if url:
-            return url.split("jdbc:sqlite:", 1)[-1]
+            return _strip_jdbc(url)
         if ent.get("path"):
             return ent["path"]
     if param.get("jdbcUrl"):
-        return str(param["jdbcUrl"]).split("jdbc:sqlite:", 1)[-1]
+        return _strip_jdbc(str(param["jdbcUrl"]))
     return param["path"]
+
+
+def _driver(param: dict[str, Any]) -> str:
+    """Driver from an explicit param or the jdbcUrl scheme."""
+    if param.get("driver"):
+        return param["driver"]
+    conn = param.get("connection")
+    urls = []
+    if conn:
+        ent = conn[0] if isinstance(conn, list) else conn
+        u = ent.get("jdbcUrl")
+        urls.append(u[0] if isinstance(u, list) else u)
+    urls.append(param.get("jdbcUrl"))
+    for u in urls:
+        if u and "duckdb" in str(u):
+            return "duckdb"
+    return "sqlite"
+
+
+def _connect(driver: str, path: str, *, read_only: bool = False):
+    if driver == "duckdb":
+        import duckdb
+
+        # DuckDB takes an exclusive write lock; parallel read tasks must
+        # open read_only connections
+        return duckdb.connect(path, read_only=read_only)
+    return sqlite3.connect(path)
 
 
 def _table(param: dict[str, Any]) -> str | None:
@@ -84,28 +120,48 @@ def read(param: dict[str, Any], *, channel: int = 1):
     import ray.data as rd
 
     path = _db_path(param)
+    driver = _driver(param)
     pk = param.get("splitPk")
     min_max = None
     if pk and channel > 1 and not param.get("querySql"):
-        with sqlite3.connect(path) as con:
+        con = _connect(driver, path, read_only=(driver == "duckdb"))
+        try:
             table = _table(param)
             where = param.get("where")
             q = f"SELECT MIN({pk}), MAX({pk}) FROM {table}"
             if where:
                 q += f" WHERE {where}"
             lo, hi = con.execute(q).fetchone()
+        finally:
+            con.close()
         if lo is not None:
             min_max = (int(lo), int(hi))
     queries = build_queries(param, channel=channel, min_max=min_max)
 
-    def factory(path=path):
-        return sqlite3.connect(path)
+    def factory(path=path, driver=driver):
+        return _connect(driver, path, read_only=(driver == "duckdb"))
 
     parts = [rd.read_sql(q, factory) for q in queries]
     ds = parts[0]
     for p in parts[1:]:
         ds = ds.union(p)
     return ds
+
+
+def _sql_type(t) -> str:
+    """Arrow type -> portable DDL type (sqlite accepts anything; DuckDB
+    needs real types in CREATE TABLE)."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        return "BIGINT" if not pa.types.is_boolean(t) else "BOOLEAN"
+    if pa.types.is_floating(t):
+        return "DOUBLE"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "TIMESTAMP"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "BLOB"
+    return "VARCHAR"
 
 
 def write(ds, param: dict[str, Any]) -> dict[str, Any]:
@@ -115,6 +171,7 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
     replace mapping to INSERT [OR REPLACE]
     (/root/reference/common/database/rdbms/writer/common.go:557-607)."""
     path = _db_path(param)
+    driver = _driver(param)
     table = _table(param)
     if not table:
         raise ValueError("sqlwriter needs 'table'")
@@ -122,7 +179,7 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
     verb = {"insert": "INSERT", "replace": "INSERT OR REPLACE",
             "update": "INSERT OR REPLACE"}[mode]
     records = 0
-    with sqlite3.connect(path) as con:
+    with _connect(driver, path) as con:
         pre = param.get("preSql")
         for stmt in (pre if isinstance(pre, list) else [pre]) if pre else []:
             con.execute(stmt)
@@ -130,11 +187,15 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
         for batch in ds.iter_batches(batch_format="pyarrow"):
             cols = batch.column_names
             if first:
-                coldefs = ", ".join(cols)
+                coldefs = ", ".join(
+                    f"{f.name} {_sql_type(f.type)}" for f in batch.schema
+                )
                 con.execute(f"CREATE TABLE IF NOT EXISTS {table} ({coldefs})")
                 first = False
             ph = ", ".join("?" for _ in cols)
-            rows = zip(*(batch.column(c).to_pylist() for c in cols))
+            # duckdb's executemany requires a concrete list, sqlite3
+            # accepts any iterable — materialise the batch's rows
+            rows = list(zip(*(batch.column(c).to_pylist() for c in cols)))
             con.executemany(
                 f"{verb} INTO {table} ({', '.join(cols)}) VALUES ({ph})", rows
             )

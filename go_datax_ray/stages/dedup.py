@@ -462,11 +462,123 @@ def cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def cluster_pairs_distributed(pairs_ds, *, max_rounds: int = 12, n_buckets: int = 32):
+    """Distributed connected components over the duplicate edge list —
+    the scale path ``cluster_pairs`` documents for edge lists that don't
+    fit driver memory: iterative min-label propagation, one bucketed
+    join + one bounded groupby per round, labels only ever materialised
+    as (node, label) int64 pairs in the object store.
+
+    Each round every edge proposes its source's current label to its
+    destination (edges are symmetrised once); a node's new label is the
+    min of its own and all proposals. Converges in O(component diameter)
+    rounds — near-dup clusters are dense, so 2-4 rounds typically
+    suffice; ``max_rounds`` bounds adversarial chains. Returns a Dataset
+    of (node, label) with label = the component's min node id."""
+    import ray.data as rdm
+
+    from .joins import bucket_hash_join
+    from .partition import bounded_groupby
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def symmetrise(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").cast(pa.int64())
+        b = t.column("id_b").cast(pa.int64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    edges = pairs_ds.map_batches(symmetrise, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("src"), "label": t.column("src")})
+
+    from ray.data.aggregate import Min, Sum
+
+    labels = (
+        bounded_groupby(edges.map_batches(init_labels, batch_format="pyarrow"), "node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    for _ in range(max_rounds):
+        src_labels = labels.map_batches(
+            lambda t: pa.table({"src": t.column("node"), "_sl": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        j = bucket_hash_join(
+            edges, src_labels, on="src", n_buckets=n_buckets,
+            schemas=(edge_schema, pa.schema([("src", pa.int64()), ("_sl", pa.int64())])),
+        )
+        proposals = bounded_groupby(
+            j.map_batches(
+                lambda t: pa.table({"node": t.column("dst"), "_p": t.column("_sl")}),
+                batch_format="pyarrow",
+            ),
+            "node",
+        ).aggregate(Min("_p", alias_name="_p"))
+        merged = bucket_hash_join(
+            labels, proposals, on="node", n_buckets=n_buckets, how="left",
+            schemas=(label_schema, pa.schema([("node", pa.int64()), ("_p", pa.int64())])),
+        )
+
+        def apply_min(t: pa.Table) -> pa.Table:
+            new = pc.min_element_wise(
+                t.column("label"), pc.fill_null(t.column("_p"), pa.scalar(2**62))
+            )
+            changed = pc.cast(pc.less(new, t.column("label")), pa.int64())
+            return pa.table(
+                {"node": t.column("node"), "label": new, "_changed": changed}
+            )
+
+        stepped = merged.map_batches(apply_min, batch_format="pyarrow")
+
+        # pointer jumping (path halving): label[x] <- label[label[x]].
+        # Plain edge propagation moves a min label ONE hop per round
+        # (O(diameter)); shortcutting through the label table makes long
+        # chains converge in O(log n) rounds.
+        lab_as_map = labels.map_batches(
+            lambda t: pa.table({"label": t.column("node"), "_ll": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        sc = bucket_hash_join(
+            stepped, lab_as_map, on="label", n_buckets=n_buckets, how="left",
+            schemas=(
+                pa.schema([("node", pa.int64()), ("label", pa.int64()),
+                           ("_changed", pa.int64())]),
+                pa.schema([("label", pa.int64()), ("_ll", pa.int64())]),
+            ),
+        )
+
+        def shortcut(t: pa.Table) -> pa.Table:
+            new = pc.min_element_wise(
+                t.column("label"), pc.fill_null(t.column("_ll"), pa.scalar(2**62))
+            )
+            changed = pc.cast(
+                pc.or_(pc.equal(t.column("_changed"), 1), pc.less(new, t.column("label"))),
+                pa.int64(),
+            )
+            return pa.table({"node": t.column("node"), "label": new, "_changed": changed})
+
+        final = sc.map_batches(shortcut, batch_format="pyarrow").materialize()
+        n_changed = final.aggregate(Sum("_changed"))["sum(_changed)"]
+        labels = final.drop_columns(["_changed"]).materialize()
+        if not n_changed:
+            break
+    return labels
+
+
 def minhash_dedup_corpus(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
                          k: int = 3, seed: int = 42, min_shingles: int = 1,
                          max_bucket: int = MAX_LSH_BUCKET,
-                         broadcast_threshold: int = 20_000):
+                         broadcast_threshold: int = 20_000,
+                         cc_threshold: int = 2_000_000):
     """End-to-end near-dup removal: candidates -> distributed exact-Jaccard
     verify -> union-find clusters -> keep each cluster's min-id
     representative.
@@ -518,10 +630,26 @@ def minhash_dedup_corpus(ds, *, text_col: str = "text", id_col: str = "doc_id",
             pairs, cand_docs, text_col=text_col, id_col=id_col, k=k, threshold=threshold
         )
     # verified EDGES (int64 pairs) are the only verify output on the driver
-    edges = [(r["id_a"], r["id_b"]) for r in verified.take_all()]
-    reps = cluster_pairs(edges)
-    losers = pa.array(sorted(i for i, r in reps.items() if r != i), pa.int64())
-    stats.update(verified_pairs=len(edges), removed_docs=len(losers))
+    ver = verified.materialize()
+    n_edges = ver.count()
+    stats["verified_pairs"] = n_edges
+    if n_edges <= cc_threshold:
+        edges = [(r["id_a"], r["id_b"]) for r in ver.take_all()]
+        reps = cluster_pairs(edges)
+        loser_ids = sorted(i for i, r in reps.items() if r != i)
+    else:
+        # edge list too big for driver union-find -> distributed min-label
+        # propagation with pointer jumping (cluster_pairs_distributed)
+        labels = cluster_pairs_distributed(ver)
+        loser_ids = sorted(
+            r["node"]
+            for r in labels.map_batches(
+                lambda t: t.filter(pc.not_equal(t.column("node"), t.column("label"))),
+                batch_format="pyarrow",
+            ).take_all()
+        )
+    losers = pa.array(loser_ids, pa.int64())
+    stats.update(removed_docs=len(losers))
     deduped = ds.map_batches(
         lambda t: t.filter(
             pc.invert(pc.fill_null(pc.is_in(t.column(id_col), value_set=losers), False))

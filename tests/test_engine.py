@@ -492,3 +492,49 @@ def test_orc_round_trip(tmp_path):
         "WHERE o_totalprice > 100000"
     ).fetchone()[0]
     assert res3.records == want
+
+
+def test_duckdb_reader_writer_round_trip(tmp_path):
+    """Second real DB-API engine: duckdbreader with splitPk parallel
+    read-only connections -> duckdbwriter."""
+    import duckdb
+
+    src = str(tmp_path / "src.duckdb")
+    con = duckdb.connect(src)
+    con.execute("CREATE TABLE t (id BIGINT PRIMARY KEY, grp VARCHAR, val DOUBLE)")
+    con.execute("INSERT INTO t SELECT k, 'g' || (k % 5), k * 2.0 FROM range(300) r(k)")
+    con.close()
+    dst = str(tmp_path / "dst.duckdb")
+    job = {
+        "job": {
+            "setting": {"speed": {"channel": 3}},
+            "content": [
+                {
+                    "reader": {
+                        "name": "duckdbreader",
+                        "parameter": {
+                            "connection": [{"jdbcUrl": f"jdbc:duckdb:{src}", "table": ["t"]}],
+                            "column": ["id", "grp", "val"],
+                            "where": "val >= 100",
+                            "splitPk": "id",
+                        },
+                    },
+                    "writer": {
+                        "name": "duckdbwriter",
+                        "parameter": {
+                            "path": dst, "driver": "duckdb", "table": "t",
+                            "writeMode": "replace",
+                            "preSql": "CREATE TABLE IF NOT EXISTS t "
+                                      "(id BIGINT PRIMARY KEY, grp VARCHAR, val DOUBLE)",
+                        },
+                    },
+                }
+            ]
+        }
+    }
+    res = run_job(job)
+    assert res.records == 250  # ids 50..299
+    run_job(job)  # idempotent replace
+    con = duckdb.connect(dst)
+    assert con.execute("SELECT count(*), min(id) FROM t").fetchone() == (250, 50)
+    con.close()

@@ -414,3 +414,31 @@ def test_simhash_golden():
     vals = np.array([SimHasher.simhash64(x or "") for x in t["text"]], dtype=np.uint64)
     digest = hashlib.md5(vals.tobytes()).hexdigest()
     assert digest == "16d8acb7d789948cae2bbf0afd59ca9c", digest
+
+
+def test_cluster_pairs_distributed_matches_union_find():
+    """Distributed min-label propagation CC == driver union-find on
+    random graphs (chains, cliques, singiculous components)."""
+    import numpy as np
+
+    from go_datax_ray.stages.dedup import cluster_pairs, cluster_pairs_distributed
+
+    rng = np.random.default_rng(17)
+    edges = set()
+    # random edges over 120 nodes
+    for _ in range(150):
+        a, b = rng.integers(0, 120, size=2)
+        if a != b:
+            edges.add((int(min(a, b)), int(max(a, b))))
+    # plus a long chain 200..215 (diameter test)
+    for i in range(200, 215):
+        edges.add((i, i + 1))
+    pairs = pa.table({
+        "id_a": pa.array([a for a, _ in edges], pa.int64()),
+        "id_b": pa.array([b for _, b in edges], pa.int64()),
+    })
+    want = cluster_pairs(sorted(edges))
+    got_ds = cluster_pairs_distributed(rd.from_arrow(pairs), n_buckets=4)
+    got = {r["node"]: r["label"] for r in got_ds.take_all()}
+    # every node's final rep must match union-find's root
+    assert got == {n: want[n] for n in got}
