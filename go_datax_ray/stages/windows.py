@@ -52,22 +52,43 @@ def _pin_ts_us(ts_cols: list[str]):
     return fix
 
 
+def _window_combiner(key: str):
+    """Per-batch partial aggregate: the shuffle carries one row per
+    (key, window, batch) instead of one per EVENT — the combiner
+    pattern; the global stage just sums the partials."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby([key, "window_start"], as_index=False).agg(
+            n=("_cents", "size"), _c=("_cents", "sum")
+        )
+        agg["n"] = agg["n"].astype("int64")
+        agg["_c"] = agg["_c"].astype("int64")
+        return agg
+
+    return partial
+
+
+def _window_reduce(ds, key: str):
+    from ray.data.aggregate import Sum
+
+    from .partition import bounded_groupby
+
+    out = bounded_groupby(ds, [key, "window_start"]).aggregate(
+        Sum("n", alias_name="n"), Sum("_c", alias_name="sum_value_cents")
+    )
+    return out.map_batches(_pin_ts_us(["window_start"]), batch_format="pyarrow")
+
+
 def tumbling_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: int = 3600,
                        value_col: str = "value"):
     """Tumbling-window count + sum (exact cents) per (key, window)."""
-    from ray.data.aggregate import Count, Sum
-
     ds = ds.map_batches(
         add_tumbling_window, fn_kwargs={"ts_col": ts_col, "size_s": size_s},
         batch_format="pyarrow", zero_copy_batch=True,
     )
     ds = ds.map_batches(_to_cents, fn_kwargs={"value_col": value_col}, batch_format="pyarrow")
-    from .partition import bounded_groupby
-
-    out = bounded_groupby(ds, [key, "window_start"]).aggregate(
-        Count(alias_name="n"), Sum("_cents", alias_name="sum_value_cents")
-    )
-    return out.map_batches(_pin_ts_us(["window_start"]), batch_format="pyarrow")
+    ds = ds.map_batches(_window_combiner(key), batch_format="pandas")
+    return _window_reduce(ds, key)
 
 
 def sliding_explode(batch: pa.Table, *, ts_col: str = "ts", size_s: int, slide_s: int,
@@ -88,19 +109,13 @@ def sliding_explode(batch: pa.Table, *, ts_col: str = "ts", size_s: int, slide_s
 
 def sliding_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: int,
                       slide_s: int, value_col: str = "value"):
-    from ray.data.aggregate import Count, Sum
-
     ds = ds.map_batches(
         sliding_explode, fn_kwargs={"ts_col": ts_col, "size_s": size_s, "slide_s": slide_s},
         batch_format="pyarrow", zero_copy_batch=True,
     )
     ds = ds.map_batches(_to_cents, fn_kwargs={"value_col": value_col}, batch_format="pyarrow")
-    from .partition import bounded_groupby
-
-    out = bounded_groupby(ds, [key, "window_start"]).aggregate(
-        Count(alias_name="n"), Sum("_cents", alias_name="sum_value_cents")
-    )
-    return out.map_batches(_pin_ts_us(["window_start"]), batch_format="pyarrow")
+    ds = ds.map_batches(_window_combiner(key), batch_format="pandas")
+    return _window_reduce(ds, key)
 
 
 def session_windows(ds, *, key: str = "user_id", ts_col: str = "ts", gap_s: int = 1800,
