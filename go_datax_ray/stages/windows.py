@@ -52,29 +52,21 @@ def _pin_ts_us(ts_cols: list[str]):
     return fix
 
 
-def _window_combiner(key: str):
-    """Per-batch partial aggregate: the shuffle carries one row per
-    (key, window, batch) instead of one per EVENT — the combiner
-    pattern; the global stage just sums the partials."""
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        agg = df.groupby([key, "window_start"], as_index=False).agg(
-            n=("_cents", "size"), _c=("_cents", "sum")
-        )
-        agg["n"] = agg["n"].astype("int64")
-        agg["_c"] = agg["_c"].astype("int64")
-        return agg
-
-    return partial
-
-
 def _window_reduce(ds, key: str):
-    from ray.data.aggregate import Sum
+    """Grouped count+sum per (key, window).
+
+    NO explicit combiner stage: Ray's sort-based aggregate already
+    partial-aggregates per block on the map side before the shuffle, so
+    a user-level pre-aggregation is redundant — measured 2.4 s direct
+    vs 11-19 s with an explicit combiner at sf0.1 (the combiner's
+    coalesced single-block output starves the sort of parallelism, and
+    window cardinality ~ event count gives it nothing to reduce)."""
+    from ray.data.aggregate import Count, Sum
 
     from .partition import bounded_groupby
 
     out = bounded_groupby(ds, [key, "window_start"]).aggregate(
-        Sum("n", alias_name="n"), Sum("_c", alias_name="sum_value_cents")
+        Count(alias_name="n"), Sum("_cents", alias_name="sum_value_cents")
     )
     return out.map_batches(_pin_ts_us(["window_start"]), batch_format="pyarrow")
 
@@ -87,7 +79,6 @@ def tumbling_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: 
         batch_format="pyarrow", zero_copy_batch=True,
     )
     ds = ds.map_batches(_to_cents, fn_kwargs={"value_col": value_col}, batch_format="pyarrow")
-    ds = ds.map_batches(_window_combiner(key), batch_format="pandas")
     return _window_reduce(ds, key)
 
 
@@ -114,7 +105,6 @@ def sliding_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: i
         batch_format="pyarrow", zero_copy_batch=True,
     )
     ds = ds.map_batches(_to_cents, fn_kwargs={"value_col": value_col}, batch_format="pyarrow")
-    ds = ds.map_batches(_window_combiner(key), batch_format="pandas")
     return _window_reduce(ds, key)
 
 
