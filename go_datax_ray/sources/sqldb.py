@@ -85,12 +85,19 @@ def _table(param: dict[str, Any]) -> str | None:
     return param.get("table")
 
 
+def _sql_str(v: str) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def build_queries(param: dict[str, Any], *, channel: int = 1,
-                  min_max: tuple[int, int] | None = None) -> list[str]:
+                  min_max: tuple[int, int] | None = None,
+                  boundaries: list | None = None) -> list[str]:
     """The reference's query builder: querySql wins verbatim; otherwise
     SELECT <columns> FROM <table> [WHERE ...], split into ``channel``
     half-open splitPk ranges when a split key and bounds are given
-    (mysql_reader.go:214-268 buildRangeSQLs)."""
+    (mysql_reader.go:214-268 buildRangeSQLs). ``boundaries`` carries the
+    TEXT-splitPk dictionary split (sampled NTILE boundaries over a
+    string key — the reference's text splitPk strategy, SURVEY §2.2)."""
     qsql = param.get("querySql")
     if qsql:
         return [qsql[0] if isinstance(qsql, list) else qsql]
@@ -102,6 +109,20 @@ def build_queries(param: dict[str, Any], *, channel: int = 1,
     where = param.get("where")
     base = f"SELECT {collist} FROM {table}"
     pk = param.get("splitPk")
+
+    def with_range(rng: str) -> str:
+        return base + " WHERE " + (f"({where}) AND " if where else "") + rng
+
+    if pk and channel > 1 and boundaries:
+        out = []
+        for i, b in enumerate(boundaries):
+            if i + 1 < len(boundaries):
+                out.append(with_range(
+                    f"{pk} >= {_sql_str(b)} AND {pk} < {_sql_str(boundaries[i + 1])}"
+                ))
+            else:
+                out.append(with_range(f"{pk} >= {_sql_str(b)}"))
+        return out
     if not pk or channel <= 1 or min_max is None:
         return [base + (f" WHERE {where}" if where else "")]
     lo, hi = min_max
@@ -112,7 +133,7 @@ def build_queries(param: dict[str, Any], *, channel: int = 1,
         a = lo + i * step
         b = lo + (i + 1) * step
         rng = f"{pk} >= {a} AND {pk} < {b}" if i < n - 1 else f"{pk} >= {a} AND {pk} <= {hi}"
-        out.append(base + " WHERE " + (f"({where}) AND " if where else "") + rng)
+        out.append(with_range(rng))
     return out
 
 
@@ -123,20 +144,33 @@ def read(param: dict[str, Any], *, channel: int = 1):
     driver = _driver(param)
     pk = param.get("splitPk")
     min_max = None
+    boundaries = None
     if pk and channel > 1 and not param.get("querySql"):
         con = _connect(driver, path, read_only=(driver == "duckdb"))
         try:
             table = _table(param)
             where = param.get("where")
-            q = f"SELECT MIN({pk}), MAX({pk}) FROM {table}"
-            if where:
-                q += f" WHERE {where}"
-            lo, hi = con.execute(q).fetchone()
+            wc = f" WHERE {where}" if where else ""
+            lo, hi = con.execute(
+                f"SELECT MIN({pk}), MAX({pk}) FROM {table}{wc}"
+            ).fetchone()
+            if lo is not None and not isinstance(lo, (int, float)):
+                # TEXT splitPk: dictionary split via sampled NTILE
+                # boundaries (first key of each of `channel` tiles)
+                boundaries = [
+                    r[0]
+                    for r in con.execute(
+                        f"SELECT MIN({pk}) FROM (SELECT {pk}, NTILE({channel}) "
+                        f"OVER (ORDER BY {pk}) AS _b FROM {table}{wc}) "
+                        "GROUP BY _b ORDER BY 1"
+                    ).fetchall()
+                ]
         finally:
             con.close()
-        if lo is not None:
+        if boundaries is None and lo is not None:
             min_max = (int(lo), int(hi))
-    queries = build_queries(param, channel=channel, min_max=min_max)
+    queries = build_queries(param, channel=channel, min_max=min_max,
+                            boundaries=boundaries)
 
     def factory(path=path, driver=driver):
         return _connect(driver, path, read_only=(driver == "duckdb"))

@@ -538,3 +538,41 @@ def test_duckdb_reader_writer_round_trip(tmp_path):
     con = duckdb.connect(dst)
     assert con.execute("SELECT count(*), min(id) FROM t").fetchone() == (250, 50)
     con.close()
+
+
+def test_sqlite_text_splitpk(tmp_path):
+    """TEXT splitPk = the reference's dictionary split: NTILE-sampled
+    string boundaries -> disjoint, complete string-range reads."""
+    import sqlite3
+
+    db = str(tmp_path / "txt.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE t (email TEXT PRIMARY KEY, n INTEGER)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)",
+            [(f"user{i:04d}@{chr(97 + i % 17)}.example", i) for i in range(400)],
+        )
+        con.commit()
+    from go_datax_ray.sources.sqldb import build_queries, read
+
+    job = {
+        "job": {
+            "setting": {"speed": {"channel": 4}},
+            "content": [
+                {
+                    "reader": {
+                        "name": "sqlitereader",
+                        "parameter": {"path": db, "table": "t",
+                                      "column": ["email", "n"], "splitPk": "email"},
+                    },
+                    "writer": {"name": "streamwriter", "parameter": {"print": False}},
+                }
+            ]
+        }
+    }
+    res = run_job(job)
+    assert res.records == 400
+    # quoting: boundaries with single quotes must not break the SQL
+    qs = build_queries({"table": "t", "column": ["a"], "splitPk": "a"},
+                       channel=2, boundaries=["a'b", "m"])
+    assert qs[0] == "SELECT a FROM t WHERE a >= 'a''b' AND a < 'm'"
