@@ -210,8 +210,11 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
     if not table:
         raise ValueError("sqlwriter needs 'table'")
     mode = param.get("writeMode", "insert")
+    # skip = the reference's conflict-skip path (INSERT IGNORE / ON
+    # CONFLICT DO NOTHING — config-conflict-skip-test.json,
+    # common.go:518-616 all-PK branch)
     verb = {"insert": "INSERT", "replace": "INSERT OR REPLACE",
-            "update": "INSERT OR REPLACE"}[mode]
+            "update": "INSERT OR REPLACE", "skip": "INSERT OR IGNORE"}[mode]
     records = 0
     with _connect(driver, path) as con:
         pre = param.get("preSql")

@@ -576,3 +576,37 @@ def test_sqlite_text_splitpk(tmp_path):
     qs = build_queries({"table": "t", "column": ["a"], "splitPk": "a"},
                        channel=2, boundaries=["a'b", "m"])
     assert qs[0] == "SELECT a FROM t WHERE a >= 'a''b' AND a < 'm'"
+
+
+def test_sqlite_writer_skip_mode(tmp_path):
+    """writeMode=skip keeps the FIRST write on PK conflict (the
+    reference's conflict-skip config semantics)."""
+    import sqlite3
+
+    src = str(tmp_path / "s.db")
+    dst = str(tmp_path / "d.db")
+    _make_sqlite(src, n=50)
+    with sqlite3.connect(dst) as con:
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, grp TEXT, val REAL)")
+        con.execute("INSERT INTO t VALUES (10, 'orig', -1.0)")
+        con.commit()
+    job = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "sqlitereader",
+                               "parameter": {"path": src, "table": "t",
+                                             "column": ["id", "grp", "val"]}},
+                    "writer": {"name": "sqlitewriter",
+                               "parameter": {"path": dst, "table": "t",
+                                             "writeMode": "skip"}},
+                }
+            ]
+        }
+    }
+    res = run_job(job)
+    assert res.records == 50
+    with sqlite3.connect(dst) as con:
+        assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 50
+        # pre-existing conflicting row SKIPPED, not replaced
+        assert con.execute("SELECT grp, val FROM t WHERE id = 10").fetchone() == ("orig", -1.0)
