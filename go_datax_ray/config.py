@@ -175,7 +175,9 @@ class JobConfig:
     raw: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
-    def from_dict(cls, d: dict[str, Any]) -> "JobConfig":
+    def from_dict(cls, d: dict[str, Any],
+                  variables: dict[str, str] | None = None) -> "JobConfig":
+        d = substitute_variables(d, variables)
         job = d["job"]
         content = job["content"][0]  # reference supports exactly one content
         setting = job.get("setting", {})
@@ -196,6 +198,43 @@ class JobConfig:
         )
 
     @classmethod
-    def from_file(cls, path: str) -> "JobConfig":
+    def from_file(cls, path: str,
+                  variables: dict[str, str] | None = None) -> "JobConfig":
         with open(path) as f:
-            return cls.from_dict(json.load(f))
+            return cls.from_dict(json.load(f), variables=variables)
+
+
+_VAR_RE = __import__("re").compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def substitute_variables(obj: Any, variables: dict[str, str] | None = None) -> Any:
+    """Recursive ``${name}`` substitution over a job config.
+
+    The reference DOCUMENTS this for incremental syncs
+    (docs/USER_GUIDE.md:47-58, ``"where": "id > ${lastMaxId}"``) but
+    never implements it; here it is real: explicit ``variables`` win,
+    then environment variables. An unresolved reference raises — a
+    half-substituted WHERE clause silently syncing everything is the
+    incremental-job failure mode this prevents."""
+    import os
+
+    def sub(v: Any) -> Any:
+        if isinstance(v, str):
+            def repl(m):
+                name = m.group(1)
+                if variables and name in variables:
+                    return str(variables[name])
+                if name in os.environ:
+                    return os.environ[name]
+                raise KeyError(
+                    f"job config references ${{{name}}} but no such variable "
+                    "was supplied (CLI -p / variables dict / environment)"
+                )
+            return _VAR_RE.sub(repl, v)
+        if isinstance(v, dict):
+            return {k: sub(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [sub(x) for x in v]
+        return v
+
+    return sub(obj)

@@ -40,13 +40,16 @@ class JobResult:
         return format_job_stats(self.records, self.byts, self.wall_s, self.error_records)
 
 
-def run_job(cfg: JobConfig | dict | str) -> JobResult:
+def run_job(cfg: JobConfig | dict | str,
+            variables: dict[str, str] | None = None) -> JobResult:
     """Execute one job. Ray must already be initialised by the caller
-    (the CLI below owns a session; tests use the shared fixture)."""
+    (the CLI below owns a session; tests use the shared fixture).
+    ``variables`` feeds ${name} substitution in the job JSON (the
+    reference documents this for incremental syncs; we implement it)."""
     if isinstance(cfg, str):
-        cfg = JobConfig.from_file(cfg)
+        cfg = JobConfig.from_file(cfg, variables=variables)
     elif isinstance(cfg, dict):
-        cfg = JobConfig.from_dict(cfg)
+        cfg = JobConfig.from_dict(cfg, variables=variables)
 
     if cfg.reader_name not in SOURCES:
         raise KeyError(f"unknown reader {cfg.reader_name!r}")
@@ -133,7 +136,10 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="go_datax_ray.engine")
     p.add_argument("job", help="DataX-style job JSON file")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("-p", "--param", action="append", default=[],
+                   help="job variable KEY=VALUE for ${KEY} substitution")
     args = p.parse_args(argv)
+    variables = dict(kv.split("=", 1) for kv in args.param)
 
     import ray
 
@@ -149,7 +155,7 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
     try:
-        res = run_job(args.job)
+        res = run_job(args.job, variables=variables)
         print(res.stats_line)
         return 0
     finally:

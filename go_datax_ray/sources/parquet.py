@@ -28,13 +28,27 @@ _OPS = {
 }
 
 
+def _coerce(val):
+    """Job-JSON values arrive as strings (esp. after ${var} substitution);
+    coerce numeric-looking ones so the Arrow kernel types line up."""
+    if isinstance(val, str):
+        try:
+            return int(val)
+        except ValueError:
+            try:
+                return float(val)
+            except ValueError:
+                return val
+    return val
+
+
 def build_filter(where: list[list] | None):
     """[["col", op, value], ...] conjunction -> pyarrow expression."""
     if not where:
         return None
     expr = None
     for col, op, val in where:
-        e = _OPS[op](pc.field(col), val)
+        e = _OPS[op](pc.field(col), _coerce(val))
         expr = e if expr is None else (expr & e)
     return expr
 

@@ -79,3 +79,35 @@ def test_job_status_with_metrics():
     j = Job(lambda: None, metrics_actor=m).start()
     j.wait()
     assert j.status().counters.get("records") == 7
+
+
+def test_variable_substitution(tmp_path, monkeypatch):
+    """${name} substitution in job JSON (documented-but-unimplemented in
+    the reference): explicit vars > environment; unresolved raises."""
+    import pytest
+
+    from go_datax_ray.config import JobConfig, substitute_variables
+
+    d = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "parquetreader",
+                               "parameter": {"path": "${DATA_DIR}/orders.parquet",
+                                             "where": [["o_orderkey", ">", "${lastMaxId}"]]}},
+                    "writer": {"name": "streamwriter", "parameter": {"print": False}},
+                }
+            ]
+        }
+    }
+    cfg = JobConfig.from_dict(d, variables={"DATA_DIR": "/data", "lastMaxId": "42"})
+    assert cfg.reader_param["path"] == "/data/orders.parquet"
+    assert cfg.reader_param["where"][0][2] == "42"
+    # environment fallback
+    monkeypatch.setenv("DATA_DIR", "/envdata")
+    cfg2 = JobConfig.from_dict(d, variables={"lastMaxId": "7"})
+    assert cfg2.reader_param["path"] == "/envdata/orders.parquet"
+    # unresolved -> loud failure
+    monkeypatch.delenv("DATA_DIR")
+    with pytest.raises(KeyError, match="DATA_DIR"):
+        substitute_variables(d, {"lastMaxId": "7"})
