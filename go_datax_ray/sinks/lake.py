@@ -317,7 +317,8 @@ def compact(lake_dir: str, *, drop_tombstones_below_lsn: int | None = None) -> d
     return {"dropped_tombstones": dropped, "epoch": epoch}
 
 
-def delete_where(lake_dir: str, where: list[list]) -> dict[str, int]:
+def delete_where(lake_dir: str, where: list[list], *,
+                 retain_history: bool = False) -> dict[str, int]:
     """ES deleteByConditions analogue (elasticsearch_writer.go:1257-1286):
     flip every committed row matching the ``where`` conjunction
     ([["col", op, value], ...], the parquet-reader filter grammar) to a
@@ -360,6 +361,7 @@ def delete_where(lake_dir: str, where: list[list]) -> dict[str, int]:
         man.commit_epoch(
             epoch, lsn_lo=man.watermark_lsn, lsn_hi=man.watermark_lsn,
             entries=entries, schema_json=man.schema_json or "", wall_s=0.0,
+            retain_history=retain_history,
         )
     return {"deleted": flipped, "epoch": epoch}
 

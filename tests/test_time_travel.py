@@ -124,3 +124,36 @@ def test_gc_orphans_removes_uncommitted_epoch_files(tmp_path):
     # committed state untouched, all referenced files intact
     assert read_lake_table(lake).equals(before)
     assert man.gc_orphans() == 0
+
+
+def test_delete_where_respects_time_travel(tmp_path):
+    """delete_where commits a new epoch: as-of views BEFORE it still show
+    the deleted rows; the live view doesn't; compaction after the delete
+    physically drops them."""
+    from go_datax_ray.pipelines.cdc_replay import ReplayConfig, SynthEventSource, replay
+    from go_datax_ray.sinks.lake import compact, delete_where, read_lake, read_lake_table
+    from go_datax_ray.state.manifest import Manifest
+
+    lake = str(tmp_path / "lake")
+    replay(
+        SynthEventSource(3000, SynthConfig(seed=7, n_urls=300)),
+        ReplayConfig(lake_dir=lake, num_partitions=4, epoch_size=1500),
+    )
+    pre_epoch = Manifest.load(lake).epoch
+    before = read_lake_table(lake)
+    n_es = before.filter(pa.compute.equal(before.column("lang"), pa.scalar("es"))).num_rows
+    assert n_es > 0
+    out = delete_where(lake, [["lang", "=", "es"]], retain_history=True)
+    assert out["deleted"] == n_es
+    # live view: gone
+    live = read_lake_table(lake)
+    assert live.filter(pa.compute.equal(live.column("lang"), pa.scalar("es"))).num_rows == 0
+    assert live.num_rows == before.num_rows - n_es
+    # as-of the pre-delete epoch: still visible
+    asof = read_lake(lake, asof_epoch=pre_epoch, final_state=True).to_pandas()
+    assert (asof["lang"] == "es").sum() == n_es
+    # compaction drops the delete tombstones physically; final state stable
+    res = compact(lake)
+    assert res["dropped_tombstones"] >= n_es
+    live2 = read_lake_table(lake)
+    assert live2.drop_columns(["part_id"]).num_rows == live.num_rows
