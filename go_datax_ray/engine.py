@@ -119,6 +119,8 @@ def run_job(cfg: JobConfig | dict | str,
         import ray
 
         res.error_records = ray.get(dead_letter.count.remote())
+    # writer-side degraded-retry failures (poison rows the sink skipped)
+    res.error_records += int(sink_out.get("error_records", 0))
     res.wall_s = time.perf_counter() - t0
 
     check_error_limit(

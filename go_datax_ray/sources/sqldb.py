@@ -216,6 +216,7 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
     verb = {"insert": "INSERT", "replace": "INSERT OR REPLACE",
             "update": "INSERT OR REPLACE", "skip": "INSERT OR IGNORE"}[mode]
     records = 0
+    errors = 0
     with _connect(driver, path) as con:
         pre = param.get("preSql")
         for stmt in (pre if isinstance(pre, list) else [pre]) if pre else []:
@@ -233,12 +234,29 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
             # duckdb's executemany requires a concrete list, sqlite3
             # accepts any iterable — materialise the batch's rows
             rows = list(zip(*(batch.column(c).to_pylist() for c in cols)))
-            con.executemany(
-                f"{verb} INTO {table} ({', '.join(cols)}) VALUES ({ph})", rows
-            )
-            records += batch.num_rows
+            sql = f"{verb} INTO {table} ({', '.join(cols)}) VALUES ({ph})"
+            try:
+                con.executemany(sql, rows)
+                records += batch.num_rows
+            except Exception:  # noqa: BLE001 — degraded per-row retry
+                # the reference's tdenginewriter fallback
+                # (tdengine_writer.go:304-355): a poison row must not sink
+                # the whole batch; good rows land, bad rows are counted.
+                # Roll back the partial batch first so the retry doesn't
+                # duplicate rows already inserted before the failure.
+                try:
+                    con.rollback()
+                except Exception:  # noqa: BLE001 — no open transaction
+                    pass
+                for row in rows:
+                    try:
+                        con.execute(sql, row)
+                        records += 1
+                    except Exception:  # noqa: BLE001
+                        errors += 1
         post = param.get("postSql")
         for stmt in (post if isinstance(post, list) else [post]) if post else []:
             con.execute(stmt)
         con.commit()
-    return {"records": records, "bytes": 0, "path": path, "table": table}
+    return {"records": records, "bytes": 0, "path": path, "table": table,
+            "error_records": errors}

@@ -610,3 +610,49 @@ def test_sqlite_writer_skip_mode(tmp_path):
         assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 50
         # pre-existing conflicting row SKIPPED, not replaced
         assert con.execute("SELECT grp, val FROM t WHERE id = 10").fetchone() == ("orig", -1.0)
+
+
+def test_sqlite_writer_poison_row_degraded_retry(tmp_path):
+    """A constraint-violating row must not sink the batch: good rows
+    land, the poison row is counted (tdengine_writer.go:304-355
+    pattern), and errorLimit sees it."""
+    import sqlite3
+
+    import pytest
+
+    from go_datax_ray.state.metrics import ErrorLimitExceeded
+
+    src = str(tmp_path / "s.db")
+    dst = str(tmp_path / "d.db")
+    with sqlite3.connect(src) as con:
+        con.execute("CREATE TABLE t (id INTEGER, v TEXT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)",
+                        [(i, None if i == 7 else f"v{i}") for i in range(20)])
+        con.commit()
+    job = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "sqlitereader",
+                               "parameter": {"path": src, "table": "t",
+                                             "column": ["id", "v"]}},
+                    "writer": {"name": "sqlitewriter",
+                               "parameter": {"path": dst, "table": "t",
+                                             "preSql": "CREATE TABLE t "
+                                                       "(id INTEGER, v TEXT NOT NULL)"}},
+                }
+            ]
+        }
+    }
+    res = run_job(job)
+    assert res.records == 19 and res.error_records == 1
+    with sqlite3.connect(dst) as con:
+        assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 19
+    # errorLimit counts writer-side poison rows too
+    job["job"]["setting"] = {"errorLimit": {"record": 0}}
+    job["job"]["content"][0]["writer"]["parameter"]["preSql"] = [
+        "DROP TABLE IF EXISTS t",
+        "CREATE TABLE t (id INTEGER, v TEXT NOT NULL)",
+    ]
+    with pytest.raises(ErrorLimitExceeded):
+        run_job(job)
