@@ -788,12 +788,30 @@ class HyperplaneLSH:
 
 def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95, n_planes: int = 12,
                             seed: int = 42, vec_col: str = "embedding", id_col: str = "vec_id",
-                            max_bucket: int = 4 * MAX_LSH_BUCKET):
+                            max_bucket: int = 4 * MAX_LSH_BUCKET, n_tables: int = 1):
     """Cosine near-dup pairs via hyperplane LSH buckets + in-bucket exact
-    cosine. Recall is per-bucket; raise recall by unioning several plane
-    seeds (scale knob). Buckets above ``max_bucket`` are dropped with a
+    cosine. Recall is per-bucket: a near-dup pair is FOUND only if no
+    plane of one table separates it, so recall rises with ``n_tables``
+    independent plane sets — each table is its own bucketing pass
+    (distinct seed), candidates union, exact-cosine dedup collapses
+    multi-table hits. Buckets above ``max_bucket`` are dropped with a
     log line (the cap is higher than the text-LSH one because the
     in-bucket work is one BLAS matmul, not Python pair loops)."""
+    if n_tables > 1:
+        parts = [
+            embedding_neardup_pairs(
+                ds, dim=dim, threshold=threshold, n_planes=n_planes,
+                seed=seed + 7919 * t, vec_col=vec_col, id_col=id_col,
+                max_bucket=max_bucket, n_tables=1,
+            )
+            for t in range(n_tables)
+        ]
+        union = parts[0]
+        for p_ in parts[1:]:
+            union = union.union(p_)
+        from ray.data.aggregate import Max
+
+        return union.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
     bucketed = ds.map_batches(
         HyperplaneLSH,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,

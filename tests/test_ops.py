@@ -442,3 +442,36 @@ def test_cluster_pairs_distributed_matches_union_find():
     got = {r["node"]: r["label"] for r in got_ds.take_all()}
     # every node's final rep must match union-find's root
     assert got == {n: want[n] for n in got}
+
+
+def test_embedding_neardup_multi_table_recall():
+    """More LSH tables -> recall never decreases and strictly improves on
+    planted pairs this single table misses."""
+    import numpy as np
+
+    from go_datax_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((120, 32))
+    # plant 40 near-dup partners (tiny perturbations of the first 40)
+    planted = base[:40] + rng.standard_normal((40, 32)) * 0.02
+    mat = np.vstack([base, planted])
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(tbl)
+    want = {(i, 120 + i) for i in range(40)}
+
+    def found(n_tables):
+        pairs = embedding_neardup_pairs(
+            ds, dim=32, threshold=0.99, n_planes=10, n_tables=n_tables
+        ).to_pandas()
+        got = set(zip(pairs["id_a"], pairs["id_b"]))
+        return want & got
+
+    one = found(1)
+    four = found(4)
+    assert one <= four
+    assert len(four) > len(one)  # recall strictly improves here
+    assert len(four) >= 0.9 * len(want)
