@@ -190,8 +190,12 @@ class JobConfig:
             writer_param=content["writer"].get("parameter", {}),
             transformers=content.get("transformer", []),
             channel=int(speed.get("channel", 1)),
-            speed_record=int(speed["record"]) if speed.get("record", -1) > 0 else None,
-            speed_byte=int(speed["byte"]) if speed.get("byte", -1) > 0 else None,
+            # ${var} substitution stringifies values, so speed.record may
+            # arrive as "10000" — coerce before comparing.
+            speed_record=(lambda v: int(v) if int(v) > 0 else None)(
+                speed.get("record", -1) or -1),
+            speed_byte=(lambda v: int(v) if int(v) > 0 else None)(
+                speed.get("byte", -1) or -1),
             error_limit_record=el.get("record"),
             error_limit_percentage=el.get("percentage"),
             raw=d,

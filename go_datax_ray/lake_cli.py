@@ -66,21 +66,31 @@ def main(argv: list[str] | None = None) -> int:
         ray.shutdown()
         return 0
 
+    # Every mutating command takes the same exclusive flock the replay
+    # pipeline takes — gc-orphans racing an in-flight replay would delete
+    # the uncommitted epoch's freshly written merge outputs and fail its
+    # commit_epoch with FileNotFoundError (manifest.py documents gc is
+    # only safe under the writer lock).
+    from .state.fs import writer_lock
+
     if args.cmd == "compact":
         from .sinks.lake import compact
 
-        print(json.dumps(compact(args.lake_dir,
-                                 drop_tombstones_below_lsn=args.horizon)))
+        with writer_lock(args.lake_dir):
+            print(json.dumps(compact(args.lake_dir,
+                                     drop_tombstones_below_lsn=args.horizon)))
         return 0
 
     if args.cmd == "gc-orphans":
-        print(json.dumps({"removed": man.gc_orphans()}))
+        with writer_lock(args.lake_dir):
+            print(json.dumps({"removed": man.gc_orphans()}))
         return 0
 
     if args.cmd == "gc-history":
         if args.keep_after is None:
             p.error("gc-history requires --keep-after")
-        print(json.dumps({"removed": man.gc_history(args.keep_after)}))
+        with writer_lock(args.lake_dir):
+            print(json.dumps({"removed": man.gc_history(args.keep_after)}))
         return 0
 
     if args.cmd == "delete-where":
@@ -88,7 +98,8 @@ def main(argv: list[str] | None = None) -> int:
             p.error("delete-where requires --where")
         from .sinks.lake import delete_where
 
-        print(json.dumps(delete_where(args.lake_dir, json.loads(args.where))))
+        with writer_lock(args.lake_dir):
+            print(json.dumps(delete_where(args.lake_dir, json.loads(args.where))))
         return 0
 
     return 1

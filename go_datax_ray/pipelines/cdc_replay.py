@@ -266,39 +266,23 @@ def replay(source: EventSource, cfg: ReplayConfig) -> ReplayResult:
     writer lock on the lake — two concurrent replays would race the
     manifest, so the second fails fast (flock is released by the OS even
     on crash, so a dead writer never wedges the lake)."""
-    import fcntl
-    import os as _os
-
     metrics = None
     if cfg.use_metrics:
         from ..state.metrics import get_metrics_actor
 
         metrics = get_metrics_actor()
 
-    from ..state.fs import LakeFS
+    from ..state.fs import LakeFS, writer_lock
 
     fsh = LakeFS(cfg.lake_dir)
     if not fsh.local:
         # no POSIX flock on object stores: single-writer coordination is
-        # the deployment's job there (e.g. one replay job per lake); the
-        # manifest watermark still makes concurrent replays safe, just
-        # not mutually exclusive
+        # the deployment's job there (HARD requirement — state/fs.py
+        # docstring); the manifest watermark still makes sequential
+        # re-runs exactly-once
         fsh.makedirs(fsh.root)
+    with writer_lock(cfg.lake_dir):
         return _replay_locked(source, cfg, metrics)
-    _os.makedirs(cfg.lake_dir, exist_ok=True)
-    lock_f = open(_os.path.join(cfg.lake_dir, "_writer.lock"), "w")
-    try:
-        fcntl.flock(lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
-    except BlockingIOError as e:
-        lock_f.close()
-        raise RuntimeError(
-            f"another replay holds the writer lock on {cfg.lake_dir}"
-        ) from e
-    try:
-        return _replay_locked(source, cfg, metrics)
-    finally:
-        fcntl.flock(lock_f, fcntl.LOCK_UN)
-        lock_f.close()
 
 
 def _replay_locked(source: EventSource, cfg: ReplayConfig, metrics) -> ReplayResult:

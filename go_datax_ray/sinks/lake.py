@@ -331,16 +331,21 @@ def delete_where(lake_dir: str, where: list[list], *,
     from ..sources.parquet import build_filter
     from ..state.manifest import Manifest
 
-    expr = build_filter(where)
-    if expr is None:
+    if not where:
         raise ValueError("delete_where needs at least one condition")
     man = Manifest.load(lake_dir)
     epoch = man.epoch + 1
     entries = []
     flipped = 0
+    expr = None
     for pid_s, ent in man.partitions.items():
         pid = int(pid_s)
         t = man.fsh.read_parquet(man.fsh.join(ent["file"]))
+        if expr is None:
+            # Bind string values against the lake's actual column types
+            # (parquet._coerce) — built once, from the first partition's
+            # schema (all partitions share the manifest schema).
+            expr = build_filter(where, t.schema)
         import pyarrow.dataset as pads
 
         # evaluate the expression as a boolean mask over the partition

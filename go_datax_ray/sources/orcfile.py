@@ -28,7 +28,15 @@ def read(param: dict[str, Any], *, channel: int = 1):
     cols = param.get("column")
     if cols == ["*"]:
         cols = None
-    expr = build_filter(param.get("where"))
+    where = param.get("where")
+    schema = None
+    if where and files:
+        # Metadata-only probe of the first file so string filter values
+        # bind with the bound column's real type (parquet._coerce).
+        import pyarrow.orc as orc
+
+        schema = orc.ORCFile(files[0]).schema
+    expr = build_filter(where, schema)
 
     def read_files(batch: dict) -> pa.Table:
         import pyarrow.orc as orc

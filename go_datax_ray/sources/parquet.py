@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
@@ -28,27 +29,41 @@ _OPS = {
 }
 
 
-def _coerce(val):
+def _coerce(val, typ=None):
     """Job-JSON values arrive as strings (esp. after ${var} substitution);
-    coerce numeric-looking ones so the Arrow kernel types line up."""
-    if isinstance(val, str):
+    coerce numeric-looking ones so the Arrow kernel types line up — but
+    ONLY when the bound column is actually numeric. A string value bound
+    against a STRING column must stay a string: [["sku","==","007"]]
+    coerced to int 7 would change match semantics (leading zeros) or
+    fail the Arrow kernel type check."""
+    if not isinstance(val, str) or typ is None:
+        return val
+    if not (pa.types.is_integer(typ) or pa.types.is_floating(typ)
+            or pa.types.is_decimal(typ)):
+        return val
+    try:
+        return int(val)
+    except ValueError:
         try:
-            return int(val)
+            return float(val)
         except ValueError:
-            try:
-                return float(val)
-            except ValueError:
-                return val
-    return val
+            return val
 
 
-def build_filter(where: list[list] | None):
-    """[["col", op, value], ...] conjunction -> pyarrow expression."""
+def build_filter(where: list[list] | None, schema: pa.Schema | None = None):
+    """[["col", op, value], ...] conjunction -> pyarrow expression.
+
+    ``schema`` drives string->number coercion of job-JSON values (it is
+    applied only to numeric columns); pass the source's schema whenever
+    it is known."""
     if not where:
         return None
     expr = None
     for col, op, val in where:
-        e = _OPS[op](pc.field(col), _coerce(val))
+        typ = None
+        if schema is not None and col in schema.names:
+            typ = schema.field(col).type
+        e = _OPS[op](pc.field(col), _coerce(val, typ))
         expr = e if expr is None else (expr & e)
     return expr
 
@@ -60,7 +75,13 @@ def read(param: dict[str, Any], *, channel: int = 1):
     cols = param.get("column")
     if cols and cols != ["*"]:
         kwargs["columns"] = list(cols)
-    flt = build_filter(param.get("where"))
+    where = param.get("where")
+    schema = None
+    if where:
+        # Metadata-only schema probe so string filter values bind with
+        # the bound column's real type (see _coerce).
+        schema = pads.dataset(param["path"]).schema
+    flt = build_filter(where, schema)
     if flt is not None:
         kwargs["filter"] = flt
     if channel > 1:

@@ -140,6 +140,19 @@ def build_queries(param: dict[str, Any], *, channel: int = 1,
 def read(param: dict[str, Any], *, channel: int = 1):
     import ray.data as rd
 
+    # The reference's OFFSET/LIMIT split (mysql_reader.go:386-429) is
+    # deliberately unsupported — it is O(N^2) server work (every split
+    # rescans its offset prefix; SURVEY §2.2 deprecates it). Reject
+    # loudly instead of silently falling back to one unsplit query.
+    mode = str(param.get("splitMode") or "").lower()
+    if mode in ("offset", "limit", "limitoffset", "offsetlimit"):
+        raise ValueError(
+            f"splitMode={param['splitMode']!r} (OFFSET/LIMIT split, "
+            "mysql_reader.go:386-429) is not supported: it rescans each "
+            "split's offset prefix server-side (O(N^2)). Use splitPk "
+            "range/dictionary split instead."
+        )
+
     path = _db_path(param)
     driver = _driver(param)
     pk = param.get("splitPk")
@@ -217,10 +230,19 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
             "update": "INSERT OR REPLACE", "skip": "INSERT OR IGNORE"}[mode]
     records = 0
     errors = 0
+
+    def _commit(con):
+        try:
+            con.commit()
+        except Exception:  # noqa: BLE001 — no transaction active (duckdb)
+            pass
+
     with _connect(driver, path) as con:
         pre = param.get("preSql")
         for stmt in (pre if isinstance(pre, list) else [pre]) if pre else []:
             con.execute(stmt)
+        # Commit preSql/DDL so a later per-batch rollback never undoes it.
+        _commit(con)
         first = True
         for batch in ds.iter_batches(batch_format="pyarrow"):
             cols = batch.column_names
@@ -229,6 +251,7 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
                     f"{f.name} {_sql_type(f.type)}" for f in batch.schema
                 )
                 con.execute(f"CREATE TABLE IF NOT EXISTS {table} ({coldefs})")
+                _commit(con)
                 first = False
             ph = ", ".join("?" for _ in cols)
             # duckdb's executemany requires a concrete list, sqlite3
@@ -236,14 +259,22 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
             rows = list(zip(*(batch.column(c).to_pylist() for c in cols)))
             sql = f"{verb} INTO {table} ({', '.join(cols)}) VALUES ({ph})"
             try:
+                # Transaction is scoped to THIS batch: sqlite3 auto-begins
+                # on the first DML after a commit; duckdb autocommits per
+                # statement, so open an explicit transaction — otherwise a
+                # mid-executemany failure leaves a partial batch committed
+                # and the per-row retry would duplicate those rows.
+                if driver == "duckdb":
+                    con.execute("BEGIN TRANSACTION")
                 con.executemany(sql, rows)
+                con.commit()
                 records += batch.num_rows
             except Exception:  # noqa: BLE001 — degraded per-row retry
                 # the reference's tdenginewriter fallback
                 # (tdengine_writer.go:304-355): a poison row must not sink
                 # the whole batch; good rows land, bad rows are counted.
-                # Roll back the partial batch first so the retry doesn't
-                # duplicate rows already inserted before the failure.
+                # The rollback undoes ONLY this batch — every prior batch
+                # was committed above.
                 try:
                     con.rollback()
                 except Exception:  # noqa: BLE001 — no open transaction
@@ -254,9 +285,12 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
                         records += 1
                     except Exception:  # noqa: BLE001
                         errors += 1
+                # Commit the surviving retried rows (sqlite opened an
+                # implicit transaction; duckdb autocommitted each row).
+                _commit(con)
         post = param.get("postSql")
         for stmt in (post if isinstance(post, list) else [post]) if post else []:
             con.execute(stmt)
-        con.commit()
+        _commit(con)
     return {"records": records, "bytes": 0, "path": path, "table": table,
             "error_records": errors}

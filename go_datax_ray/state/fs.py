@@ -5,16 +5,56 @@ round 1); URI paths (``file://``, ``s3://``, ``memory://``, any fsspec
 scheme) route every lake file operation through fsspec, so the lake can
 live on object storage. The data plane needs NO renames (content-
 addressed epoch files, manifest-decided visibility); the two tiny
-manifest/commit JSON swaps use ``os.replace`` locally and ``fs.mv`` on
-remote stores — on S3-class storage the final visibility flip should be
-a conditional PUT, which fsspec maps ``mv`` onto for single objects.
+manifest/commit JSON swaps use ``os.replace`` locally and ``fs.mv``
+(copy+delete, last-writer-wins) on remote stores.
+
+**Object-store lakes are HARD single-writer.** fsspec's ``mv`` is NOT a
+conditional PUT: two concurrent committers on a remote lake can
+last-writer-win the ``_manifest.json`` swap and silently drop the other
+committer's epoch. Local lakes are protected by the flock in
+``writer_lock``; remote lakes have no cross-process lock, so exactly
+one replay/compact/gc job per remote lake is a deployment requirement
+(enforce it in the scheduler). A store-native conditional write (S3
+If-None-Match / GCS generation preconditions) would lift this, but
+fsspec does not expose one portably.
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 import posixpath
 from typing import Any
+
+
+@contextlib.contextmanager
+def writer_lock(lake_dir: str):
+    """Exclusive lake writer flock — the single mutual-exclusion point
+    shared by replay, compact, gc-orphans, gc-history and delete-where
+    (all of them rewrite epoch files or the manifest, so any pair racing
+    corrupts an in-flight commit). Non-blocking: a second holder fails
+    fast. The OS releases the flock on crash, so a dead writer never
+    wedges the lake. Remote (URI) lakes have no cross-process lock —
+    see the module docstring's hard single-writer requirement."""
+    if "://" in str(lake_dir):
+        yield  # remote: deployment-level single-writer (docstring)
+        return
+    import fcntl
+
+    os.makedirs(lake_dir, exist_ok=True)
+    lock_f = open(os.path.join(lake_dir, "_writer.lock"), "w")
+    try:
+        fcntl.flock(lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except BlockingIOError as e:
+        lock_f.close()
+        raise RuntimeError(
+            f"another job holds the lake writer lock on {lake_dir}"
+        ) from e
+    try:
+        yield
+    finally:
+        fcntl.flock(lock_f, fcntl.LOCK_UN)
+        lock_f.close()
 
 
 class LakeFS:
@@ -77,7 +117,9 @@ class LakeFS:
             self.fs.rm(p, recursive=True)
 
     def replace(self, src: str, dst: str) -> None:
-        """Atomic swap locally; mv (last-writer-wins PUT) on remote."""
+        """Atomic swap locally; mv (copy+delete, last-writer-wins — NOT
+        a conditional PUT) on remote: see the module docstring's hard
+        single-writer requirement for object-store lakes."""
         if self.local:
             os.replace(src, dst)
         else:
