@@ -39,6 +39,18 @@ def _pool():
     return actor_pool()
 
 
+
+def _rp(sf_dir: str, table: str, **kw):
+    """read_parquet with the block count floored to the CPU count
+    (partition.read_blocks): the sf test tables are single parquet
+    files, which Ray reads as ONE block — serialising every pre-shuffle
+    map stage. At real scale the natural block count already exceeds
+    the floor, so the override never caps."""
+    from go_datax_ray.stages.partition import read_blocks
+
+    kw.setdefault("override_num_blocks", read_blocks())
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", **kw)
+
 def _rd():
     import ray.data as rd
 
@@ -52,7 +64,7 @@ def _events_as_cdc(sf_dir: str):
     """events table viewed as a CDC log: key=user_id, lsn=event_id,
     op = D when event_type='error' else upsert."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ds = _rp(sf_dir, "events")
 
     def to_cdc(t: pa.Table) -> pa.Table:
         return (
@@ -159,7 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.partition import partition_events
 
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+        ds = _rp(sf_dir, "events")
         ds = ds.map_batches(
             lambda t: t.append_column("key", pc.cast(t.column("user_id"), pa.string())),
             batch_format="pyarrow",
@@ -172,8 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- dx_* transforms ---------------------------------------------------
     def q_dx_filter(sf_dir: str):
         rd = rd_lazy()
-        ds = rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
+        ds = _rp(sf_dir, "lineitem",
             columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
         )
         return ds.map_batches(
@@ -182,20 +193,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_dx_substr(sf_dir: str):
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+        ds = _rp(sf_dir, "customer", columns=["c_custkey", "c_name"])
         return ds.map_batches(lambda t: dx_substr(t, "c_name", 0, 10), batch_format="pyarrow")
 
     def q_dx_replace(sf_dir: str):
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+        ds = _rp(sf_dir, "part", columns=["p_partkey", "p_type"])
         return ds.map_batches(
             lambda t: dx_replace(t, "p_type", "[aeiou]", "_"), batch_format="pyarrow"
         )
 
     def q_dx_pad(sf_dir: str):
         rd = rd_lazy()
-        ds = rd.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
         )
         return ds.map_batches(
             lambda t: dx_pad(t, "o_orderpriority", "left", 12, "*"), batch_format="pyarrow"
@@ -203,12 +213,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_dx_digest(sf_dir: str):
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
         return ds.map_batches(lambda t: dx_digest(t, "text", "md5"), batch_format="pyarrow")
 
     def q_transformer_chain(sf_dir: str):
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+        ds = _rp(sf_dir, "documents")
         chain = [
             {"name": "dx_substr", "parameter": {"column": "text", "paras": ["0", "20"]}},
             {"name": "dx_replace", "parameter": {"column": "text", "paras": ["[aeiou]", "_"]}},
@@ -223,7 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.dedup import exact_dedup
 
         rd = rd_lazy()
-        return exact_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+        return exact_dedup(_rp(sf_dir, "documents"))
 
     def q_minhash_dedup(sf_dir: str):
         """Full in-cluster near-dup pipeline: LSH candidates -> distributed
@@ -231,7 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.dedup import minhash_dedup_corpus
 
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
         _deduped, stats = minhash_dedup_corpus(ds, threshold=0.7)
         return pa.table(
             {
@@ -241,11 +251,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_simhash(sf_dir: str):
-        from go_datax_ray.stages.dedup import SimHasher
+        from go_datax_ray.stages.dedup import simhash_batch
 
-        rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=_pool()).select_columns(
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+        return ds.map_batches(simhash_batch, batch_format="pyarrow").select_columns(
             ["doc_id", "simhash"]
         )
 
@@ -259,7 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
             .column("embedding")[0]
         )
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = _rp(sf_dir, "embeddings")
         pairs = embedding_neardup_pairs(ds, dim=dim, threshold=0.95)
         df = pairs.to_pandas()
         return pa.table({"n_neardup_pairs": pa.array([len(df)], pa.int64())})
@@ -269,14 +278,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.text import token_stats
 
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
         return ds.map_batches(token_stats, batch_format="pandas").map_batches(
             lambda t: t.select(["doc_id", "n_chars", "n_tokens_ws"]), batch_format="pyarrow"
         )
 
     def q_char_classes(sf_dir: str):
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
         def counts(t: pa.Table) -> pa.Table:
             import re
@@ -303,11 +312,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ratios (int-count divisions are IEEE-bit-exact across engines);
         the exp()-based composite `quality` is excluded from the driver
         hash (libm last-ulp risk) and pinned by a pytest golden instead."""
-        from go_datax_ray.stages.text import QualityScore
+        # TASK-pool plain function (not an actor pool): the stage's only
+        # state is lru-cached compiled regexes — see text.quality_score
+        from go_datax_ray.stages.text import quality_score
 
-        rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        return ds.map_batches(QualityScore, batch_format="pandas", concurrency=_pool()).map_batches(
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+        return ds.map_batches(quality_score, batch_format="pandas").map_batches(
             lambda t: t.select(
                 ["doc_id", "punct_ratio", "stopword_ratio", "mean_word_len", "alpha_ratio"]
             ),
@@ -315,11 +325,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_lang_id(sf_dir: str):
-        from go_datax_ray.stages.text import LangId
+        from go_datax_ray.stages.text import lang_id
 
-        rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        return ds.map_batches(LangId, batch_format="pandas", concurrency=_pool()).map_batches(
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+        return ds.map_batches(lang_id, batch_format="pandas").map_batches(
             lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
         )
 
@@ -327,7 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.text import fingerprint_md5
 
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
         return ds.map_batches(fingerprint_md5, batch_format="pyarrow").select_columns(
             ["doc_id", "fp_md5"]
         )
@@ -338,7 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.text import token_frequencies
 
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        ds = _rp(sf_dir, "documents", columns=["text"])
         return token_frequencies(ds, top_k=20)
 
     def q_full_outer_join(sf_dir: str):
@@ -349,13 +358,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         rd = rd_lazy()
         orders = (
-            rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+            _rp(sf_dir, "orders", columns=["o_custkey"])
             .groupby("o_custkey").count()
             .map_batches(lambda t: t.rename_columns(["k", "n_orders"]),
                          batch_format="pyarrow")
         )
         events = (
-            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+            _rp(sf_dir, "events", columns=["user_id"])
             .groupby("user_id").count()
             .map_batches(lambda t: t.rename_columns(["k", "n_events"]),
                          batch_format="pyarrow")
@@ -367,7 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rd = rd_lazy()
         from ray.data.aggregate import Count, Sum
 
-        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        ds = _rp(sf_dir, "events", columns=["event_type", "value"])
 
         def cents(t: pa.Table) -> pa.Table:
             c = pc.cast(
@@ -394,7 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         queries_mat = np.asarray(
             qt.column("embedding").to_pylist()[:ANN_NUM_QUERIES], dtype=np.float64
         )
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = _rp(sf_dir, "embeddings")
         out = brute_force_topk(ds, queries_mat, k=ANN_K).to_pandas()
         out["query_id"] = out["query_id"].map(lambda i: qids[i])
         return pa.Table.from_pandas(
@@ -406,34 +415,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.windows import tumbling_aggregate
 
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+        ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
         return tumbling_aggregate(ds, size_s=3600)
 
     def q_window_sliding(sf_dir: str):
         from go_datax_ray.stages.windows import sliding_aggregate
 
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+        ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
         return sliding_aggregate(ds, size_s=3600, slide_s=900)
 
     def q_window_session(sf_dir: str):
         from go_datax_ray.stages.windows import session_windows
 
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+        ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
         return session_windows(ds, gap_s=1800)
 
     # -- ordering / distinct ----------------------------------------------
     def q_topk_orders(sf_dir: str):
         rd = rd_lazy()
-        ds = rd.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]
         )
         return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
     def q_distinct_event_types(sf_dir: str):
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+        ds = _rp(sf_dir, "events", columns=["event_type"])
         vals = sorted(ds.unique("event_type"))
         return pa.table({"event_type": pa.array(vals, pa.string())})
 
@@ -454,11 +462,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             qt.column("embedding").to_pylist()[:ANN_NUM_QUERIES], dtype=np.float64
         )
         ivf = ivf_topk(
-            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries_mat,
+            _rp(sf_dir, "embeddings"), queries_mat,
             k=ANN_K, n_clusters=16, n_probes=12,
         ).to_pandas()
         bf = brute_force_topk(
-            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries_mat, k=ANN_K
+            _rp(sf_dir, "embeddings"), queries_mat, k=ANN_K
         ).to_pandas()
         rows = []
         for q in range(ANN_NUM_QUERIES):
@@ -477,7 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.joins import broadcast_join
 
         rd = rd_lazy()
-        orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+        orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
         cust = (
             pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
             .rename_columns(["o_custkey", "c_mktsegment"])
@@ -491,9 +499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.joins import bucket_hash_join
 
         rd = rd_lazy()
-        li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"])
-        orders = rd.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+        li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+        orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]
         ).map_batches(
             lambda t: t.rename_columns(["l_orderkey", "o_orderstatus"]), batch_format="pyarrow"
         )
@@ -513,7 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         keys = rich.filter(pc.greater(rich.column("c_acctbal"), pa.scalar(5000.0))).column(
             "c_custkey"
         ).to_pylist()
-        ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+        ev = _rp(sf_dir, "events", columns=["event_id", "user_id"])
         return semi_join(ev, keys, on="user_id")
 
     def q_anti_join(sf_dir: str):
@@ -526,28 +533,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         keys = rich.filter(pc.greater(rich.column("c_acctbal"), pa.scalar(5000.0))).column(
             "c_custkey"
         ).to_pylist()
-        ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+        ev = _rp(sf_dir, "events", columns=["event_id", "user_id"])
         return semi_join(ev, keys, on="user_id", anti=True)
 
     def q_asof_join(sf_dir: str):
         """Event-to-snapshot as-of join: each event picks up the customer's
         latest order price at or before the event time (bucketed
         co-group + sorted merge_asof per bucket)."""
-        from ray.data.aggregate import Max
-
         from go_datax_ray.stages.joins import asof_join
 
-        rd = rd_lazy()
-        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+        ev = _rp(sf_dir, "events",
                              columns=["event_id", "user_id", "ts"])
-        orders = rd.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+        orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
         )
-        # unique (key, ts) on the right side -> deterministic as-of pick
+        # deterministic as-of pick WITHOUT a right-side pre-aggregation
+        # shuffle: merge_asof matches the LAST right row per ts, and the
+        # right_sort_tail=[price] orders duplicate (key, ts) rows so the
+        # last one is the max price — exactly the oracle's
+        # GROUP BY (key, ts) MAX(price) followed by ASOF
         right = orders.map_batches(
-            lambda t: t.rename_columns(["user_id", "ts", "o_totalprice"]),
+            lambda t: t.rename_columns(["user_id", "ts", "last_order_price"]),
             batch_format="pyarrow",
-        ).groupby(["user_id", "ts"]).aggregate(Max("o_totalprice", alias_name="last_order_price"))
+        )
         ev_schema = pa.schema(
             [("event_id", pa.int64()), ("user_id", pa.int64()),
              ("ts", pa.timestamp("us"))]
@@ -556,7 +563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [("user_id", pa.int64()), ("ts", pa.timestamp("us")),
              ("last_order_price", pa.float64())]
         )
-        out = asof_join(ev, right, by="user_id", on="ts", n_buckets=16,
+        out = asof_join(ev, right, by="user_id", on="ts",
+                        right_sort_tail=["last_order_price"],
                         schemas=(ev_schema, r_schema))
         return out.map_batches(
             lambda t: t.select(["event_id", "user_id", "ts", "last_order_price"]),
@@ -569,7 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.joins import range_join
 
         rd = rd_lazy()
-        ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+        ev = _rp(sf_dir, "events", columns=["event_id", "value"])
         bands = pa.table(
             {
                 "band_id": pa.array(range(12), pa.int64()),
@@ -593,8 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.joins import partial_agg_sum
 
         rd = rd_lazy()
-        li = rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
+        li = _rp(sf_dir, "lineitem",
             columns=["l_returnflag", "l_extendedprice", "l_discount"],
         )
 
@@ -626,8 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         building = cust.filter(
             pc.equal(cust.column("c_mktsegment"), pa.scalar("BUILDING"))
         ).column("c_custkey").to_pylist()
-        orders = rd.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+        orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
         )
         orders = semi_join(orders, building, on="o_custkey")
         cutoff = pa.scalar(pd_ts("1995-03-15"))
@@ -638,8 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.rename_columns(["l_orderkey", "o_custkey", "o_orderdate"]),
             batch_format="pyarrow",
         )
-        li = rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
+        li = _rp(sf_dir, "lineitem",
             columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         ).map_batches(
             lambda t: t.filter(pc.greater(t.column("l_shipdate"), cutoff)),
@@ -704,15 +709,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.sampling import hash_sample
 
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+        ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
         return hash_sample(ds, key="o_orderkey", rate=0.1)
 
     def q_topk_per_group(sf_dir: str):
         from go_datax_ray.stages.sampling import top_k_per_group
 
         rd = rd_lazy()
-        ds = rd.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+        ds = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
         )
         return top_k_per_group(
             ds, group="o_custkey", order="o_totalprice", k=2, tiebreak="o_orderkey"
@@ -726,9 +730,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.sampling import approx_distinct
 
         rd = rd_lazy()
-        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        ds = _rp(sf_dir, "events", columns=["user_id"])
         est = approx_distinct(ds, column="user_id")
-        exact = len(rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).unique("user_id"))
+        exact = len(_rp(sf_dir, "events", columns=["user_id"]).unique("user_id"))
         return pa.table(
             {
                 "exact_distinct_users": pa.array([exact], pa.int64()),
@@ -761,10 +765,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         cols = ["o_orderkey", "o_totalprice"]
-        old_ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols).map_batches(
+        old_ds = _rp(sf_dir, "orders", columns=cols).map_batches(
             old_side, batch_format="pyarrow"
         )
-        new_ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols).map_batches(
+        new_ds = _rp(sf_dir, "orders", columns=cols).map_batches(
             new_side, batch_format="pyarrow"
         )
         out = diff_snapshots(old_ds, new_ds, key="o_orderkey", n_buckets=8)

@@ -27,6 +27,7 @@ these are new capabilities layered on the same shuffle machinery.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 
@@ -77,13 +78,19 @@ def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id"):
     )
     proj = hashed.select_columns(["content_hash", key_col])
 
-    def non_winners(g: pa.Table) -> pa.Table:
-        k = g.column(key_col)
-        return g.filter(pc.not_equal(k, pc.min(k))).select([key_col])
+    def non_winners_block(g: pa.Table) -> pa.Table:
+        # one lexsort by (hash, key) per co-hash block; every row whose
+        # sorted hash equals its predecessor's is a non-winner (the first
+        # row of each segment holds the min key) — no per-group calls
+        order, bounds = _segments(g, ["content_hash"], extra=_col_np(g, key_col))
+        losers = np.zeros(len(order), dtype=bool)
+        losers[bounds[:-1]] = True  # segment heads are winners
+        losers = ~losers
+        return g.take(pa.array(order[losers])).select([key_col])
 
-    from .partition import bounded_groupby
+    from .partition import cohash_map_groups
 
-    losers = bounded_groupby(proj, "content_hash").map_groups(non_winners, batch_format="pyarrow")
+    losers = cohash_map_groups(proj, ["content_hash"], non_winners_block)
     # loser KEYS only reach the driver (8 B per duplicate doc), never text
     loser_keys = [r[key_col] for r in losers.take_all()]
     return semi_join(ds, loser_keys, on=key_col, anti=True)
@@ -152,6 +159,8 @@ class MinHasher:
         if not words:
             return np.zeros(0, dtype=np.uint64)
         wc = self._word_cache
+        if len(wc) > 2_000_000:  # bound: instances may now outlive a
+            wc.clear()           # pipeline (per-process lru cache)
         crc = zlib.crc32
         wh = np.fromiter(
             (wc.get(w) or wc.setdefault(w, crc(w.encode()) + 1) for w in words),
@@ -238,27 +247,84 @@ def _shuffle_blocks(requested: int | None) -> int:
     return shuffle_blocks(requested)
 
 
-def _bucket_pair_fn(id_col: str, max_bucket: int, what: str):
-    """Vectorised all-pairs within one LSH bucket, size-capped."""
+def _col_np(t: pa.Table, name: str) -> np.ndarray:
+    """Column as a sortable numpy array: ints pass through; strings go
+    through dictionary codes re-ranked to sorted order (so lexsort on
+    the codes equals lexsort on the strings — needed only for segment
+    EQUALITY, where any consistent code works, but rank-stable keeps
+    min-key semantics available too)."""
+    col = t.column(name)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    enc = col.dictionary_encode()
+    # rank the dictionary so code order == string order
+    d = enc.dictionary
+    rank = np.empty(len(d), dtype=np.int64)
+    rank[np.asarray(pc.array_sort_indices(d))] = np.arange(len(d), dtype=np.int64)
+    codes = np.asarray(enc.indices.fill_null(-1)).astype(np.int64)
+    out = np.where(codes >= 0, rank[np.clip(codes, 0, None)], np.int64(-1))
+    return out
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(g.column(id_col).to_numpy().astype(np.int64))
-        n = len(ids)
-        if n > max_bucket:
-            _LOG.warning(
-                "%s bucket overflow: %d docs > cap %d — dropping pair "
-                "generation for this bucket (%d pairs skipped)",
-                what, n, max_bucket, n * (n - 1) // 2,
-            )
+
+def _segments(t: pa.Table, keys: list[str], extra: np.ndarray | None = None):
+    """Sort rows by ``keys`` (then ``extra``) and return (order, bounds):
+    ``order`` = row permutation, ``bounds`` = segment boundaries of
+    equal-key runs in the sorted view. One lexsort for a whole co-hash
+    block — replaces per-group map_groups calls (see
+    partition.cohash_map_groups)."""
+    arrs = [_col_np(t, k) for k in keys]
+    # sort by keys in order, then extra as the in-segment tiebreak;
+    # np.lexsort treats its LAST key as primary, hence the reversal
+    sort_cols = arrs + ([extra] if extra is not None else [])
+    order = np.lexsort(sort_cols[::-1]) if sort_cols else np.arange(t.num_rows)
+    sk = np.stack([a[order] for a in arrs], axis=1)
+    if len(order) == 0:
+        return order, np.array([0], dtype=np.int64)
+    change = np.any(sk[1:] != sk[:-1], axis=1)
+    bounds = np.concatenate(
+        [[0], np.nonzero(change)[0] + 1, [len(order)]]
+    ).astype(np.int64)
+    return order, bounds
+
+
+def _bucket_pair_fn(id_col: str, max_bucket: int, what: str, group_cols: list[str]):
+    """All-pairs within each logical LSH bucket of a co-hash block:
+    one lexsort segments the block into buckets, pairs are emitted only
+    for the (few) buckets holding >= 2 docs, size-capped with a log."""
+
+    def block_pairs(g: pa.Table) -> pa.Table:
+        order, bounds = _segments(g, group_cols)
+        ids_sorted = _col_np(g, id_col)[order]
+        counts = np.diff(bounds)
+        over = counts > max_bucket
+        if over.any():
+            for n in counts[over]:
+                _LOG.warning(
+                    "%s bucket overflow: %d docs > cap %d — dropping pair "
+                    "generation for this bucket (%d pairs skipped)",
+                    what, n, max_bucket, n * (n - 1) // 2,
+                )
+        ia, ib = [], []
+        for si in np.nonzero((counts >= 2) & ~over)[0]:
+            s, e = bounds[si], bounds[si + 1]
+            seg = np.sort(ids_sorted[s:e])
+            iu, ju = np.triu_indices(e - s, k=1)
+            ia.append(seg[iu])
+            ib.append(seg[ju])
+        if not ia:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
             )
-        iu, ju = np.triu_indices(n, k=1)
         return pa.table(
-            {"id_a": pa.array(ids[iu], pa.int64()), "id_b": pa.array(ids[ju], pa.int64())}
+            {
+                "id_a": pa.array(np.concatenate(ia), pa.int64()),
+                "id_b": pa.array(np.concatenate(ib), pa.int64()),
+            }
         )
 
-    return bucket_pairs
+    return block_pairs
 
 
 def _distinct_pairs(pairs):
@@ -267,24 +333,43 @@ def _distinct_pairs(pairs):
     return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
 
 
+@functools.lru_cache(maxsize=4)
+def _minhasher(**kw) -> "MinHasher":
+    return MinHasher(**kw)
+
+
+def minhash_batch(batch: pa.Table, **kw) -> pa.Table:
+    """Task-pool form of MinHasher: the instance (permutation coeffs +
+    word-hash cache) is lru-cached PER WORKER PROCESS, so the cache
+    outlives any single pipeline while avoiding the actor-pool startup
+    tax (~2 s/pipeline measured at sf0.1 — the round-2 regression).
+    The word cache is bounded inside MinHasher."""
+    return _minhasher(**kw)(batch)
+
+
 def minhash_candidate_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                             num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42,
                             min_shingles: int = 1, max_bucket: int = MAX_LSH_BUCKET,
                             shuffle_blocks: int | None = None):
     """docs -> candidate duplicate id pairs (a < b), deduplicated.
-    Shuffle key: (band, band_hash); docs sharing any band bucket pair up."""
+    Shuffle key: (band, band_hash); docs sharing any band bucket pair
+    up. Pair generation runs per CO-HASH block (cohash_map_groups), not
+    per LSH bucket — bands*docs buckets would mean bands*docs Python
+    calls."""
+    from .partition import cohash_map_groups
+
     lsh = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
+        minhash_batch,
+        fn_kwargs=dict(
             text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k,
             seed=seed, min_shingles=min_shingles,
         ),
         batch_format="pyarrow",
-        concurrency=_actor_pool(),
     )
-    lsh = lsh.repartition(_shuffle_blocks(shuffle_blocks))
-    pairs = lsh.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pair_fn(id_col, max_bucket, "minhash LSH"), batch_format="pyarrow"
+    pairs = cohash_map_groups(
+        lsh, ["band", "band_hash"],
+        _bucket_pair_fn(id_col, max_bucket, "minhash LSH", ["band", "band_hash"]),
+        n_groups=shuffle_blocks,
     )
     # distinct pairs (a doc pair can collide in several bands)
     return _distinct_pairs(pairs)
@@ -691,14 +776,21 @@ class SimHasher:
         return batch.append_column("simhash", pa.array(signed, pa.int64()))
 
 
+def simhash_batch(batch: pa.Table, *, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Task-pool form of SimHasher: construction is free (no compiled
+    state), so a plain function avoids the actor-pool startup tax."""
+    return SimHasher(text_col=text_col, id_col=id_col)(batch)
+
+
 def simhash_candidate_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
                             max_bucket: int = MAX_LSH_BUCKET):
     """Banded candidate generation: 4 x 16-bit bands; near-dups within
     Hamming<=3 share at least one band (pigeonhole). Verify by popcount
     (vectorised); buckets above ``max_bucket`` are dropped with a log
     line, mirroring the MinHash LSH cap."""
-    hashed = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(id_col=id_col),
-                            batch_format="pyarrow", concurrency=_actor_pool())
+    hashed = ds.map_batches(simhash_batch, fn_kwargs=dict(id_col=id_col),
+                            batch_format="pyarrow")
 
     def explode_bands(t: pa.Table) -> pa.Table:
         sh = t.column("simhash").to_numpy().astype(np.int64).view(np.uint64)
@@ -716,7 +808,7 @@ def simhash_candidate_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
 
     exploded = hashed.select_columns([id_col, "simhash"]).map_batches(
         explode_bands, batch_format="pyarrow"
-    ).repartition(_shuffle_blocks(None))
+    )
 
     empty = pa.table(
         {
@@ -726,34 +818,50 @@ def simhash_candidate_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
         }
     )
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = g.column(id_col).to_numpy().astype(np.int64)
-        n = len(ids)
-        if n < 2:
+    def block_pairs(g: pa.Table) -> pa.Table:
+        # segmented per co-hash block: one lexsort, pair generation only
+        # inside the (few) buckets with >= 2 docs
+        order, bounds = _segments(g, ["band", "band_val"])
+        ids_s = _col_np(g, id_col)[order]
+        sh_s = g.column("simhash").combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)[order]
+        counts = np.diff(bounds)
+        over = counts > max_bucket
+        if over.any():
+            for n in counts[over]:
+                _LOG.warning(
+                    "simhash bucket overflow: %d docs > cap %d — dropping pair "
+                    "generation for this bucket (%d pairs skipped)",
+                    n, max_bucket, n * (n - 1) // 2,
+                )
+        oa, ob, oh = [], [], []
+        for si in np.nonzero((counts >= 2) & ~over)[0]:
+            s, e = bounds[si], bounds[si + 1]
+            ids = ids_s[s:e]
+            sh = sh_s[s:e]
+            o2 = np.argsort(ids)
+            ids, sh = ids[o2], sh[o2]
+            iu, ju = np.triu_indices(e - s, k=1)
+            x = (sh[iu] ^ sh[ju]).view(np.uint64)
+            ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1).astype(np.int64)
+            keep = (ham <= max_hamming) & (ids[iu] != ids[ju])
+            oa.append(ids[iu[keep]])
+            ob.append(ids[ju[keep]])
+            oh.append(ham[keep])
+        if not oa:
             return empty
-        if n > max_bucket:
-            _LOG.warning(
-                "simhash bucket overflow: %d docs > cap %d — dropping pair "
-                "generation for this bucket (%d pairs skipped)",
-                n, max_bucket, n * (n - 1) // 2,
-            )
-            return empty
-        sh = g.column("simhash").to_numpy().astype(np.int64)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        iu, ju = np.triu_indices(n, k=1)
-        x = (sh[iu] ^ sh[ju]).view(np.uint64)
-        ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1).astype(np.int64)
-        keep = (ham <= max_hamming) & (ids[iu] != ids[ju])
         return pa.table(
             {
-                "id_a": pa.array(ids[iu[keep]], pa.int64()),
-                "id_b": pa.array(ids[ju[keep]], pa.int64()),
-                "hamming": pa.array(ham[keep], pa.int64()),
+                "id_a": pa.array(np.concatenate(oa), pa.int64()),
+                "id_b": pa.array(np.concatenate(ob), pa.int64()),
+                "hamming": pa.array(np.concatenate(oh), pa.int64()),
             }
         )
 
-    pairs = exploded.groupby(["band", "band_val"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    from .partition import cohash_map_groups
+
+    pairs = cohash_map_groups(exploded, ["band", "band_val"], block_pairs)
     # distinct (hamming is identical across band collisions of a pair)
     from ray.data.aggregate import Min
 
@@ -794,6 +902,17 @@ class HyperplaneLSH:
         )
 
 
+@functools.lru_cache(maxsize=8)
+def _hyperplane_lsh(**kw) -> "HyperplaneLSH":
+    return HyperplaneLSH(**kw)
+
+
+def hyperplane_lsh_batch(batch: pa.Table, **kw) -> pa.Table:
+    """Task-pool form of HyperplaneLSH (planes lru-cached per worker
+    process — see minhash_batch's rationale)."""
+    return _hyperplane_lsh(**kw)(batch)
+
+
 def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95, n_planes: int = 12,
                             seed: int = 42, vec_col: str = "embedding", id_col: str = "vec_id",
                             max_bucket: int = 4 * MAX_LSH_BUCKET, n_tables: int = 1):
@@ -821,54 +940,64 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95, n_planes: 
 
         return union.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
     bucketed = ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
-                                   vec_col=vec_col, id_col=id_col),
+        hyperplane_lsh_batch,
+        fn_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
+                       vec_col=vec_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=_actor_pool(),
     )
 
-    def in_bucket(g: pa.Table) -> pa.Table:
-        ids = g.column(id_col).to_pylist()
-        if len(ids) > max_bucket:
-            _LOG.warning(
-                "embedding LSH bucket overflow: %d vecs > cap %d — dropping "
-                "pair generation for this bucket", len(ids), max_bucket,
-            )
-            return pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "cosine": pa.array([], pa.float64()),
-                }
-            )
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+    def in_buckets(g: pa.Table) -> pa.Table:
+        # segmented per co-hash block: one lexsort; each logical bucket's
+        # pairing is one small BLAS matmul over its vector slice
         from .ann import _to_matrix
 
-        mat = _to_matrix(g.column("vec"))
-        sims = mat @ mat.T
-        a, b, s = [], [], []
-        n = len(ids)
-        iu, ju = np.triu_indices(n, k=1)
-        hit = sims[iu, ju] >= threshold
-        order = np.argsort(np.array(ids))
-        for i, j in zip(iu[hit], ju[hit]):
-            x, y = ids[i], ids[j]
-            if x == y:
-                continue
-            a.append(min(x, y))
-            b.append(max(x, y))
-            s.append(float(sims[i, j]))
+        order, bounds = _segments(g, ["bucket"])
+        ids_s = _col_np(g, id_col)[order]
+        mat_s = _to_matrix(g.column("vec"))[order]
+        counts = np.diff(bounds)
+        over = counts > max_bucket
+        if over.any():
+            for n in counts[over]:
+                _LOG.warning(
+                    "embedding LSH bucket overflow: %d vecs > cap %d — "
+                    "dropping pair generation for this bucket", n, max_bucket,
+                )
+        oa, ob, os_ = [], [], []
+        for si in np.nonzero((counts >= 2) & ~over)[0]:
+            s, e = bounds[si], bounds[si + 1]
+            ids = ids_s[s:e]
+            mat = mat_s[s:e]
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(e - s, k=1)
+            hit = (sims[iu, ju] >= threshold) & (ids[iu] != ids[ju])
+            a = ids[iu[hit]]
+            b = ids[ju[hit]]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            oa.append(lo)
+            ob.append(hi)
+            os_.append(sims[iu[hit], ju[hit]].astype(np.float64))
+        if not oa:
+            return empty
         return pa.table(
             {
-                "id_a": pa.array(a, pa.int64()),
-                "id_b": pa.array(b, pa.int64()),
-                "cosine": pa.array(s, pa.float64()),
+                "id_a": pa.array(np.concatenate(oa), pa.int64()),
+                "id_b": pa.array(np.concatenate(ob), pa.int64()),
+                "cosine": pa.array(np.concatenate(os_), pa.float64()),
             }
         )
 
-    pairs = bucketed.repartition(_shuffle_blocks(None)).groupby("bucket").map_groups(
-        in_bucket, batch_format="pyarrow"
-    )
+    from .partition import cohash_map_groups
+
+    pairs = cohash_map_groups(bucketed, ["bucket"], in_buckets)
     from ray.data.aggregate import Max
 
     # distinct (cosine identical across bucket collisions of a pair)

@@ -225,8 +225,10 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
     # reducer beyond that is pure overhead. Coalescing to the group count
     # turned a 331k-ref (~1 GB driver heap) shuffle into a ~1k-ref one on
     # the dedup-verify joins.
+    from .partition import maybe_repartition
+
     total_groups = n_buckets * max(n_salts, 1)
-    both = both.repartition(total_groups)
+    both = maybe_repartition(both, total_groups)
 
     def join_bucket(g: pa.Table) -> pa.Table:
         # Split sides as ARROW tables first: within a side the union's
@@ -253,7 +255,7 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
 
 
 def asof_join(left, right, *, by: str, on: str, n_buckets: int | None = None,
-              suffix: str = "_r",
+              suffix: str = "_r", right_sort_tail: list[str] | None = None,
               schemas: tuple[pa.Schema, pa.Schema] | None = None):
     """As-of (backward) join: for each left row, attach the LATEST right
     row with ``right[on] <= left[on]`` within the same ``by`` key — the
@@ -310,7 +312,9 @@ def asof_join(left, right, *, by: str, on: str, n_buckets: int | None = None,
     both = left.map_batches(prep("l"), batch_format="pyarrow").union(
         right.map_batches(prep("r"), batch_format="pyarrow")
     )
-    both = both.repartition(n_buckets)
+    from .partition import maybe_repartition
+
+    both = maybe_repartition(both, n_buckets)
 
     def join_bucket(g: pa.Table) -> pa.Table:
         side = g.column("_side")
@@ -321,7 +325,13 @@ def asof_join(left, right, *, by: str, on: str, n_buckets: int | None = None,
         ldf = lg.to_pandas().sort_values(on, kind="mergesort")
         if rg.num_rows == 0:
             return conform(pa.Table.from_pandas(ldf, preserve_index=False), out_schema)
-        rdf = rg.to_pandas().sort_values(on, kind="mergesort")
+        # merge_asof matches the LAST right row with on <= left on, so a
+        # deterministic tiebreak for duplicate (by, on) right rows is the
+        # sort tail — e.g. tail=[price] picks the max price per timestamp
+        # WITHOUT a pre-aggregation shuffle on the right side.
+        rdf = rg.to_pandas().sort_values(
+            [on] + (right_sort_tail or []), kind="mergesort"
+        )
         merged = pd.merge_asof(
             ldf, rdf, on=on, by=by, direction="backward", suffixes=("", suffix)
         )
@@ -398,7 +408,9 @@ def range_join(left, right, *, value_col: str, lo_col: str, hi_col: str,
             lambda t: prep_right(conform(t, union_schema)), batch_format="pyarrow"
         )
     )
-    both = both.repartition(64)
+    from .partition import maybe_repartition
+
+    both = maybe_repartition(both, 64)
 
     def join_bin(g: pa.Table) -> pa.Table:
         side = g.column("_side")

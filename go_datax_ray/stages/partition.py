@@ -65,9 +65,88 @@ def shuffle_blocks(requested: int | None = None) -> int:
     return max(64, cpus * 2)
 
 
+def read_blocks(files: int = 1) -> int:
+    """Block count for ``read_parquet(override_num_blocks=...)`` on
+    small-file inputs: the sf test tables are ONE parquet file, which
+    Ray reads as ONE block — serialising every map stage upstream of
+    the first shuffle. One block per CPU restores map parallelism; at
+    real scale (many files / row groups) the natural block count is
+    already >= cpus, so the override is a no-op floor, never a cap."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:  # noqa: BLE001
+        cpus = 32
+    return max(8, cpus, files)
+
+
+def maybe_repartition(ds, bound: int | None = None):
+    """Repartition to the shuffle bound ONLY when the input block count
+    exceeds it. The bound exists to cap the sort shuffle's O(blocks x
+    reducers) driver-side object refs; when blocks <= bound the cap
+    already holds and the extra all-to-all is pure wall-time (the
+    round-2 unconditional repartition cost 1.5-2x on several
+    pipelines). Unknown block counts repartition (conservative for
+    driver heap)."""
+    bound = shuffle_blocks(bound)
+    try:
+        nb = ds._plan.initial_num_blocks()
+    except Exception:  # noqa: BLE001
+        nb = None
+    if nb is not None and 0 < nb <= bound:
+        return ds
+    return ds.repartition(bound)
+
+
 def bounded_groupby(ds, keys):
     """groupby with the sort-shuffle fan-out bounded (see shuffle_blocks)."""
-    return ds.repartition(shuffle_blocks()).groupby(keys)
+    return maybe_repartition(ds).groupby(keys)
+
+
+def _cohash(t: pa.Table, keys: list[str], n_groups: int) -> np.ndarray:
+    """Combined hash of the key columns, mod n_groups (uint64 mixing)."""
+    from ..hashing import crc32_array, splitmix64
+
+    acc = np.zeros(t.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            col = t.column(k)
+            if pa.types.is_integer(col.type):
+                v = col.cast(pa.int64()).combine_chunks().to_numpy(
+                    zero_copy_only=False
+                ).view(np.uint64)
+            else:
+                v = crc32_array(col)
+            acc = splitmix64(acc * np.uint64(0x9E3779B97F4A7C15) + v)
+    return (acc % np.uint64(n_groups)).astype(np.int64)
+
+
+def cohash_map_groups(ds, keys: list[str], fn, *, n_groups: int | None = None):
+    """Per-group map WITHOUT per-group call overhead.
+
+    ``groupby(keys).map_groups(fn)`` makes one Python call per DISTINCT
+    key — on high-cardinality keys (LSH buckets, content hashes) that is
+    10^4-10^6 calls of ~100 us each, and it dominated the round-2
+    minhash/exact-dedup wall time. Here rows are co-hashed into
+    ``n_groups`` (~shuffle_blocks) coarse buckets — every row of one
+    logical key still lands in ONE bucket — and ``fn`` is called once
+    per coarse bucket with MANY logical groups inside. ``fn`` must
+    segment internally (sort by the key columns + np.unique/lexsort
+    boundaries — see dedup._segments for the canonical pattern)."""
+    n_groups = shuffle_blocks(n_groups)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_ck", pa.array(_cohash(t, keys, n_groups), pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def call(g: pa.Table) -> pa.Table:
+        return fn(g.drop_columns(["_ck"]))
+
+    return maybe_repartition(tagged).groupby("_ck").map_groups(
+        call, batch_format="pyarrow"
+    )
 
 
 def actor_pool(min_actors: int = 1) -> tuple[int, int]:

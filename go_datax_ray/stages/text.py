@@ -10,6 +10,7 @@ so the setup runs once per actor (the reference's Task.Init lifecycle,
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 
@@ -134,6 +135,34 @@ class LangId:
         pred = pred.mask(sample.str.len() == 0, "unk")
         batch["lang_pred"] = pred
         return batch
+
+
+@functools.lru_cache(maxsize=4)
+def _quality_scorer(text_col: str = "text") -> "QualityScore":
+    return QualityScore(text_col)
+
+
+@functools.lru_cache(maxsize=4)
+def _lang_ider(text_col: str = "text") -> "LangId":
+    return LangId(text_col)
+
+
+def quality_score(batch: pd.DataFrame, *, text_col: str = "text") -> pd.DataFrame:
+    """Plain-function form of QualityScore for TASK-pool map_batches.
+
+    The stage's only state is compiled regexes — cheap enough that a
+    process-level lru_cache beats an actor pool: actors pay a visible
+    pool-startup tax per pipeline (measured ~2 s of the 3.8 s
+    quality_score wall at sf0.1, the round-2 regression), while task
+    maps reuse Ray's already-warm workers and the cache compiles once
+    per worker process. Reserve actor pools for stages with EXPENSIVE
+    state (models, indexes — e.g. MinHasher's word cache)."""
+    return _quality_scorer(text_col)(batch)
+
+
+def lang_id(batch: pd.DataFrame, *, text_col: str = "text") -> pd.DataFrame:
+    """Plain-function form of LangId (see quality_score's rationale)."""
+    return _lang_ider(text_col)(batch)
 
 
 def fingerprint_md5(batch: pa.Table, *, text_col: str = "text", out_col: str = "fp_md5") -> pa.Table:
