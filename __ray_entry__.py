@@ -237,16 +237,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_minhash_dedup(sf_dir: str):
         """Full in-cluster near-dup pipeline: LSH candidates -> distributed
-        exact-Jaccard verify (text never reaches the driver) -> counts."""
+        exact-Jaccard verify (text never reaches the driver) -> counts
+        PLUS the md5 of the sorted survivor-id list — the whole pipeline
+        is seeded-deterministic, so the hash pins the exact surviving
+        document set across rounds (not SQL-expressible, but the
+        rows-only driver check now covers the full output, not just two
+        counters)."""
+        import hashlib
+
         from go_datax_ray.stages.dedup import minhash_dedup_corpus
 
-        rd = rd_lazy()
         ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-        _deduped, stats = minhash_dedup_corpus(ds, threshold=0.7)
+        deduped, stats = minhash_dedup_corpus(ds, threshold=0.7)
+        ids = sorted(
+            r["doc_id"]
+            for r in deduped.select_columns(["doc_id"]).take_all()
+        )
+        survivor_md5 = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()
         return pa.table(
             {
                 "n_candidate_pairs": pa.array([stats["candidate_pairs"]], pa.int64()),
                 "n_verified_pairs": pa.array([stats["verified_pairs"]], pa.int64()),
+                "n_survivors": pa.array([len(ids)], pa.int64()),
+                "survivor_md5": pa.array([survivor_md5], pa.string()),
             }
         )
 
@@ -259,19 +272,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_embedding_neardup(sf_dir: str):
+        """Recall-complete near-dup check (SQL-oracle-checkable): the
+        corpus is doubled with EXACT copies (vec_id + n), so every copy
+        pair is a true near-dup that hyperplane LSH finds with
+        STRUCTURAL recall 1.0 (identical vectors share every bucket),
+        and the in-bucket verify is exact cosine (no false positives) —
+        output == the brute-force cosine>=0.95 pair set, which DuckDB
+        computes as a cross join."""
         from go_datax_ray.stages.dedup import embedding_neardup_pairs
 
-        rd = rd_lazy()
         import pyarrow.parquet as pq
 
+        md = pq.read_metadata(f"{sf_dir}/embeddings.parquet")
+        n = md.num_rows
         dim = len(
             pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
             .column("embedding")[0]
         )
-        ds = _rp(sf_dir, "embeddings")
-        pairs = embedding_neardup_pairs(ds, dim=dim, threshold=0.95)
-        df = pairs.to_pandas()
-        return pa.table({"n_neardup_pairs": pa.array([len(df)], pa.int64())})
+
+        def proj(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"vec_id": t.column("vec_id").cast(pa.int64()),
+                 "embedding": t.column("embedding")}
+            )
+
+        def shifted(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"vec_id": pc.add(t.column("vec_id").cast(pa.int64()), pa.scalar(n)),
+                 "embedding": t.column("embedding")}
+            )
+
+        base = _rp(sf_dir, "embeddings").map_batches(proj, batch_format="pyarrow")
+        dup = _rp(sf_dir, "embeddings").map_batches(shifted, batch_format="pyarrow")
+        pairs = embedding_neardup_pairs(base.union(dup), dim=dim, threshold=0.95)
+        return pairs.map_batches(
+            lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+        )
 
     # -- text analysis -----------------------------------------------------
     def q_token_stats(sf_dir: str):
@@ -667,8 +703,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_lineage(sf_dir: str):
         """Per-partition lineage of a multi-epoch replay: source offsets ->
-        partition -> committed file + rows (the checkpoint/lineage record
-        the north rule requires; rows-only check)."""
+        partition -> committed file + rows — now FULLY SQL-oracle-checked:
+        the replay uses the md5 partition hash (placement auditable via
+        md5_number_lower), epoch boundaries are event-count splits, the
+        file names are the deterministic part/epoch pattern, and per-
+        partition rows = cumulative distinct keys (tombstones included:
+        a delete is a row until compaction)."""
         import shutil
 
         from go_datax_ray.pipelines.cdc_replay import (
@@ -684,25 +724,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = ev.count()
         replay(
             DatasetEventSource(ev, 0, n),
-            ReplayConfig(lake_dir=lake, num_partitions=8, epoch_size=max(n // 3, 1)),
+            ReplayConfig(lake_dir=lake, num_partitions=8,
+                         epoch_size=max(n // 3, 1), hash_fn="md5"),
         )
         rows = []
         for rec in Manifest.load(lake).lineage():
             for pid, ent in rec["partitions"].items():
                 rows.append(
-                    {
-                        "epoch": rec["epoch"],
-                        "lsn_lo": rec["lsn_lo"],
-                        "lsn_hi": rec["lsn_hi"],
-                        "partition": int(pid),
-                        "file": ent["file"],
-                        "rows": ent["rows"],
-                        "events": ent["events"],
-                    }
+                    (rec["epoch"], rec["lsn_lo"], rec["lsn_hi"], int(pid),
+                     ent["file"], ent["rows"], ent["events"])
                 )
-        import pandas as pd
-
-        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+        cols = list(zip(*rows)) if rows else [[]] * 7
+        return pa.table(
+            {
+                "epoch": pa.array(cols[0], pa.int64()),
+                "lsn_lo": pa.array(cols[1], pa.int64()),
+                "lsn_hi": pa.array(cols[2], pa.int64()),
+                "partition": pa.array(cols[3], pa.int64()),
+                "file": pa.array(cols[4], pa.string()),
+                "rows": pa.array(cols[5], pa.int64()),
+                "events": pa.array(cols[6], pa.int64()),
+            }
+        )
 
     # -- sampling / selection / sketches ----------------------------------
     def q_hash_sample(sf_dir: str):
@@ -1154,7 +1197,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS query_id, TRUE AS recall_ok
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ANN_NUM_QUERIES})
         """,
-        # minhash_dedup / simhash / embedding_neardup / media_features /
-        # lineage are not SQL-expressible (sketches, banded LSH, stubbed
-        # codecs, manifest state) -> rows-only with pytest property gates.
+        # full simhash64 replica: word hash = md5_number_lower (the engine
+        # deliberately uses md5 digest[8:16] LE so DuckDB can reproduce
+        # it), TF-weighted bit votes, two's-complement int64 output
+        "simhash": """
+            WITH words AS (
+              SELECT doc_id, w FROM documents,
+                unnest(string_split_regex(lower(text), '\\W+')) AS t(w)
+              WHERE w != ''
+            ), wc AS (
+              SELECT doc_id, w, count(*)::BIGINT AS c,
+                     md5_number_lower(w)::UBIGINT AS h
+              FROM words GROUP BY 1, 2
+            ), bits AS (
+              SELECT doc_id, b AS bit,
+                SUM(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS v
+              FROM wc, (SELECT unnest(range(64)) AS b) GROUP BY 1, 2
+            ), agg AS (
+              SELECT doc_id,
+                SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
+                         ELSE 0::HUGEINT END) AS u
+              FROM bits GROUP BY 1
+            )
+            SELECT d.doc_id,
+              COALESCE(CASE WHEN a.u >= 9223372036854775808::HUGEINT
+                            THEN a.u - 18446744073709551616::HUGEINT
+                            ELSE a.u END, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # brute-force truth for the duplicate-seeded corpus: LSH recall on
+        # exact copies is structurally 1.0 and the in-bucket verify is
+        # exact cosine, so the engine's pair set must EQUAL this
+        "embedding_neardup": """
+            WITH base AS (SELECT vec_id, embedding FROM embeddings),
+            allv AS (
+              SELECT vec_id, embedding FROM base
+              UNION ALL
+              SELECT vec_id + (SELECT count(*) FROM base), embedding FROM base
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        # lineage replica: md5 placement hash, count-split epochs (size =
+        # n//3 over the event_id order), printf'd partition/epoch file
+        # names, rows = cumulative distinct keys per partition (tombstones
+        # count — a delete is a row until compaction), events = epoch's
+        # event count per partition; partitions appear only in epochs
+        # that committed them
+        "lineage": """
+            WITH params AS (
+              SELECT count(*) AS n, greatest(count(*) // 3, 1) AS sz FROM events
+            ), ev AS (
+              SELECT user_id, event_id AS lsn,
+                     CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 8
+                          AS BIGINT) AS p,
+                     CAST((row_number() OVER (ORDER BY event_id) - 1)
+                          // (SELECT sz FROM params) AS BIGINT) AS epoch
+              FROM events
+            ), ep AS (
+              SELECT epoch, MIN(lsn) AS lsn_lo, MAX(lsn) AS lsn_hi
+              FROM ev GROUP BY 1
+            ), fe AS (
+              SELECT user_id, p, MIN(epoch) AS first_epoch FROM ev GROUP BY 1, 2
+            ), epp AS (
+              -- events = winner rows merged this epoch = DISTINCT active
+              -- keys (the engine LWW-combines an epoch before writing)
+              SELECT epoch, p, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS events
+              FROM ev GROUP BY 1, 2
+            )
+            SELECT e.epoch, ep.lsn_lo, ep.lsn_hi, e.p AS partition,
+                   printf('part-%05d/part-%05d-epoch-%06d.parquet',
+                          e.p, e.p, e.epoch) AS file,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM fe
+                    WHERE fe.p = e.p AND fe.first_epoch <= e.epoch) AS "rows",
+                   e.events
+            FROM epp e JOIN ep USING (epoch)
+        """,
+        # minhash_dedup / media_features are not SQL-expressible (seeded
+        # MinHash permutations, stubbed codecs) -> rows-only with pytest
+        # property gates; minhash additionally pins the md5 of its sorted
+        # survivor-id set in the hashed row.
     }

@@ -114,6 +114,11 @@ class ReplayConfig:
     num_salts: int = 0  # 0/1 disables the salted pre-reduce (groupby mode)
     epoch_size: int = 1_000_000
     key: str = "url"
+    # Partition hash family: "crc32" (reference-exact CRC32(pk)%N hot
+    # path) or "md5" (DuckDB md5_number_lower-checkable placement — final
+    # table state is identical either way, only placement moves; pick md5
+    # when lineage/placement must be SQL-auditable).
+    hash_fn: str = "crc32"
     use_metrics: bool = False
     report: bool = False  # print per-epoch speed lines
     # Partition exchange strategy:
@@ -314,7 +319,8 @@ def _replay_locked(source: EventSource, cfg: ReplayConfig, metrics) -> ReplayRes
             )
         ds = ds.map_batches(
             add_part_id,
-            fn_kwargs={"key": cfg.key, "num_partitions": cfg.num_partitions},
+            fn_kwargs={"key": cfg.key, "num_partitions": cfg.num_partitions,
+                       "hash_fn": cfg.hash_fn},
             batch_format="pyarrow",
             zero_copy_batch=True,
         )

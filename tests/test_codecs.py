@@ -127,3 +127,21 @@ def test_image_resize_emits_real_png():
     assert out.num_rows > 0
     resized = png_decode(out.column("payload")[0].as_py())
     assert resized.shape == (8, 8, 3)
+
+
+def test_image_features_phash_golden():
+    """Cross-round GOLDEN (VERDICT r3 #4): the PNG generator, decoder and
+    phash are all deterministic pure functions, so these exact values pin
+    the media_features pipeline output across refactors — the driver's
+    rows-only check can't see value drift; this can."""
+    import hashlib
+
+    media = make_media_table(24)
+    f = ImageFeatures()(media)
+    got = dict(zip(f.column("media_id").to_pylist(), f.column("phash").to_pylist()))
+    assert got[0] == -4600552937554852937
+    assert got[1] == 562771271371276826
+    assert got[2] == 8392916225556814176
+    assert got[4] == -669575085005625546
+    all_ph = ",".join(str(got[k]) for k in sorted(got))
+    assert hashlib.md5(all_ph.encode()).hexdigest() == "713a9cc6c2ef8a1c65b0069080aceb82"

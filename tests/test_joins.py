@@ -220,3 +220,50 @@ def test_bucket_hash_join_right_and_full_outer():
 
     with _pt.raises(ValueError, match="n_salts"):
         bucket_hash_join(left, right, on="k", how="full", n_salts=2)
+
+
+def test_bucket_join_semi_anti_and_remove_keys():
+    """In-cluster EXISTS/NOT EXISTS (VERDICT r2 finding #1): bucket
+    semi/anti joins keep only left columns, never duplicate left rows on
+    right multiplicity, and remove_keys' two paths (broadcast refs vs
+    bucketed anti-join) agree."""
+    from go_datax_ray.stages.joins import bucket_hash_join, remove_keys
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "payload": pa.array(["a", "b", "c", "d"]),
+    }))
+    # duplicate right key 2: semi must not duplicate left row 2
+    right = rd.from_arrow(pa.table({"k": pa.array([2, 2, 4, 9], pa.int64())}))
+    semi = bucket_hash_join(left, right, on="k", n_buckets=4, how="semi").to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    assert list(semi.columns) == ["k", "payload"]
+    anti = bucket_hash_join(left, right, on="k", n_buckets=4, how="anti").to_pandas()
+    assert sorted(anti["k"]) == [1, 3]
+    # dtype intact through the filter
+    sch = bucket_hash_join(left, right, on="k", n_buckets=4, how="anti").schema().base_schema
+    assert sch.field("k").type == pa.int64()
+
+    # remove_keys: broadcast path vs forced anti-join path agree
+    keys = rd.from_arrow(pa.table({"k": pa.array([2, 4], pa.int64())}))
+    a = remove_keys(left, keys, on="k").to_pandas()
+    b = remove_keys(left, keys, on="k", broadcast_limit=0).to_pandas()
+    assert sorted(a["k"]) == sorted(b["k"]) == [1, 3]
+    # empty key set is the identity
+    none = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert remove_keys(left, none, on="k").count() == 4
+
+
+def test_exact_dedup_anti_join_path_matches_broadcast():
+    """exact_dedup output is identical whether losers are removed via
+    the broadcast-refs path or the bucketed anti-join (broadcast_limit=0
+    forces the big-loser-set code path)."""
+    from go_datax_ray.stages.dedup import exact_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array([f"doc {i % 10}" for i in range(40)]),
+    })
+    a = exact_dedup(rd.from_arrow(docs)).to_pandas().sort_values("doc_id")
+    b = exact_dedup(rd.from_arrow(docs), broadcast_limit=0).to_pandas().sort_values("doc_id")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist() == list(range(10))

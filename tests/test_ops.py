@@ -402,7 +402,9 @@ def test_ann_ivf_recall_bar():
 
 def test_simhash_golden():
     """SimHash is deterministic md5-bit voting; pin it numerically on the
-    fixed corpus (rows-only in the driver -> golden digest here)."""
+    fixed corpus. (Round 3: the word hash moved to md5 digest[8:16] LE ==
+    DuckDB md5_number_lower, making simhash fully SQL-oracle-checked —
+    this golden pins the same family.)"""
     import hashlib
 
     import numpy as np
@@ -413,7 +415,7 @@ def test_simhash_golden():
         .to_pandas().sort_values("doc_id")
     vals = np.array([SimHasher.simhash64(x or "") for x in t["text"]], dtype=np.uint64)
     digest = hashlib.md5(vals.tobytes()).hexdigest()
-    assert digest == "16d8acb7d789948cae2bbf0afd59ca9c", digest
+    assert digest == "403cfdc893b29721d016db754672cacb", digest
 
 
 def test_cluster_pairs_distributed_matches_union_find():
