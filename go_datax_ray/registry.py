@@ -17,6 +17,7 @@ from .sinks import jsonfile as jsonfile_sink
 from .sinks import parquet as parquet_sink
 from .sinks import stream as stream_sink
 from .sinks import txtfile as txtfile_sink
+from .sinks import wire as wire_sink
 from .sources import jsonfile as jsonfile_src
 from .sources import orcfile
 from .sources import parquet as parquet_src
@@ -87,14 +88,36 @@ SINKS = {
     "duckdbwriter": sqldb.write,
 }
 
+def _wire_or_collapse(name: str, wire_fn):
+    """HTTP-protocol sinks: render the real wire format to files when
+    'path' is set (sinks/wire.py — curl-replayable bulk/Stream-Load
+    chunks + request manifest); lake-collapse stays available behind
+    allowCollapse."""
+
+    def write(ds, param):
+        if param.get("allowCollapse"):
+            return parquet_sink.write(ds, param)
+        return wire_fn(ds, param)
+
+    return write
+
+
+SINKS["elasticsearchwriter"] = _wire_or_collapse(
+    "elasticsearchwriter", wire_sink.write_es_bulk
+)
+SINKS["doriswriter"] = _wire_or_collapse("doriswriter", wire_sink.write_stream_load)
+SINKS["starrockswriter"] = _wire_or_collapse(
+    "starrockswriter", wire_sink.write_stream_load
+)
+
 # Network RDBMS/warehouse writers -> parquet sink (writeMode=upsert gives
 # their ON CONFLICT DO UPDATE semantics through the exactly-once lake),
 # same explicit opt-in.
 for _name in (
     "mysqlwriter", "postgresqlwriter", "oraclewriter", "sqlserverwriter",
     "sybasewriter", "gaussdbwriter", "oceanbasewriter",
-    "clickhousewriter", "doriswriter", "starrockswriter", "databendwriter",
-    "elasticsearchwriter", "mongowriter", "cassandrawriter", "neo4jwriter",
+    "clickhousewriter", "databendwriter",
+    "mongowriter", "cassandrawriter", "neo4jwriter",
     "tdenginewriter", "hdfswriter", "osswriter", "ftpwriter",
 ):
     SINKS.setdefault(_name, _collapsed_sink(_name, parquet_sink.write))

@@ -1,0 +1,314 @@
+"""Wire-format serializers for the HTTP bulk-loading sinks.
+
+The reference ships two HTTP load protocols this sandbox cannot speak
+live (no network): the Elasticsearch bulk API
+(/root/reference/plugins/writer/elasticsearchwriter/elasticsearch_writer.go:845-961)
+and Doris/StarRocks Stream Load
+(/root/reference/plugins/writer/doriswriter/doris_writer.go:396-548).
+This module renders their exact REQUEST BODIES (and headers) so the
+engine's jobs produce byte-faithful, replayable load files: each Ray
+block becomes one bulk/stream-load chunk file plus a ``_requests.jsonl``
+manifest describing the HTTP request (method, URL, headers, body file) —
+``curl -T`` replayable against a real cluster.
+
+Format-fidelity notes (golden-tested):
+- Action/doc JSON matches Go ``json.Marshal``: compact separators and
+  alphabetically sorted keys. (Go additionally HTML-escapes ``<>&``;
+  we do not — documents containing those bytes differ there.)
+- Stream Load CSV matches Go ``encoding/csv`` with the configured
+  ``column_separator`` (default TAB): minimal quoting, ``\\N`` for NULL
+  (doris_writer.go:418), LF line ends.
+- Stream Load labels are ``labelPrefix + content-hash`` instead of the
+  reference's ``labelPrefix + UnixNano`` (doris_writer.go:489): Doris
+  dedups loads BY LABEL, so a content-addressed label makes chunk
+  retries idempotent — the same at-most-once intent, made deterministic.
+"""
+
+from __future__ import annotations
+
+import base64
+import csv
+import hashlib
+import io
+import json
+import os
+from typing import Any
+
+import pyarrow as pa
+
+
+def _json_go(obj: Any) -> str:
+    """Compact, key-sorted JSON — Go json.Marshal's layout."""
+    return json.dumps(obj, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+
+
+def _row_value(v: Any) -> Any:
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return base64.b64encode(v).decode()
+    return v
+
+
+def _rows(batch: pa.Table, columns: list[str] | None) -> list[dict[str, Any]]:
+    cols = columns or batch.column_names
+    data = {c: batch.column(c).to_pylist() for c in cols if c in batch.column_names}
+    return [
+        {c: _row_value(data[c][i]) for c in data}
+        for i in range(batch.num_rows)
+    ]
+
+
+def _strip_nulls(m: dict) -> dict:
+    """removeNullValues (elasticsearch_writer.go:1405-1413): recursive."""
+    out = {}
+    for k, v in m.items():
+        if v is None:
+            continue
+        out[k] = _strip_nulls(v) if isinstance(v, dict) else v
+    return out
+
+
+def es_bulk_body(batch: pa.Table, *, index: str, action_type: str = "index",
+                 id_col: str | None = None, routing_col: str | None = None,
+                 version_col: str | None = None, op_col: str | None = None,
+                 es_version: int = 7, index_type: str | None = None,
+                 write_null: bool = False,
+                 columns: list[str] | None = None) -> bytes:
+    """One ES _bulk request body (NDJSON) for a batch.
+
+    Faithful to elasticsearch_writer.go:845-961: per row one action
+    metadata line + one doc line (none for deletes); delete rows are
+    those whose ``op_col`` equals 'D'; update wraps the doc in
+    {"doc": ..., "doc_as_upsert": true}; version implies
+    version_type=external (except update); es_version < 7 adds _type.
+    Meta columns (id/routing/version/op) are excluded from the doc."""
+    meta_cols = {c for c in (id_col, routing_col, version_col, op_col) if c}
+    doc_cols = [c for c in (columns or batch.column_names) if c not in meta_cols]
+    rows = _rows(batch, list(meta_cols | set(doc_cols)))
+    buf = io.StringIO()
+    for r in rows:
+        doc = {c: r.get(c) for c in doc_cols}
+        rid = r.get(id_col) if id_col else None
+        rid = None if rid is None else str(rid)
+        routing = r.get(routing_col) if routing_col else None
+        version = r.get(version_col) if version_col else None
+        is_delete = op_col is not None and r.get(op_col) == "D"
+        if is_delete:
+            meta: dict[str, Any] = {"_index": index, "_id": rid}
+            if es_version < 7:
+                meta["_type"] = index_type or index
+            buf.write(_json_go({"delete": meta}))
+            buf.write("\n")
+            continue
+        name = action_type
+        meta = {"_index": index}
+        if rid:  # index/create: _id only when non-empty (common.go parity)
+            meta["_id"] = rid
+        if name == "update":
+            meta["_id"] = rid  # update always addresses a doc id
+            doc = {"doc": doc, "doc_as_upsert": True}
+        if es_version < 7:
+            meta["_type"] = index_type or index
+        if routing:
+            meta["routing"] = str(routing)
+        if version is not None and name != "update":
+            meta["version"] = str(version)
+            meta["version_type"] = "external"
+        buf.write(_json_go({name: meta}))
+        buf.write("\n")
+        if not write_null:
+            if name == "update":
+                doc["doc"] = _strip_nulls(doc["doc"])
+            else:
+                doc = _strip_nulls(doc)
+        buf.write(_json_go(doc))
+        buf.write("\n")
+    return buf.getvalue().encode("utf-8")
+
+
+def stream_load_csv(batch: pa.Table, *, columns: list[str] | None = None,
+                    column_separator: str = "\t") -> bytes:
+    """Stream Load CSV chunk (doris_writer.go:396-435): configured
+    separator (default TAB), ``\\N`` for NULL, minimal quoting, LF."""
+    sep = "\t" if column_separator in ("\\t", "", None) else column_separator
+    cols = columns or batch.column_names
+    data = {c: batch.column(c).to_pylist() for c in cols}
+    buf = io.StringIO()
+    w = csv.writer(buf, delimiter=sep[0], lineterminator="\n")
+    for i in range(batch.num_rows):
+        w.writerow(
+            ["\\N" if data[c][i] is None else str(_row_value(data[c][i]))
+             for c in cols]
+        )
+    return buf.getvalue().encode("utf-8")
+
+
+def stream_load_json(batch: pa.Table, *, columns: list[str] | None = None) -> bytes:
+    """Stream Load JSON chunk (doris_writer.go:437-459): one array of
+    row objects, Go-marshal layout."""
+    return _json_go(_rows(batch, columns)).encode("utf-8")
+
+
+def stream_load_request(body: bytes, *, host: str, database: str, table: str,
+                        username: str = "root", password: str = "",
+                        label_prefix: str = "datax_",
+                        fmt: str = "csv",
+                        load_props: dict | None = None) -> dict[str, Any]:
+    """The PUT request envelope (doris_writer.go:484-521), with a
+    content-addressed label (see module docstring)."""
+    label = label_prefix + hashlib.md5(body).hexdigest()[:20]
+    headers = {
+        "Authorization": "Basic "
+        + base64.b64encode(f"{username}:{password}".encode()).decode(),
+        "Content-Type": "application/json" if fmt == "json" else "text/plain",
+        "label": label,
+        "Expect": "100-continue",
+    }
+    if fmt == "json":
+        headers["format"] = "json"
+        headers["strip_outer_array"] = "true"
+    for k, v in (load_props or {}).items():
+        headers[k] = str(v)
+    return {
+        "method": "PUT",
+        "url": f"http://{host}/api/{database}/{table}/_stream_load",
+        "headers": headers,
+        "label": label,
+    }
+
+
+# --------------------------------------------------------------------------
+# Ray sinks: distributed chunk rendering + request manifest
+
+
+def _chunked_write(ds, path: str, render, request_for) -> dict[str, Any]:
+    """map_batches stage: render each block to a content-hash-named chunk
+    file and emit its request record; the driver only aggregates the tiny
+    (file, label, records, bytes) rows."""
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"file": pa.array([], pa.string()),
+                 "records": pa.array([], pa.int64()),
+                 "bytes": pa.array([], pa.int64()),
+                 "request": pa.array([], pa.string())}
+            )
+        body = render(t)
+        tag = hashlib.md5(body).hexdigest()[:16]
+        req = request_for(body, tag)
+        fp = os.path.join(path, req.pop("_file_name"))
+        with open(fp, "wb") as f:
+            f.write(body)
+        req["body_file"] = fp
+        return pa.table(
+            {"file": pa.array([fp], pa.string()),
+             "records": pa.array([t.num_rows], pa.int64()),
+             "bytes": pa.array([len(body)], pa.int64()),
+             "request": pa.array([json.dumps(req, sort_keys=True)], pa.string())}
+        )
+
+    stats = ds.map_batches(write_block, batch_format="pyarrow").take_all()
+    manifest = os.path.join(path, "_requests.jsonl")
+    with open(manifest, "w") as f:
+        for r in sorted(stats, key=lambda r: r["file"]):
+            f.write(r["request"] + "\n")
+    return {
+        "records": int(sum(r["records"] for r in stats)),
+        "bytes": int(sum(r["bytes"] for r in stats)),
+        "files": sorted(r["file"] for r in stats),
+        "manifest": manifest,
+    }
+
+
+def write_es_bulk(ds, param: dict[str, Any]) -> dict[str, Any]:
+    """elasticsearchwriter: renders real _bulk NDJSON bodies to
+    ``parameter.path`` (no live cluster in-sandbox; replay with
+    ``curl -H 'Content-Type: application/x-ndjson' --data-binary @file
+    host/_bulk``)."""
+    path = param.get("path")
+    if not path:
+        raise ValueError(
+            "elasticsearchwriter renders bulk request bodies to files in "
+            "this engine (no live HTTP in-sandbox): set parameter.path for "
+            "the rendered chunks, or parameter.allowCollapse=true for the "
+            "lake-upsert collapse."
+        )
+    index = param.get("index")
+    if not index:
+        raise ValueError("elasticsearchwriter needs 'index'")
+    kw = dict(
+        index=index,
+        action_type=param.get("actionType", "index"),
+        id_col=param.get("idColumn"),
+        routing_col=param.get("routingColumn"),
+        version_col=param.get("versionColumn"),
+        op_col=param.get("opColumn"),
+        es_version=int(param.get("esVersion", 7)),
+        index_type=param.get("indexType") or param.get("type"),
+        write_null=bool(param.get("enableWriteNull", False)),
+        columns=param.get("column"),
+    )
+    host = param.get("endpoint", "http://localhost:9200")
+
+    def request_for(body: bytes, tag: str) -> dict[str, Any]:
+        return {
+            "_file_name": f"bulk-{tag}.ndjson",
+            "method": "POST",
+            "url": f"{host}/_bulk",
+            "headers": {"Content-Type": "application/x-ndjson"},
+        }
+
+    return _chunked_write(
+        ds, path, lambda t: es_bulk_body(t, **kw), request_for
+    )
+
+
+def write_stream_load(ds, param: dict[str, Any]) -> dict[str, Any]:
+    """doriswriter / starrockswriter: renders Stream Load chunks +
+    labelled PUT requests to ``parameter.path`` (replay with
+    ``curl -XPUT -T chunkfile -H @headers url``)."""
+    path = param.get("path")
+    if not path:
+        raise ValueError(
+            "doriswriter/starrockswriter render Stream Load chunks to files "
+            "in this engine (no live HTTP in-sandbox): set parameter.path, "
+            "or parameter.allowCollapse=true for the lake-upsert collapse."
+        )
+    conn = param.get("connection")
+    ent = (conn[0] if isinstance(conn, list) else conn) if conn else {}
+    table = ent.get("table")
+    table = (table[0] if isinstance(table, list) else table) or param.get("table")
+    if not table:
+        raise ValueError("stream-load writer needs 'table'")
+    database = ent.get("selectedDatabase") or param.get("database", "default")
+    host = ent.get("loadUrl") or param.get("loadUrl", "127.0.0.1:8030")
+    if isinstance(host, list):
+        host = host[0]
+    load_props = param.get("loadProps", {}) or {}
+    fmt = str(load_props.get("format", "csv")).lower()
+    cols = param.get("column")
+    sep = load_props.get("column_separator", "\t")
+
+    def render(t: pa.Table) -> bytes:
+        if fmt == "json":
+            return stream_load_json(t, columns=cols)
+        return stream_load_csv(t, columns=cols, column_separator=sep)
+
+    def request_for(body: bytes, tag: str) -> dict[str, Any]:
+        req = stream_load_request(
+            body, host=host, database=database, table=table,
+            username=param.get("username", "root"),
+            password=param.get("password", ""),
+            label_prefix=param.get("labelPrefix", "datax_"),
+            fmt=fmt, load_props=load_props,
+        )
+        ext = "json" if fmt == "json" else "csv"
+        req["_file_name"] = f"load-{tag}.{ext}"
+        return req
+
+    return _chunked_write(ds, path, render, request_for)

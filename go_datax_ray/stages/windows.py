@@ -108,41 +108,113 @@ def sliding_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: i
     return _window_reduce(ds, key)
 
 
+def _sessionize_sorted(ts: np.ndarray, heads: np.ndarray, cents: np.ndarray,
+                       gap_us: int):
+    """Core sessionizer over a (key-)sorted event view: ``heads`` marks
+    key-segment starts; a time gap > gap_us also starts a session.
+    Returns (session-start indices, n, start_us, end_us, sum_cents) —
+    all reduceat, no Python loops."""
+    new = heads.copy()
+    if len(ts) > 1:
+        new[1:] |= (ts[1:] - ts[:-1]) > gap_us
+    idx = np.nonzero(new)[0]
+    n = np.diff(np.append(idx, len(ts)))
+    start = ts[idx]
+    end = ts[np.append(idx[1:], len(ts)) - 1]
+    sums = np.add.reduceat(cents, idx) if len(idx) else np.zeros(0, np.int64)
+    return idx, n.astype(np.int64), start, end, sums.astype(np.int64)
+
+
 def session_windows(ds, *, key: str = "user_id", ts_col: str = "ts", gap_s: int = 1800,
-                    value_col: str = "value"):
-    """Session windows: per key, events sorted by ts; a gap > gap_s starts
-    a new session. Ordered per-key state -> map_groups over sorted group
-    (the documented partitioning assumption: one key's events fit one
-    group). Cents are computed by the SAME Arrow ``_to_cents`` kernel as
-    tumbling/sliding (half-away-from-zero, matching DuckDB ROUND) before
-    the shuffle, so all three window ops share one rounding family."""
+                    value_col: str = "value", bin_s: int | None = None):
+    """Session windows: per key, events sorted by ts; a gap > gap_s
+    starts a new session. Cents are computed by the SAME Arrow
+    ``_to_cents`` kernel as tumbling/sliding (half-away-from-zero,
+    matching DuckDB ROUND), so all three window ops share one rounding
+    family.
+
+    TWO-PHASE shape (removes the round-2 hot-key cliff where one key's
+    entire event history had to fit one group): phase 1 sessionizes per
+    (key, coarse time bin) — a hot key's events spread over ~bins
+    groups — and phase 2 stitches each key's bin-boundary sessions by
+    merging adjacent session SUMMARIES whose gap <= gap_s (within-bin
+    sessions are already maximal, so summary-level merging is exact).
+    Phase-2 state per key is its session summaries, smaller than its
+    events by the events-per-session factor — the residual assumption
+    (documented): one key's SESSION LIST fits one group.
+
+    Both phases are segment-vectorised over co-hash blocks (lexsort +
+    reduceat — no per-key Python calls)."""
     gap_us = gap_s * 1_000_000
+    bin_us = (bin_s or max(gap_s * 64, 3600)) * 1_000_000
 
     ds = ds.map_batches(_to_cents, fn_kwargs={"value_col": value_col}, batch_format="pyarrow")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        ts = g[ts_col].astype("int64").to_numpy()
-        new_sess = np.ones(len(ts), dtype=bool)
-        new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sess_id = np.cumsum(new_sess) - 1
-        g = g.assign(_sess=sess_id)
-        agg = g.groupby("_sess").agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n=(ts_col, "size"),
-            sum_value_cents=("_cents", "sum"),
+    from .dedup import _col_np, _segments
+    from .partition import cohash_map_groups
+
+    def tag_bin(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.append_column("_bin", pa.array(ts // bin_us, pa.int64()))
+
+    tagged = ds.map_batches(tag_bin, batch_format="pyarrow", zero_copy_batch=True)
+
+    def local_sessions(g: pa.Table) -> pa.Table:
+        ts_np = g.column(ts_col).cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
         )
-        agg[key] = g[key].iloc[0]
-        agg["n"] = agg["n"].astype("int64")
-        agg["sum_value_cents"] = agg["sum_value_cents"].astype("int64")
-        return agg.reset_index(drop=True)[
-            [key, "session_start", "session_end", "n", "sum_value_cents"]
-        ]
+        order, bounds = _segments(g, [key, "_bin"], extra=ts_np)
+        ts = ts_np[order]
+        cents = g.column("_cents").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )[order]
+        heads = np.zeros(len(order), dtype=bool)
+        heads[bounds[:-1]] = True
+        idx, n, start, end, sums = _sessionize_sorted(ts, heads, cents, gap_us)
+        keys_col = g.take(pa.array(order[idx])).column(key)
+        return pa.table(
+            {
+                key: keys_col,
+                "_start": pa.array(start, pa.int64()),
+                "_end": pa.array(end, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "sum_value_cents": pa.array(sums, pa.int64()),
+            }
+        )
 
-    from .partition import bounded_groupby
+    summaries = cohash_map_groups(tagged, [key, "_bin"], local_sessions)
 
-    out = bounded_groupby(ds, key).map_groups(sessions, batch_format="pandas")
-    return out.map_batches(
-        _pin_ts_us(["session_start", "session_end"]), batch_format="pyarrow"
-    )
+    def stitch(g: pa.Table) -> pa.Table:
+        start_np = g.column("_start").combine_chunks().to_numpy(zero_copy_only=False)
+        order, bounds = _segments(g, [key], extra=start_np)
+        start = start_np[order]
+        end = g.column("_end").combine_chunks().to_numpy(zero_copy_only=False)[order]
+        n = g.column("n").combine_chunks().to_numpy(zero_copy_only=False)[order]
+        cents = g.column("sum_value_cents").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )[order]
+        heads = np.zeros(len(order), dtype=bool)
+        heads[bounds[:-1]] = True
+        new = heads.copy()
+        if len(start) > 1:
+            # bin-adjacent sessions merge when the boundary gap closes;
+            # within-key summaries are time-sorted and disjoint
+            new[1:] |= (start[1:] - end[:-1]) > gap_us
+        idx = np.nonzero(new)[0]
+        m_start = start[idx]
+        last = np.append(idx[1:], len(start)) - 1
+        m_end = end[last]
+        m_n = np.add.reduceat(n, idx) if len(idx) else np.zeros(0, np.int64)
+        m_sum = np.add.reduceat(cents, idx) if len(idx) else np.zeros(0, np.int64)
+        keys_col = g.take(pa.array(order[idx])).column(key)
+        return pa.table(
+            {
+                key: keys_col,
+                "session_start": pa.array(m_start, pa.timestamp("us")),
+                "session_end": pa.array(m_end, pa.timestamp("us")),
+                "n": pa.array(m_n.astype(np.int64), pa.int64()),
+                "sum_value_cents": pa.array(m_sum.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return cohash_map_groups(summaries, [key], stitch)

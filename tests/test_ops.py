@@ -477,3 +477,74 @@ def test_embedding_neardup_multi_table_recall():
     assert one <= four
     assert len(four) > len(one)  # recall strictly improves here
     assert len(four) >= 0.9 * len(want)
+
+
+def test_session_windows_two_phase_properties():
+    """VERDICT r3 #9: (a) the two-phase sessionizer (per-(key,bin) +
+    boundary stitch) equals a reference single-pass sessionization on
+    random data with sessions straddling bin boundaries; (b) a single
+    hot key with 10^6 events completes (the round-2 single-group cliff)."""
+    import numpy as np
+    import pandas as pd
+
+    from go_datax_ray.stages.windows import session_windows
+
+    rng = np.random.default_rng(99)
+    n = 20_000
+    users = rng.integers(0, 40, n)
+    # inter-event gaps up to 2x the session gap, so sessions split often
+    # AND events regularly straddle the coarse bin boundary
+    ts = np.sort(rng.integers(0, 3_600_000_000 * 48, n))
+    vals = rng.uniform(0, 100, n).round(2)
+    df = pd.DataFrame({"user_id": users, "ts": pd.to_datetime(ts, unit="us"),
+                       "value": vals})
+    ds = rd.from_pandas(df)
+    got = (
+        session_windows(ds, gap_s=1800, bin_s=3600)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+    # reference single-pass sessionizer (pandas, one group per key)
+    ref_rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        t = g["ts"].astype("int64").to_numpy()
+        cents = np.round(g["value"].to_numpy() * 100).astype("int64")
+        new = np.ones(len(t), bool)
+        new[1:] = (t[1:] - t[:-1]) > 1800 * 1_000_000
+        sess = np.cumsum(new) - 1
+        for s in np.unique(sess):
+            m = sess == s
+            ref_rows.append((uid, t[m].min(), t[m].max(), int(m.sum()),
+                             int(cents[m].sum())))
+    ref = pd.DataFrame(ref_rows, columns=["user_id", "session_start",
+                                          "session_end", "n", "sum_value_cents"])
+    ref["session_start"] = pd.to_datetime(ref["session_start"], unit="us")
+    ref["session_end"] = pd.to_datetime(ref["session_end"], unit="us")
+    ref = ref.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_session_windows_hot_key_completes():
+    """10^6 events, ONE user: the two-phase path spreads phase 1 over
+    time bins; phase 2 only sees session summaries."""
+    import numpy as np
+    import pyarrow as pa
+
+    from go_datax_ray.stages.windows import session_windows
+
+    n = 1_000_000
+    # 10s cadence with a >gap hole every 10_000 events
+    base = np.arange(n, dtype=np.int64) * 10_000_000
+    base += (np.arange(n, dtype=np.int64) // 10_000) * 3600_000_000
+    t = pa.table({
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "ts": pa.array(base, pa.timestamp("us")),
+        "value": pa.array(np.ones(n, np.float64)),
+    })
+    out = session_windows(rd.from_arrow(t), gap_s=1800).to_pandas()
+    assert len(out) == 100  # one session per hole-separated run
+    assert out["n"].sum() == n
+    assert out["sum_value_cents"].sum() == n * 100
