@@ -66,6 +66,14 @@ SOURCES = {
     "duckdbreader": sqldb.read,  # second real DB-API engine in-container
 }
 
+# ftpreader IS the txtfile reader over an fsspec ftp:// URI (stdlib
+# ftplib underneath — ftp_reader.go:61-301 walks/globs identically);
+# hdfs/oss readers likewise accept their scheme URIs where an fsspec
+# driver exists in the environment.
+SOURCES["ftpreader"] = txtfile_src.read
+SOURCES.setdefault("hdfsreader", txtfile_src.read)
+SOURCES.setdefault("ossreader", txtfile_src.read)
+
 # The reference's network RDBMS/warehouse readers map onto the parquet
 # source (their SELECT/WHERE/split semantics — SURVEY.md §2.3), gated
 # behind allowCollapse so the redirect is never silent.
@@ -73,7 +81,7 @@ for _name in (
     "mysqlreader", "postgresqlreader", "oraclereader", "sqlserverreader",
     "sybasereader", "gaussdbreader", "clickhousereader",
     "dorisreader", "starrocksreader", "oceanbasereader", "tdenginereader",
-    "cassandrareader", "mongoreader", "hdfsreader", "ossreader", "ftpreader",
+    "cassandrareader", "mongoreader",
 ):
     SOURCES.setdefault(_name, _collapsed_source(_name, parquet_src.read))
 
@@ -110,6 +118,14 @@ SINKS["starrockswriter"] = _wire_or_collapse(
     "starrockswriter", wire_sink.write_stream_load
 )
 
+# ftpwriter = the txtfile writer over an fsspec ftp:// URI (the
+# reference's ftpwriter emits the same txtfile layout over FTP); the
+# reference's hdfswriter/osswriter are TEXT-only too (hdfs_writer.go:
+# 566-576), so they take the same path with their scheme URIs.
+SINKS["ftpwriter"] = txtfile_sink.write
+SINKS.setdefault("hdfswriter", txtfile_sink.write)
+SINKS.setdefault("osswriter", txtfile_sink.write)
+
 # Network RDBMS/warehouse writers -> parquet sink (writeMode=upsert gives
 # their ON CONFLICT DO UPDATE semantics through the exactly-once lake),
 # same explicit opt-in.
@@ -118,6 +134,6 @@ for _name in (
     "sybasewriter", "gaussdbwriter", "oceanbasewriter",
     "clickhousewriter", "databendwriter",
     "mongowriter", "cassandrawriter", "neo4jwriter",
-    "tdenginewriter", "hdfswriter", "osswriter", "ftpwriter",
+    "tdenginewriter",
 ):
     SINKS.setdefault(_name, _collapsed_sink(_name, parquet_sink.write))

@@ -14,7 +14,7 @@ from typing import Any
 
 import pandas as pd
 
-from .txtfile import prepare
+from .txtfile import _fs_for, prepare
 
 
 def write(ds, param: dict[str, Any]) -> dict[str, Any]:
@@ -22,6 +22,7 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
     path = param["path"]
     file_name = param.get("fileName", "out")
     fmt = param.get("fileFormat", param.get("format", "jsonl"))
+    fs, root, join, tag = _fs_for(path)
     files: list[str] = []
     records = 0
     byts = 0
@@ -29,13 +30,15 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
         rows = json.loads(batch.to_json(orient="records", date_format="iso"))
         records += len(batch)
         suffix = ".json" if fmt == "json" else ".jsonl"
-        fpath = os.path.join(path, f"{file_name}_{bi:05d}{suffix}")
-        with open(fpath, "w") as f:
-            if fmt == "json":
-                json.dump(rows, f, ensure_ascii=False)
-            else:
-                for r in rows:
-                    f.write(json.dumps(r, ensure_ascii=False) + "\n")
-        byts += os.path.getsize(fpath)
-        files.append(fpath)
+        fpath = join(root, f"{file_name}_{bi:05d}{suffix}")
+        if fmt == "json":
+            payload = json.dumps(rows, ensure_ascii=False)
+        else:
+            payload = "".join(json.dumps(r, ensure_ascii=False) + "\n" for r in rows)
+        data = payload.encode("utf-8")
+        opener = open if fs is None else fs.open
+        with opener(fpath, "wb") as f:
+            f.write(data)
+        byts += len(data)
+        files.append(tag(fpath) if fs is not None else fpath)
     return {"files": files, "records": records, "bytes": byts}

@@ -24,16 +24,37 @@ from ..config import go_layout_to_strftime
 from ..stages.render import render_table
 
 
+def _fs_for(path: str):
+    """(fs, root, join, tag) — fsspec for URI paths (ftp://, file://,
+    s3://: the reference's ftpwriter writes the same txtfile layout over
+    FTP, ftp_writer.go), local os fast path otherwise."""
+    if "://" in path:
+        import fsspec
+        import posixpath
+
+        fs, root = fsspec.core.url_to_fs(path)
+        proto = path.split("://", 1)[0]
+        return fs, root, posixpath.join, lambda x: f"{proto}://{x}"
+    return None, path, os.path.join, lambda x: x
+
+
 def prepare(param: dict[str, Any]) -> None:
     """writeMode handling at job prepare (txtfile_writer.go:96-131)."""
     path = param["path"]
     file_name = param.get("fileName", "out")
     mode = param.get("writeMode", "append")
-    os.makedirs(path, exist_ok=True)
-    existing = _glob.glob(os.path.join(path, file_name + "*"))
+    fs, root, join, _tag = _fs_for(path)
+    if fs is None:
+        os.makedirs(root, exist_ok=True)
+        existing = _glob.glob(join(root, file_name + "*"))
+        rm = os.remove
+    else:
+        fs.makedirs(root, exist_ok=True)
+        existing = fs.glob(join(root, file_name + "*"))
+        rm = fs.rm
     if mode == "truncate":
         for f in existing:
-            os.remove(f)
+            rm(f)
     elif mode == "nonConflict" and existing:
         raise FileExistsError(
             f"writeMode=nonConflict but {len(existing)} files match {file_name}* in {path}"
@@ -55,6 +76,7 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
     if compress == "gzip":
         suffix += ".gz"
 
+    fs, root, join, tag = _fs_for(path)
     files: list[str] = []
     records = 0
     byts = 0
@@ -65,7 +87,7 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
             date_format=strf, delimiter=delim,
         )
         records += batch.num_rows
-        fpath = os.path.join(path, f"{file_name}_{bi:05d}{suffix}")
+        fpath = join(root, f"{file_name}_{bi:05d}{suffix}")
         payload = ""
         if header and bi == 0:
             payload += delim.join(header) + "\n"
@@ -73,8 +95,9 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
         data = payload.encode(param.get("encoding", "UTF-8").lower().replace("utf-8", "utf-8"))
         if compress == "gzip":
             data = gzip.compress(data)
-        with open(fpath, "wb") as f:
+        opener = open if fs is None else fs.open
+        with opener(fpath, "wb") as f:
             f.write(data)
         byts += len(data)
-        files.append(fpath)
+        files.append(tag(fpath) if fs is not None else fpath)
     return {"files": files, "records": records, "bytes": byts}

@@ -43,7 +43,12 @@ def read(param: dict[str, Any], *, channel: int = 1):
 
         tables = []
         for p in batch["path"]:
-            f = orc.ORCFile(p)
+            if "://" in p:
+                import fsspec
+
+                f = orc.ORCFile(fsspec.open(p, "rb").open())
+            else:
+                f = orc.ORCFile(p)
             t = f.read(columns=list(cols) if cols else None)
             if expr is not None:
                 t = pads.dataset(t).to_table(filter=expr)

@@ -28,12 +28,40 @@ import pyarrow.csv as pacsv
 from ..stages.render import strings_to_typed
 
 
+def _resolve_uri(p: str) -> list[str]:
+    """fsspec resolution for URI paths (ftp://, file://, memory://,
+    s3://, ...): the reference's ftpreader walks dirs and globs exactly
+    like the local reader (ftp_reader.go:61-301) — fsspec's FTP
+    filesystem (stdlib ftplib underneath) gives the same traversal, so
+    one code path serves local disk and every remote scheme."""
+    import fsspec
+
+    fs, root = fsspec.core.url_to_fs(p)
+    proto = p.split("://", 1)[0]
+
+    def tag(x: str) -> str:
+        return f"{proto}://{x}"
+
+    if any(c in root for c in "*?["):
+        return [tag(x) for x in sorted(fs.glob(root))]
+    if fs.isdir(root):
+        return [
+            tag(x) for x in sorted(fs.ls(root, detail=False)) if fs.isfile(x)
+        ]
+    if fs.exists(root):
+        return [tag(root)]
+    return []
+
+
 def resolve_paths(path: str | list[str]) -> list[str]:
-    """Glob / dir / literal path resolution (txtfile_reader.go:116-164)."""
+    """Glob / dir / literal path resolution (txtfile_reader.go:116-164);
+    URI paths route through fsspec (see _resolve_uri)."""
     paths = [path] if isinstance(path, str) else list(path)
     out: list[str] = []
     for p in paths:
-        if os.path.isdir(p):
+        if "://" in p:
+            out.extend(_resolve_uri(p))
+        elif os.path.isdir(p):
             out.extend(
                 os.path.join(p, f) for f in sorted(os.listdir(p))
                 if os.path.isfile(os.path.join(p, f))
@@ -54,8 +82,14 @@ def _open_decompressed(fpath: str, compress: str | None) -> bytes:
             comp = "gzip"
         elif fpath.endswith(".bz2"):
             comp = "bzip2"
-    with open(fpath, "rb") as f:
-        raw = f.read()
+    if "://" in fpath:
+        import fsspec
+
+        with fsspec.open(fpath, "rb") as f:
+            raw = f.read()
+    else:
+        with open(fpath, "rb") as f:
+            raw = f.read()
     if comp == "gzip":
         return gzip.decompress(raw)
     if comp == "bzip2":
