@@ -134,6 +134,21 @@ def main() -> dict:
     )
 
     # ---- operator pipelines over the sf tables -------------------------
+    # scaling runs only need the headline replay; skip the query sweep
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        result = {
+            "metric": "cdc_webtext_replay_wall_sec",
+            "value": queries["cdc_replay"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "events": n_events,
+            "events_per_sec": round(n_events / queries["cdc_replay"], 1),
+        }
+        ray.shutdown()
+        return result
+
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -216,7 +231,7 @@ def scaling() -> None:
     import subprocess
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

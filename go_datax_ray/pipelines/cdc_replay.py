@@ -99,12 +99,128 @@ class ParquetWalSource:
     def lsn_bounds(self) -> tuple[int, int]:
         return self._bounds
 
+    def _files(self) -> list[str]:
+        import glob as _g
+        import os as _os
+
+        paths = self.paths
+        if isinstance(paths, str):
+            if _os.path.isdir(paths):
+                return sorted(_g.glob(_os.path.join(paths, "*.parquet")))
+            if any(c in paths for c in "*?["):
+                return sorted(_g.glob(paths))
+            return [paths]
+        return list(paths)
+
+    def fragments(self, lo: int, hi: int) -> list[dict]:
+        """(file, row-group) splits overlapping [lo, hi), pruned by the
+        lsn column statistics. This powers the FUSED read path: Ray 2.49
+        never fuses ReadParquet with downstream map_batches, so the
+        replay's raw payload (html) would round-trip the object store
+        between the read operator and the partition/LWW maps — reading
+        row groups INSIDE the map task removes that extra full-corpus
+        hop (measured: the map chain was the worst-scaling phase of the
+        epoch). Metadata is read driver-side per epoch — cheap for WAL
+        segment counts; distribute it if a deployment's WAL has 10^5+
+        files."""
+        import pyarrow.parquet as pq
+
+        out: list[dict] = []
+        for p in self._files():
+            md = pq.read_metadata(p)
+            try:
+                lsn_i = md.schema.names.index("lsn")
+            except ValueError:
+                lsn_i = None
+            for rg in range(md.num_row_groups):
+                if lsn_i is not None:
+                    st = md.row_group(rg).column(lsn_i).statistics
+                    if st is not None and st.has_min_max and (
+                        st.max < lo or st.min >= hi
+                    ):
+                        continue
+                out.append({"path": p, "rg": rg})
+        return out
+
     def read(self, lo: int, hi: int):
         import ray.data as rd
 
         return rd.read_parquet(
             self.paths, filter=(pc.field("lsn") >= lo) & (pc.field("lsn") < hi)
         )
+
+
+def _fragment_prepared_ds(source, lo: int, hi: int, cfg: "ReplayConfig",
+                          rows_per_task: int = 32768):
+    """FUSED epoch preparation: read + transform + drop-text +
+    add_part_id + LWW-combine in ONE map task per row-group bundle.
+
+    Ray 2.49 never fuses ReadParquet with downstream map_batches, so the
+    separate-stage path round-trips the raw payload (html) through the
+    object store between the read operator and the partition/LWW maps —
+    measured as the epoch's worst-scaling phase at 8->32 cpus (memory
+    bandwidth, not CPU). Doing the read INSIDE the processing function
+    removes that full-corpus hop; only the LWW-combined winners enter
+    the object store. Fragments are bundled to ~rows_per_task so each
+    output block spans ~128 MB of pages and the delta write emits
+    few-per-partition files (the merge's open cost stays bounded).
+    NOTE: the stages must be fused MANUALLY in one function — composing
+    map_batches stages with a batch_size on the tail makes Ray's fusion
+    unify the batch size across the whole fused operator, coalescing the
+    tiny path-items input into ONE serial task (measured 22 s vs 3 s).
+
+    Returns None when the source has no fragment support or no
+    overlapping data."""
+    if not hasattr(source, "fragments"):
+        return None
+    frags = source.fragments(lo, hi)
+    if not frags:
+        return None
+    import json as _json
+
+    import ray.data as rd
+
+    # bundle consecutive fragments to ~rows_per_task rows per task
+    per = max(1, rows_per_task // 8192)
+    bundles = [
+        _json.dumps(frags[i : i + per]) for i in range(0, len(frags), per)
+    ]
+    transform = cfg.transform
+    drop_text = cfg.extract_text
+    key, nparts, hash_fn = cfg.key, cfg.num_partitions, cfg.hash_fn
+
+    def read_and_prepare(batch: dict) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        tables = []
+        for b in batch["b"]:
+            for frag in _json.loads(b):
+                t = pq.ParquetFile(frag["path"]).read_row_group(int(frag["rg"]))
+                lsn = t.column("lsn")
+                t = t.filter(
+                    pc.and_(pc.greater_equal(lsn, pa.scalar(lo)),
+                            pc.less(lsn, pa.scalar(hi)))
+                )
+                if t.num_rows:
+                    tables.append(t)
+        if not tables:
+            return None  # filtered-empty bundle -> no block
+        t = pa.concat_tables(tables)
+        if transform is not None:
+            t = transform(t)
+        if drop_text and "text" in t.column_names:
+            t = t.drop_columns(["text"])
+        t = add_part_id(t, key=key, num_partitions=nparts, hash_fn=hash_fn)
+        return lww_combine_batch(t)
+
+    def safe(batch: dict):
+        out = read_and_prepare(batch)
+        if out is not None:
+            yield out
+
+    return rd.from_items(
+        [{"b": b} for b in bundles], override_num_blocks=len(bundles)
+    ).map_batches(safe, batch_format="numpy", batch_size=1)
 
 
 @dataclass
@@ -308,30 +424,33 @@ def _replay_locked(source: EventSource, cfg: ReplayConfig, metrics) -> ReplayRes
         hi = min(lo + cfg.epoch_size, src_hi)
         epoch += 1
         t0 = time.perf_counter()
-        ds = source.read(lo, hi)
-        if cfg.transform is not None:
-            ds = ds.map_batches(cfg.transform, batch_format="pyarrow", zero_copy_batch=True)
-        if cfg.extract_text:
+        ds = _fragment_prepared_ds(source, lo, hi, cfg)
+        if ds is None:
+            # generic EventSource path: separate (auto-fused) map stages
+            ds = source.read(lo, hi)
+            if cfg.transform is not None:
+                ds = ds.map_batches(cfg.transform, batch_format="pyarrow", zero_copy_batch=True)
+            if cfg.extract_text:
+                ds = ds.map_batches(
+                    lambda t: t.drop_columns(["text"]) if "text" in t.column_names else t,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
             ds = ds.map_batches(
-                lambda t: t.drop_columns(["text"]) if "text" in t.column_names else t,
+                add_part_id,
+                fn_kwargs={"key": cfg.key, "num_partitions": cfg.num_partitions,
+                           "hash_fn": cfg.hash_fn},
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-        ds = ds.map_batches(
-            add_part_id,
-            fn_kwargs={"key": cfg.key, "num_partitions": cfg.num_partitions,
-                       "hash_fn": cfg.hash_fn},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        # batch_size here also COALESCES blocks: the delta write emits one
-        # file per (block, partition), so larger blocks -> ~P fewer, larger
-        # delta files -> the merge's per-file open overhead stays bounded.
-        # 32k rows x ~4KB pages ~ 128MB blocks (the target block size).
-        ds = ds.map_batches(
-            lww_combine_batch, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=32768,
-        )
+            # batch_size here also COALESCES blocks: the delta write emits
+            # one file per (block, partition), so larger blocks -> ~P
+            # fewer, larger delta files -> the merge's per-file open
+            # overhead stays bounded. 32k rows x ~4KB pages ~ 128MB blocks.
+            ds = ds.map_batches(
+                lww_combine_batch, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=32768,
+            )
         committed = {
             int(pid): man.partition_file(int(pid)) for pid in man.partitions
         }
