@@ -81,19 +81,34 @@ def read_blocks(files: int = 1) -> int:
     return max(8, cpus, files)
 
 
-def maybe_repartition(ds, bound: int | None = None):
-    """Repartition to the shuffle bound ONLY when the input block count
-    exceeds it. The bound exists to cap the sort shuffle's O(blocks x
-    reducers) driver-side object refs; when blocks <= bound the cap
-    already holds and the extra all-to-all is pure wall-time (the
-    round-2 unconditional repartition cost 1.5-2x on several
-    pipelines). Unknown block counts repartition (conservative for
-    driver heap)."""
+def maybe_repartition(ds, bound: int | None = None, *,
+                      rows_per_block: int = 16384):
+    """Bound the block count feeding a sort shuffle, cheaply.
+
+    The sort shuffle materialises O(blocks x reducers) object refs on
+    the driver (reducers follow input blocks), and map operators emit
+    roughly one block per output batch — a 400k-row map stage produced
+    320 actual blocks while the PLAN's estimate said 5 (the estimate
+    only sees the read stage), so estimate-gated skipping alone let a
+    320x320-ref shuffle through (round-3 regression: 1.5 GB driver RSS
+    on the dedup soak).
+
+    Two layers, both cheap:
+    1. ALWAYS streaming-coalesce to ~rows_per_block rows per block —
+       Ray's StreamingRepartition is a task-pool operator (no
+       all-to-all barrier, no fusion batch-size interaction), so actual
+       blocks become ~rows/rows_per_block regardless of upstream batch
+       granularity.
+    2. The full repartition(bound) all-to-all only when the PLAN
+       estimate exceeds the bound — i.e. the input is structurally
+       large (many files/fragments), where blocks^2 would overwhelm the
+       driver even after coalescing."""
     bound = shuffle_blocks(bound)
     try:
         nb = ds._plan.initial_num_blocks()
     except Exception:  # noqa: BLE001
         nb = None
+    ds = ds.repartition(target_num_rows_per_block=rows_per_block)
     if nb is not None and 0 < nb <= bound:
         return ds
     return ds.repartition(bound)

@@ -61,7 +61,23 @@ def scaled_docs(sf_dir: str, mult: int):
     ds = make_copy(0)
     for i in range(1, mult):
         ds = ds.union(make_copy(i))
-    return ds, n_base
+    # Land the scaled corpus as parquet ONCE and read from there: the
+    # dedup pipeline consumes its input THREE times (signatures,
+    # candidate-doc filter, loser removal), and production inputs are
+    # parquet re-reads (cheap, streaming) — not re-executions of this
+    # python perturbation generator. Lazy re-execution of the generator
+    # tripled the soak wall and doubled driver RSS while measuring
+    # nothing about the engine.
+    scratch = f"/dev/shm/gdr_dedup_soak/docs_{os.path.basename(sf_dir.rstrip('/'))}_{mult}x"
+    if not os.path.exists(scratch + "/_DONE"):
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
+        ds.write_parquet(scratch)
+        open(scratch + "/_DONE", "w").write("ok")
+    import ray.data as rd
+
+    return rd.read_parquet(scratch), n_base
 
 
 def exact_loser_soak(n_docs: int, n_uniq: int) -> None:
