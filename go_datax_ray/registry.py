@@ -74,6 +74,26 @@ SOURCES["ftpreader"] = txtfile_src.read
 SOURCES.setdefault("hdfsreader", txtfile_src.read)
 SOURCES.setdefault("ossreader", txtfile_src.read)
 
+
+def _mongo_reader(param, *, channel: int = 1):
+    """mongoreader: document-store source. No live MongoDB client exists
+    in this environment; the faithful DOCUMENT-model collapse is the
+    JSON reader (nested documents, dotted column paths, sampled schema
+    inference — mongo_reader.go:42-121 reads BSON documents with the
+    same column addressing). Opt-in via allowCollapse; point 'path' at a
+    JSONL export (mongoexport's default output format)."""
+    if not param.get("allowCollapse"):
+        raise ValueError(
+            "mongoreader has no live MongoDB connectivity in this engine; "
+            "it collapses to the jsonfilereader document model (point "
+            "'path' at a mongoexport JSONL dump) only if you opt in with "
+            "reader.parameter.allowCollapse = true."
+        )
+    return jsonfile_src.read(param, channel=channel)
+
+
+SOURCES["mongoreader"] = _mongo_reader
+
 # The reference's network RDBMS/warehouse readers map onto the parquet
 # source (their SELECT/WHERE/split semantics — SURVEY.md §2.3), gated
 # behind allowCollapse so the redirect is never silent.
@@ -81,7 +101,7 @@ for _name in (
     "mysqlreader", "postgresqlreader", "oraclereader", "sqlserverreader",
     "sybasereader", "gaussdbreader", "clickhousereader",
     "dorisreader", "starrocksreader", "oceanbasereader", "tdenginereader",
-    "cassandrareader", "mongoreader",
+    "cassandrareader",
 ):
     SOURCES.setdefault(_name, _collapsed_source(_name, parquet_src.read))
 

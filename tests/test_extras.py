@@ -346,3 +346,78 @@ def test_lake_cli(tmp_path):
     assert json.loads(run("gc-orphans", lake))["removed"] == 0
     out = json.loads(run("delete-where", lake, "--where", '[["lang","=","es"]]'))
     assert out["epoch"] == 2
+
+
+def test_mongoreader_document_collapse(tmp_path):
+    """mongoreader -> jsonfilereader document model (nested docs, dotted
+    paths), explicit opt-in required."""
+    import json
+
+    import pytest
+
+    from go_datax_ray.engine import run_job
+
+    p = tmp_path / "dump.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in [
+        {"_id": 1, "user": {"name": "ada", "age": 36}},
+        {"_id": 2, "user": {"name": "bob", "age": 41}},
+    ]))
+    job = {
+        "job": {
+            "content": [{
+                "reader": {"name": "mongoreader", "parameter": {
+                    "path": str(p),
+                    "column": [{"name": "_id", "type": "long"},
+                               {"name": "user.name", "type": "string"}],
+                }},
+                "writer": {"name": "streamwriter", "parameter": {"print": False}},
+            }]
+        }
+    }
+    with pytest.raises(ValueError, match="allowCollapse"):
+        run_job(job)
+    job["job"]["content"][0]["reader"]["parameter"]["allowCollapse"] = True
+    assert run_job(job).records == 2
+
+
+def test_cohash_map_groups_equals_per_group_map():
+    """cohash_map_groups (coarse-bucket + in-block segmenting) must be
+    output-equivalent to groupby().map_groups with a per-group fn, for a
+    fn that reduces each logical group independently."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from go_datax_ray.stages.dedup import _col_np, _segments
+    from go_datax_ray.stages.partition import cohash_map_groups
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 700, n), pa.int64()),
+        "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+    ds = rd.from_arrow(t)
+
+    def seg_min(g: pa.Table) -> pa.Table:
+        order, bounds = _segments(g, ["k"], extra=_col_np(g, "v"))
+        heads = bounds[:-1]
+        kk = _col_np(g, "k")[order][heads]
+        vv = _col_np(g, "v")[order][heads]
+        return pa.table({"k": pa.array(kk, pa.int64()),
+                         "vmin": pa.array(vv, pa.int64())})
+
+    got = (cohash_map_groups(ds, ["k"], seg_min)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    def per_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"k": pa.array([g.column("k")[0].as_py()], pa.int64()),
+                         "vmin": pa.array([pc.min(g.column("v")).as_py()], pa.int64())})
+
+    want = (ds.groupby("k").map_groups(per_group, batch_format="pyarrow")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["vmin"].tolist() == want["vmin"].tolist()
