@@ -438,6 +438,21 @@ class _BroadcastPairVerifier:
         )
 
 
+@functools.lru_cache(maxsize=2)
+def _pair_verifier(doc_refs: tuple, text_col: str, id_col: str, k: int,
+                   threshold: float) -> "_BroadcastPairVerifier":
+    return _BroadcastPairVerifier(list(doc_refs), text_col, id_col, k, threshold)
+
+
+def broadcast_verify_batch(batch: pa.Table, *, doc_refs: tuple, text_col: str,
+                           id_col: str, k: int, threshold: float) -> pa.Table:
+    """Task-pool form of _BroadcastPairVerifier: the shingle index is
+    built once per WORKER PROCESS (lru-cached on the doc block refs) —
+    same zero-driver-text broadcast, without the actor pool's ~2 s
+    startup tax per pipeline."""
+    return _pair_verifier(doc_refs, text_col, id_col, k, threshold)(batch)
+
+
 def verify_pairs_distributed(pairs_ds, cand_docs_ds, *, text_col: str = "text",
                              id_col: str = "doc_id", k: int = 3,
                              threshold: float = 0.7, n_buckets: int = 32):
@@ -717,12 +732,12 @@ def minhash_dedup_corpus(ds, *, text_col: str = "text", id_col: str = "doc_id",
     # broadcast doc index (refs only — text never lands on the driver);
     # large sets go through the bucketed-join verify
     if stats["candidate_docs"] <= broadcast_threshold:
-        doc_refs = cand_docs.materialize().to_arrow_refs()
+        doc_refs = tuple(cand_docs.materialize().to_arrow_refs())
         verified = pairs.map_batches(
-            _BroadcastPairVerifier,
-            fn_constructor_args=(doc_refs, text_col, id_col, k, threshold),
+            broadcast_verify_batch,
+            fn_kwargs=dict(doc_refs=doc_refs, text_col=text_col,
+                           id_col=id_col, k=k, threshold=threshold),
             batch_format="pyarrow",
-            concurrency=_actor_pool(),
         )
     else:
         verified = verify_pairs_distributed(
