@@ -216,7 +216,16 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
     design, so the stream funnels through one connection — the analogue
     of the common RDBMS writer's session, with writeMode insert /
     replace mapping to INSERT [OR REPLACE]
-    (/root/reference/common/database/rdbms/writer/common.go:557-607)."""
+    (/root/reference/common/database/rdbms/writer/common.go:557-607).
+
+    SCALE NOTE — do not copy this shape for server databases: the
+    single driver-side connection is correct ONLY for single-writer
+    file engines (sqlite, DuckDB). A server-backed driver (mysql,
+    postgres) belongs in a ``map_batches`` ACTOR pool — one connection
+    per actor opened in ``__init__``, executemany per batch — so N
+    writers stream concurrently with per-batch transactions; the
+    per-batch commit + per-row degraded-retry pattern below carries
+    over unchanged."""
     path = _db_path(param)
     driver = _driver(param)
     table = _table(param)

@@ -45,18 +45,32 @@ def hash_sample(ds, *, key: str, rate: float, salt: str = ""):
 def top_k_per_group(ds, *, group: str, order: str, k: int, descending: bool = True,
                     tiebreak: str | None = None):
     """Per-group top-k rows by ``order`` (ties broken by ``tiebreak``
-    ascending for determinism)."""
-    keys = [(order, "descending" if descending else "ascending")]
+    ascending for determinism). Segment-vectorised over co-hash blocks
+    (one sort_indices per block + an arange rank mask) — no per-group
+    Python calls even at 10^6 groups."""
+    keys = [(group, "ascending"), (order, "descending" if descending else "ascending")]
     if tiebreak:
         keys.append((tiebreak, "ascending"))
 
-    def head(g: pa.Table) -> pa.Table:
+    def heads(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .dedup import _col_np
+
         idx = pc.sort_indices(g, sort_keys=keys)
-        return g.take(idx[:k])
+        s = g.take(idx)
+        gk = _col_np(s, group)
+        # rank within each group segment of the sorted view
+        change = np.concatenate([[True], gk[1:] != gk[:-1]])
+        seg_start = np.maximum.accumulate(
+            np.where(change, np.arange(len(gk)), 0)
+        )
+        rank = np.arange(len(gk)) - seg_start
+        return s.filter(pa.array(rank < k))
 
-    from .partition import bounded_groupby
+    from .partition import cohash_map_groups
 
-    return bounded_groupby(ds, group).map_groups(head, batch_format="pyarrow")
+    return cohash_map_groups(ds, [group], heads)
 
 
 class HllSketch:
