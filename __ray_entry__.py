@@ -1261,9 +1261,11 @@ def oracle_sql() -> dict[str, str]:
             ), fe AS (
               SELECT user_id, p, MIN(epoch) AS first_epoch FROM ev GROUP BY 1, 2
             ), epp AS (
-              -- events = winner rows merged this epoch = DISTINCT active
-              -- keys (the engine LWW-combines an epoch before writing)
-              SELECT epoch, p, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS events
+              -- events = RAW event count per (epoch, partition): the
+              -- engine's combiner rolls superseded rows' counts into
+              -- winners (_n_ev), so the lineage metric is exact and
+              -- batch-structure independent
+              SELECT epoch, p, CAST(COUNT(*) AS BIGINT) AS events
               FROM ev GROUP BY 1, 2
             )
             SELECT e.epoch, ep.lsn_lo, ep.lsn_hi, e.p AS partition,

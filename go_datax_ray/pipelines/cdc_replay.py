@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 
 from ..schema import evolve
 from ..sinks.lake import make_partition_merger, schema_from_json
-from ..stages.lww import lww_combine_batch, lww_table
+from ..stages.lww import lww_combine_batch, lww_table, lww_combine_counted
 from ..stages.partition import add_part_id, add_salt
 from ..state.manifest import Manifest
 from ..synth import EventGen, SynthConfig
@@ -211,7 +211,7 @@ def _fragment_prepared_ds(source, lo: int, hi: int, cfg: "ReplayConfig",
         if drop_text and "text" in t.column_names:
             t = t.drop_columns(["text"])
         t = add_part_id(t, key=key, num_partitions=nparts, hash_fn=hash_fn)
-        return lww_combine_batch(t)
+        return lww_combine_counted(t)
 
     def safe(batch: dict):
         out = read_and_prepare(batch)
@@ -448,7 +448,7 @@ def _replay_locked(source: EventSource, cfg: ReplayConfig, metrics) -> ReplayRes
             # fewer, larger delta files -> the merge's per-file open
             # overhead stays bounded. 32k rows x ~4KB pages ~ 128MB blocks.
             ds = ds.map_batches(
-                lww_combine_batch, batch_format="pyarrow", zero_copy_batch=True,
+                lww_combine_counted, batch_format="pyarrow", zero_copy_batch=True,
                 batch_size=32768,
             )
         committed = {

@@ -43,7 +43,7 @@ from ..state.fs import LakeFS
 from ..state.manifest import final_path
 
 # columns that belong to the engine, not the payload
-_ENGINE_COLS = ("part_id", "salt")
+_ENGINE_COLS = ("part_id", "salt", "_n_ev")
 
 _TYPE_TO_STR = {
     pa.int64(): "int64",
@@ -116,7 +116,13 @@ def make_partition_merger(
     def merge(group: pa.Table) -> pa.Table:
         fsh = LakeFS(lake_dir)  # per-task; fsspec caches filesystems
         pid = int(group.column("part_id")[0].as_py())
-        events = group.num_rows
+        # events = RAW event count: the combiner rolls superseded rows'
+        # counts into winners (_n_ev), so this is deterministic per
+        # (epoch, partition) regardless of batch structure
+        if "_n_ev" in group.column_names:
+            events = int(pa.compute.sum(group.column("_n_ev")).as_py() or 0)
+        else:
+            events = group.num_rows
         new = _strip_engine_cols(group)
         old_path = committed.get(pid)
         if old_path is not None and fsh.exists(old_path):
@@ -182,7 +188,13 @@ def make_delta_merger(
             for p in parts[1:]:
                 target = evolve(target, p.schema)
             new = pa.concat_tables([conform(p, target) for p in parts])
-            events = new.num_rows
+            if "_n_ev" in new.column_names:
+                # RAW event count (see make_partition_merger); drop the
+                # counter before the lake write
+                events = int(pa.compute.sum(new.column("_n_ev")).as_py() or 0)
+                new = new.drop_columns(["_n_ev"])
+            else:
+                events = new.num_rows
             new = new.append_column(
                 "part_id", pa.array(np.full(new.num_rows, pid), pa.int64())
             )

@@ -41,10 +41,38 @@ def lww_indices(table: pa.Table, key: str = "url") -> np.ndarray:
     return order[first]
 
 
+def _lww_take_counted(table: pa.Table, key: str, *,
+                      min_reduction: float = 0.0) -> pa.Table:
+    """Winner rows with their ``_n_ev`` raw-event counts ROLLED UP from
+    the duplicates they supersede (sum per key), so SUM(_n_ev) over any
+    downstream grouping equals the raw event count regardless of batch
+    structure. With ``min_reduction`` > 0, batches below that duplicate
+    ratio pass through untouched — exactness holds because kept rows
+    keep their own counts."""
+    n = table.num_rows
+    order = pc.sort_indices(
+        table.select([k for k, _ in LWW_ORDER]), sort_keys=LWW_ORDER
+    ).to_numpy()
+    keys = table.column(key).take(pa.array(order))
+    codes, _ = pd.factorize(keys.to_pandas(), use_na_sentinel=False)
+    uniq, first = np.unique(codes, return_index=True)
+    if min_reduction > 0 and len(first) >= n * (1.0 - min_reduction):
+        return table
+    nev_sorted = table.column("_n_ev").to_numpy()[order]
+    sums = np.bincount(codes, weights=nev_sorted).astype(np.int64)
+    out = table.take(pa.array(order[first]))
+    i = out.column_names.index("_n_ev")
+    return out.set_column(i, "_n_ev", pa.array(sums[uniq], pa.int64()))
+
+
 def lww_table(table: pa.Table, key: str = "url") -> pa.Table:
-    """LWW-dedup a table: one winner row per key."""
+    """LWW-dedup a table: one winner row per key. When the table carries
+    the ``_n_ev`` lineage counter, superseded rows' counts roll into the
+    winner (see _lww_take_counted)."""
     if table.num_rows <= 1:
         return table
+    if "_n_ev" in table.column_names:
+        return _lww_take_counted(table, key)
     return table.take(pa.array(lww_indices(table, key)))
 
 
@@ -64,6 +92,24 @@ def lww_combine_batch(batch: pa.Table, *, min_reduction: float = 0.05) -> pa.Tab
     if len(idx) >= batch.num_rows * (1.0 - min_reduction):
         return batch
     return batch.take(pa.array(idx))
+
+
+def lww_combine_counted(batch: pa.Table, *, key: str = "url",
+                        min_reduction: float = 0.05) -> pa.Table:
+    """The replay's shuffle combiner: within-batch LWW that PRESERVES
+    the raw-event count in a ``_n_ev`` column (attached here as 1/row
+    when absent). The lineage 'events' metric is SUM(_n_ev) at the
+    merge — deterministic raw event counts per (epoch, partition),
+    independent of how the stream happened to be batched (without the
+    counter it silently measured post-combine rows, which changed with
+    block structure — caught by the sf0.1 lineage SQL oracle)."""
+    if "_n_ev" not in batch.column_names:
+        batch = batch.append_column(
+            "_n_ev", pa.array(np.ones(batch.num_rows, np.int64), pa.int64())
+        )
+    if batch.num_rows <= 1:
+        return batch
+    return _lww_take_counted(batch, key, min_reduction=min_reduction)
 
 
 def lww_sorted(table: pa.Table, key: str = "url") -> pa.Table:
