@@ -309,6 +309,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
         )
 
+    def q_ngram_jaccard(sf_dir: str):
+        """Pairwise word-3-gram Jaccard — the dedup verifier as a
+        first-class op: each doc is paired with its successor
+        (doc_id+1) via a bucketed self-join, and the pair emits EXACT
+        INTEGER shingle-set cardinalities (n_a, n_b, n_inter; jaccard =
+        inter/(n_a+n_b-inter)) so the driver hash is float-free. The
+        shingle sets are unique word 3-grams (docs with <3 words
+        collapse to one whole-text shingle; empty docs to none) —
+        replicated in SQL with DuckDB list lambdas."""
+        from go_datax_ray.stages.dedup import _shingle_hashes
+        from go_datax_ray.stages.joins import bucket_hash_join
+
+        def proj(side: str, shift: int):
+            def fn(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").cast(pa.int64())
+                return pa.table(
+                    {
+                        "k": pc.add(ids, pa.scalar(shift)),
+                        f"id_{side}": ids,
+                        f"_t{side}": t.column("text").cast(pa.large_string()),
+                    }
+                )
+
+            return fn
+
+        left = _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            proj("a", 0), batch_format="pyarrow"
+        )
+        right = _rp(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            proj("b", -1), batch_format="pyarrow"
+        )
+        l_schema = pa.schema(
+            [("k", pa.int64()), ("id_a", pa.int64()), ("_ta", pa.large_string())]
+        )
+        r_schema = pa.schema(
+            [("k", pa.int64()), ("id_b", pa.int64()), ("_tb", pa.large_string())]
+        )
+        j = bucket_hash_join(left, right, on="k", schemas=(l_schema, r_schema))
+
+        def counts(t: pa.Table) -> pa.Table:
+            ia = t.column("id_a").to_pylist()
+            ib = t.column("id_b").to_pylist()
+            ta = t.column("_ta").to_pylist()
+            tb = t.column("_tb").to_pylist()
+            na, nb, ni = [], [], []
+            for x, y in zip(ta, tb):
+                a = _shingle_hashes(x or "", 3)
+                b = _shingle_hashes(y or "", 3)
+                na.append(len(a))
+                nb.append(len(b))
+                ni.append(int(np.intersect1d(a, b, assume_unique=True).size))
+            return pa.table(
+                {
+                    "id_a": pa.array(ia, pa.int64()),
+                    "id_b": pa.array(ib, pa.int64()),
+                    "n_a": pa.array(na, pa.int64()),
+                    "n_b": pa.array(nb, pa.int64()),
+                    "n_inter": pa.array(ni, pa.int64()),
+                }
+            )
+
+        return j.map_batches(counts, batch_format="pyarrow")
+
     # -- text analysis -----------------------------------------------------
     def q_token_stats(sf_dir: str):
         from go_datax_ray.stages.text import token_stats
@@ -845,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dx_digest": q_dx_digest,
         "transformer_chain": q_transformer_chain,
         "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -1196,6 +1260,30 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": f"""
             SELECT vec_id AS query_id, TRUE AS recall_ok
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ANN_NUM_QUERIES})
+        """,
+        # exact word-3-gram Jaccard cardinalities per successor pair:
+        # DuckDB list lambdas build the same unique-trigram sets the
+        # python verifier hashes (md5 is collision-free at these sizes,
+        # so cardinalities agree)
+        "ngram_jaccard": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_distinct(CASE
+                       WHEN len(ws) = 0 THEN []
+                       WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                       ELSE list_transform(range(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                     END) AS sh
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\\W+'),
+                                       x -> x != '') AS ws
+                    FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(a.sh) AS BIGINT) AS n_a,
+                   CAST(len(b.sh) AS BIGINT) AS n_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter
+            FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         """,
         # full simhash64 replica: word hash = md5_number_lower (the engine
         # deliberately uses md5 digest[8:16] LE so DuckDB can reproduce
