@@ -895,6 +895,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.select(["media_id", "phash"]), batch_format="pyarrow"
         )
 
+    # -- corpus curation ---------------------------------------------------
+    def q_decontaminate(sf_dir: str):
+        """Benchmark decontamination: docs with doc_id % 97 == 0 play the
+        held-out eval set; every other doc is flagged with the count of
+        its distinct word-3-grams that collide with the eval set's
+        shingle union (FineWeb/Dolma-style n-gram decontamination).
+        Integer outputs only — the oracle intersects STRING shingles,
+        the engine md5_lower64 hashes; equal modulo md5 collisions."""
+        from go_datax_ray.stages.curation import decontaminate
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def side(keep_eval: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                m = (ids % 97 == 0) if keep_eval else (ids % 97 != 0)
+                return t.filter(pa.array(m))
+
+            return fn
+
+        ev = docs.map_batches(side(True), batch_format="pyarrow")
+        tr = docs.map_batches(side(False), batch_format="pyarrow")
+        return decontaminate(tr, ev, k=3)
+
+    def q_gopher_quality(sf_dir: str):
+        """Gopher-style quality rules with corpus-calibrated thresholds
+        (the synthetic fixture's vocabulary has no English stopwords, so
+        the probe list is its own top words and the presence bar is 7 —
+        the rule machinery, not the web-text constants, is under test)."""
+        from go_datax_ray.stages.curation import gopher_quality
+
+        rd = rd_lazy()
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+        probes = ("join", "hash", "row", "batch", "scan", "column", "data", "merge")
+        return ds.map_batches(
+            gopher_quality,
+            fn_kwargs=dict(stopwords=probes, min_words=40, min_stopwords=7),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    def q_pii_mask(sf_dir: str):
+        """dx_mask transformer over text with deterministically synthesised
+        PII appended (the fixture corpus has none): email, phone and IPv4
+        derived from doc_id, then redacted to fixed tokens. The oracle
+        rebuilds the same string in SQL and applies the same RE2 patterns
+        via regexp_replace(..., 'g')."""
+        from go_datax_ray.stages.transforms import dx_mask
+
+        rd = rd_lazy()
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def synth(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            texts = t.column("text").to_pylist()
+            out = [
+                f"{x or ''} contact user{i}@example.com or +1-555-{i % 10000:04d}"
+                f" at 10.0.{i % 256}.{i % 100}"
+                for i, x in zip(ids, texts)
+            ]
+            return pa.table(
+                {"doc_id": t.column("doc_id").cast(pa.int64()),
+                 "text": pa.array(out, pa.string())}
+            )
+
+        return ds.map_batches(synth, batch_format="pyarrow").map_batches(
+            lambda t: dx_mask(t, "text"), batch_format="pyarrow"
+        )
+
     return {
         "cdc_final_state": q_cdc_final_state,
         "lww_latest_event": q_lww_latest_event,
@@ -909,6 +980,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transformer_chain": q_transformer_chain,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "decontaminate": q_decontaminate,
+        "gopher_quality": q_gopher_quality,
+        "pii_mask": q_pii_mask,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -1284,6 +1358,98 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(b.sh) AS BIGINT) AS n_b,
                    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter
             FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        """,
+        # n-gram decontamination: STRING shingle intersection (the engine
+        # intersects md5_lower64 hashes — equal modulo md5 collisions)
+        "decontaminate": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_distinct(CASE
+                       WHEN len(ws) = 0 THEN []
+                       WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                       ELSE list_transform(range(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                     END) AS sh
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\\W+'),
+                                       x -> x != '') AS ws
+                    FROM documents)
+            ),
+            ev AS (SELECT DISTINCT u.s FROM d, unnest(d.sh) AS u(s)
+                   WHERE doc_id % 97 = 0),
+            tr AS (SELECT doc_id, u.s FROM d, unnest(d.sh) AS u(s)
+                   WHERE doc_id % 97 <> 0),
+            hits AS (SELECT tr.doc_id, count(*) AS n
+                     FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1)
+            SELECT d.doc_id, CAST(len(d.sh) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM d LEFT JOIN hits h ON h.doc_id = d.doc_id
+            WHERE d.doc_id % 97 <> 0
+        """,
+        # gopher_quality: same tokenization, integer cross-multiplied rules
+        "gopher_quality": """
+            WITH ws AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\W+'),
+                                 x -> x != '') AS w
+              FROM documents
+            ),
+            flat AS (SELECT doc_id, u.x AS x FROM ws, unnest(w) AS u(x)),
+            agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(len(x)) AS BIGINT) AS n_word_chars,
+                     CAST(count(DISTINCT x) AS BIGINT) AS n_distinct_words,
+                     CAST(count(DISTINCT CASE WHEN x IN
+                       ('join','hash','row','batch','scan','column','data','merge')
+                       THEN x END) AS BIGINT) AS n_stop_words
+              FROM flat GROUP BY 1
+            )
+            SELECT ws.doc_id,
+                   coalesce(n_words, 0) AS n_words,
+                   coalesce(n_word_chars, 0) AS n_word_chars,
+                   coalesce(n_distinct_words, 0) AS n_distinct_words,
+                   coalesce(n_stop_words, 0) AS n_stop_words,
+                   coalesce(n_words, 0) BETWEEN 40 AND 100000 AS ok_word_count,
+                   coalesce(n_words, 0) > 0
+                     AND 3 * n_words <= n_word_chars
+                     AND n_word_chars <= 10 * n_words AS ok_mean_word_len,
+                   coalesce(n_words, 0) > 0
+                     AND 10 * (n_words - n_distinct_words) <= 3 * n_words
+                     AS ok_dup_fraction,
+                   coalesce(n_stop_words, 0) >= 7 AS ok_stopwords,
+                   (coalesce(n_words, 0) BETWEEN 40 AND 100000)
+                     AND (coalesce(n_words, 0) > 0
+                          AND 3 * n_words <= n_word_chars
+                          AND n_word_chars <= 10 * n_words)
+                     AND (coalesce(n_words, 0) > 0
+                          AND 10 * (n_words - n_distinct_words) <= 3 * n_words)
+                     AND (coalesce(n_stop_words, 0) >= 7) AS keep
+            FROM ws LEFT JOIN agg USING (doc_id)
+        """,
+        # pii_mask: identical RE2 patterns both sides (Arrow and DuckDB
+        # both run RE2); apply order email -> phone -> ip
+        "pii_mask": """
+            WITH synth AS (
+              SELECT doc_id,
+                     coalesce(text, '') || ' contact user' || doc_id ||
+                     '@example.com or +1-555-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                     ' at 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+                       AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g'),
+                     '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g')
+                     AS text
+            FROM synth
         """,
         # full simhash64 replica: word hash = md5_number_lower (the engine
         # deliberately uses md5 digest[8:16] LE so DuckDB can reproduce

@@ -1,0 +1,328 @@
+"""Corpus-curation stages for LLM training-data pipelines.
+
+Two operators the reference engine has no analogue for, but which any
+web-scale corpus pipeline runs between ingestion and training:
+
+* ``decontaminate`` — benchmark-overlap flagging: a training document is
+  contaminated when it shares at least one word k-gram with any document
+  in a held-out eval/benchmark set (the published FineWeb / Dolma
+  decontamination semantics, re-expressed Ray-Data-first).
+* ``gopher_quality`` — Gopher-style per-document quality rules
+  (word-count band, mean-word-length band, duplicate-word fraction,
+  stopword presence), emitted as INTEGER metrics plus booleans derived
+  by integer cross-multiplication so the result is IEEE-free and
+  hash-checkable against a DuckDB oracle.
+
+Scale shape
+-----------
+Both operators tokenize with one vectorized Arrow ``split_pattern_regex``
+per batch and do all per-document reductions with numpy
+``bincount``/``lexsort`` over the flattened word array — no per-row
+Python in the hot path (the only row loop is over documents SHORTER than
+the shingle width, which collapse to one whole-text shingle).
+
+``decontaminate`` is adaptive like ``joins.remove_keys``: eval shingle
+sets up to ``broadcast_limit`` stay in the object store as block refs
+(pulled once per worker process, lru-cached, searched with
+``np.searchsorted``); larger sets route through the bucketed semi-join +
+bounded groupby so the corpus pays one exchange but the eval set is
+unbounded. Real benchmark suites are ~10^5-10^7 shingles, so the
+broadcast path is the common case at 100 TB; the join path is the
+escape hatch and is property-tested equal to the broadcast path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import md5_lower64_array
+
+# Classic English stopword probe (Gopher uses a similar small list).
+# The list is a parameter: corpora with domain-specific vocabularies
+# (code, logs, synthetic fixtures) pass their own.
+DEFAULT_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+# ------------------------------------------------------------ tokenizing
+
+def _flat_words(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized ``lower -> \\W+ split -> drop empties`` tokenization.
+
+    Returns ``(flat_words, word_lens, doc_idx, n_words)`` where
+    ``flat_words`` is an object ndarray of every word in batch order,
+    ``word_lens`` its codepoint lengths, ``doc_idx`` the owning document
+    index per word, and ``n_words`` the per-document word counts.
+    Matches DuckDB ``list_filter(string_split_regex(lower(text),
+    '\\W+'), x -> x != '')`` exactly (both sides are RE2).
+    """
+    arr = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(texts, "")), pattern=r"\W+"
+    )
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    values = arr.values
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = pc.utf8_length(values).to_numpy(zero_copy_only=False)
+    keep = lens > 0
+    cum = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(keep, out=cum[1:])
+    n_words = cum[offsets[1:]] - cum[offsets[:-1]]
+    flat = np.asarray(values, dtype=object)[keep]
+    word_lens = lens[keep].astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+    return flat, word_lens, doc_idx, n_words
+
+
+def _distinct_shingles(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distinct word-k-gram hashes per document, vectorized.
+
+    Returns ``(doc_idx, shingle_hash_u64, n_distinct_per_doc)`` with one
+    row per DISTINCT shingle per document. Documents with 0 < n < k
+    words collapse to one whole-text shingle; empty documents emit none
+    — identical to ``dedup._shingle_hashes`` / the ngram_jaccard oracle.
+    Hashes are ``md5_lower64`` (== DuckDB ``md5_number_lower``) of the
+    space-joined shingle string.
+    """
+    flat, _, doc_idx, n_words = _flat_words(texts)
+    n_docs = len(n_words)
+    sh_strs: list[np.ndarray] = []
+    sh_docs: list[np.ndarray] = []
+    if len(flat) >= k:
+        # Vector path: candidate shingle j spans words j..j+k-1; valid
+        # when all k words belong to the same document.
+        cand = flat[: len(flat) - k + 1]
+        for i in range(1, k):
+            cand = cand + " "
+            cand = cand + flat[i : len(flat) - k + 1 + i]
+        valid = doc_idx[: len(flat) - k + 1] == doc_idx[k - 1 :]
+        sh_strs.append(cand[valid])
+        sh_docs.append(doc_idx[: len(flat) - k + 1][valid])
+    # Short documents (0 < n < k): one whole-text shingle each. Rare at
+    # corpus scale; plain loop over just those documents.
+    short = np.flatnonzero((n_words > 0) & (n_words < k))
+    if short.size:
+        starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(n_words, out=starts[1:])
+        joined = np.array(
+            [" ".join(flat[starts[d] : starts[d + 1]]) for d in short],
+            dtype=object,
+        )
+        sh_strs.append(joined)
+        sh_docs.append(short.astype(np.int64))
+    if not sh_strs:
+        empty = np.zeros(0, dtype=np.int64)
+        return empty, np.zeros(0, dtype=np.uint64), np.zeros(n_docs, np.int64)
+    strs = np.concatenate(sh_strs)
+    docs = np.concatenate(sh_docs)
+    hashes = md5_lower64_array(strs)
+    order = np.lexsort((hashes, docs))
+    docs, hashes = docs[order], hashes[order]
+    first = np.ones(len(docs), dtype=bool)
+    first[1:] = (docs[1:] != docs[:-1]) | (hashes[1:] != hashes[:-1])
+    docs, hashes = docs[first], hashes[first]
+    n_distinct = np.bincount(docs, minlength=n_docs).astype(np.int64)
+    return docs, hashes, n_distinct
+
+
+# ------------------------------------------------------------ decontaminate
+
+def shingle_hash_ds(ds, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
+    """Project a corpus to one row per distinct (id, shingle-hash)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        docs, hashes, _ = _distinct_shingles(t.column(text_col), k)
+        return pa.table(
+            {
+                id_col: pa.array(ids[docs], pa.int64()),
+                "sh": pa.array(hashes.view(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@lru_cache(maxsize=4)
+def _eval_shingle_set(refs: tuple) -> np.ndarray:
+    """Pull the eval shingle blocks once per worker process and keep a
+    sorted unique uint64 array for searchsorted membership tests."""
+    import ray
+
+    parts = [
+        t.column("sh").to_numpy(zero_copy_only=False)
+        for t in ray.get(list(refs))
+        if t.num_rows
+    ]
+    if not parts:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts).astype(np.int64).view(np.uint64))
+
+
+def _flag_batch(t: pa.Table, *, text_col: str, id_col: str, k: int, refs: tuple) -> pa.Table:
+    ev = _eval_shingle_set(refs)
+    ids = t.column(id_col).cast(pa.int64())
+    docs, hashes, n_distinct = _distinct_shingles(t.column(text_col), k)
+    n_docs = len(t)
+    if ev.size and hashes.size:
+        pos = np.searchsorted(ev, hashes)
+        pos_c = np.minimum(pos, ev.size - 1)
+        hit = (pos < ev.size) & (ev[pos_c] == hashes)
+        n_hits = np.bincount(docs, weights=hit, minlength=n_docs).astype(np.int64)
+    else:
+        n_hits = np.zeros(n_docs, dtype=np.int64)
+    return pa.table(
+        {
+            id_col: ids,
+            "n_shingles": pa.array(n_distinct, pa.int64()),
+            "n_hits": pa.array(n_hits, pa.int64()),
+            "contaminated": pa.array(n_hits > 0, pa.bool_()),
+        }
+    )
+
+
+def decontaminate(ds, eval_ds, *, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3, broadcast_limit: int = 5_000_000,
+                  mode: str = "auto"):
+    """Flag every document of ``ds`` that shares >= 1 word ``k``-gram
+    with any document of ``eval_ds`` (the benchmark/eval corpus).
+
+    Output: one row per ``ds`` document — ``(id, n_shingles, n_hits,
+    contaminated)`` where ``n_hits`` counts the document's DISTINCT
+    shingles that collide with the eval set (all int64/bool, so the
+    driver value-hash is exact).
+
+    ``mode``: ``"broadcast"`` pins the object-store-ref path,
+    ``"join"`` pins the bucketed semi-join path, ``"auto"`` picks by
+    eval shingle count vs ``broadcast_limit``.
+    """
+    from .partition import bounded_groupby
+    from .joins import bucket_hash_join
+
+    ev_sh = shingle_hash_ds(eval_ds, text_col=text_col, id_col=id_col, k=k)
+    # Distinct eval shingles: tiny groupby (eval sets are small relative
+    # to the corpus); also what the join path shuffles against.
+    ev_distinct = bounded_groupby(ev_sh, ["sh"]).count().select_columns(["sh"])
+    ev_distinct = ev_distinct.materialize()
+    if mode == "auto":
+        mode = "broadcast" if ev_distinct.count() <= broadcast_limit else "join"
+
+    if mode == "broadcast":
+        refs = tuple(ev_distinct.to_arrow_refs())
+        return ds.map_batches(
+            _flag_batch,
+            fn_kwargs=dict(text_col=text_col, id_col=id_col, k=k, refs=refs),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    # Join path: corpus -> (id, sh) pairs; semi-join vs eval shingles;
+    # bounded per-id count; left-join the counts back onto the per-doc
+    # shingle totals. Two bounded exchanges, nothing on the driver.
+    tr_sh = shingle_hash_ds(ds, text_col=text_col, id_col=id_col, k=k)
+    pair_schema = pa.schema([(id_col, pa.int64()), ("sh", pa.int64())])
+    ev_schema = pa.schema([("sh", pa.int64())])
+    hits = bucket_hash_join(
+        tr_sh, ev_distinct, on="sh", how="semi", schemas=(pair_schema, ev_schema)
+    )
+    hit_counts = bounded_groupby(hits, [id_col]).count()  # (id, count())
+
+    def base(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.int64())
+        _, _, n_distinct = _distinct_shingles(t.column(text_col), k)
+        return pa.table(
+            {id_col: ids, "n_shingles": pa.array(n_distinct, pa.int64())}
+        )
+
+    per_doc = ds.map_batches(base, batch_format="pyarrow", zero_copy_batch=True)
+    base_schema = pa.schema([(id_col, pa.int64()), ("n_shingles", pa.int64())])
+    cnt_schema = pa.schema([(id_col, pa.int64()), ("count()", pa.int64())])
+    joined = bucket_hash_join(
+        per_doc, hit_counts, on=id_col, how="left",
+        schemas=(base_schema, cnt_schema),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_hits = pc.fill_null(t.column("count()").cast(pa.int64()), 0)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_shingles": t.column("n_shingles"),
+                "n_hits": n_hits,
+                "contaminated": pc.greater(n_hits, 0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ gopher_quality
+
+def gopher_quality(t: pa.Table, *, text_col: str = "text", id_col: str = "doc_id",
+                   stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_stopwords: int = 2, dup_frac_tenths: int = 3) -> pa.Table:
+    """Gopher-style quality rules over one batch, integer-exact.
+
+    Emitted metrics (all int64): ``n_words``, ``n_word_chars`` (sum of
+    word codepoint lengths), ``n_distinct_words``, ``n_stop_words``
+    (distinct probe stopwords present). Rules as booleans, derived by
+    integer cross-multiplication (no IEEE division anywhere):
+
+    * ``ok_word_count``:    min_words <= n_words <= max_words
+    * ``ok_mean_word_len``: n_words > 0 and 3 <= mean word length <= 10,
+      i.e. ``3*n_words <= n_word_chars <= 10*n_words``
+    * ``ok_dup_fraction``:  duplicate-word fraction <= dup_frac_tenths/10,
+      i.e. ``10*(n_words - n_distinct_words) <= dup_frac_tenths*n_words``
+      (word-level analogue of Gopher's duplicate-line fraction)
+    * ``ok_stopwords``:     n_stop_words >= min_stopwords
+    * ``keep``: conjunction of the four.
+
+    The thresholds and probe list are parameters because the published
+    constants assume natural-language web text; a synthetic or
+    domain-specific corpus picks values that actually split it.
+    """
+    ids = t.column(id_col).cast(pa.int64())
+    flat, word_lens, doc_idx, n_words = _flat_words(t.column(text_col))
+    n_docs = len(t)
+    n_chars = np.bincount(doc_idx, weights=word_lens, minlength=n_docs).astype(np.int64)
+
+    if len(flat):
+        hashes = md5_lower64_array(flat)
+        order = np.lexsort((hashes, doc_idx))
+        d_s, h_s = doc_idx[order], hashes[order]
+        first = np.ones(len(d_s), dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        n_distinct = np.bincount(d_s[first], minlength=n_docs).astype(np.int64)
+        stop_h = np.unique(md5_lower64_array(np.array(list(stopwords), dtype=object)))
+        is_stop = np.isin(h_s, stop_h)
+        stop_first = first & is_stop
+        n_stop = np.bincount(d_s[stop_first], minlength=n_docs).astype(np.int64)
+    else:
+        n_distinct = np.zeros(n_docs, dtype=np.int64)
+        n_stop = np.zeros(n_docs, dtype=np.int64)
+
+    ok_count = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean = (n_words > 0) & (3 * n_words <= n_chars) & (n_chars <= 10 * n_words)
+    ok_dup = (n_words > 0) & (
+        10 * (n_words - n_distinct) <= dup_frac_tenths * n_words
+    )
+    ok_stop = n_stop >= min_stopwords
+    keep = ok_count & ok_mean & ok_dup & ok_stop
+    return pa.table(
+        {
+            id_col: ids,
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_word_chars": pa.array(n_chars, pa.int64()),
+            "n_distinct_words": pa.array(n_distinct, pa.int64()),
+            "n_stop_words": pa.array(n_stop, pa.int64()),
+            "ok_word_count": pa.array(ok_count, pa.bool_()),
+            "ok_mean_word_len": pa.array(ok_mean, pa.bool_()),
+            "ok_dup_fraction": pa.array(ok_dup, pa.bool_()),
+            "ok_stopwords": pa.array(ok_stop, pa.bool_()),
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )

@@ -94,6 +94,31 @@ def dx_pad(t: pa.Table, column: str, direction: str, length: int, pad: str) -> p
 _DIGESTS = {"md5": hashlib.md5, "sha1": hashlib.sha1, "sha256": hashlib.sha256}
 
 
+# PII masking patterns. Both pyarrow and DuckDB run RE2, so the same
+# pattern string is oracle-checkable with regexp_replace(..., 'g').
+# Order matters: emails first (their local part can look phone-ish).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+    "ip": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def dx_mask(t: pa.Table, column: str, kinds: str = "email,phone,ip") -> pa.Table:
+    """Redact PII-shaped substrings with fixed tokens (engine extension:
+    the curation-side sibling of dx_replace — a training-data pipeline
+    masks emails/phones/IPs before the corpus leaves the ingest tier).
+    ``kinds`` is a comma list selecting patterns from PII_PATTERNS,
+    applied in the listed order."""
+    out = t.column(column)
+    for kind in (s.strip() for s in kinds.split(",")):
+        if kind not in PII_PATTERNS:
+            raise ValueError(f"unknown PII kind {kind!r}; have {sorted(PII_PATTERNS)}")
+        pat, token = PII_PATTERNS[kind]
+        out = pc.replace_substring_regex(out, pat, token)
+    return t.set_column(t.column_names.index(column), column, out)
+
+
 def dx_digest(t: pa.Table, column: str, algo: str = "md5") -> pa.Table:
     """Hex digest of the column's utf-8 text (null stays null)."""
     h = _DIGESTS[algo.lower()]
@@ -137,6 +162,9 @@ def build_transformer_chain(
         elif name == "dx_pad":
             d, length, padstr = paras[0], int(paras[1]), paras[2]
             steps.append(lambda t, c=col, dd=d, L=length, p=padstr: dx_pad(t, c, dd, L, p))
+        elif name == "dx_mask":
+            kinds = paras[0] if paras else "email,phone,ip"
+            steps.append(lambda t, c=col, kk=kinds: dx_mask(t, c, kk))
         elif name == "dx_digest":
             algo = paras[0] if paras else "md5"
             steps.append(lambda t, c=col, a=algo: dx_digest(t, c, a))

@@ -1,0 +1,138 @@
+"""Curation stages: decontaminate, gopher_quality, dx_mask.
+
+Reference parity: the reference engine has no curation family; semantics
+follow the published n-gram-decontamination / Gopher-rule descriptions
+(see stages/curation.py docstring). Tests pin the engine against slow
+per-row reference implementations and pin the two decontaminate
+execution paths (broadcast refs vs bucketed semi-join) equal.
+"""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ref_shingles(text: str, k: int = 3) -> set[str]:
+    words = [w for w in re.split(r"\W+", (text or "").lower()) if w]
+    if not words:
+        return set()
+    if len(words) < k:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def _rand_texts(rng, n, vocab=("the", "cat", "sat", "on", "mat", "dog", "ran", "x1")):
+    out = []
+    for _ in range(n):
+        m = int(rng.integers(0, 12))
+        out.append(" ".join(rng.choice(vocab, size=m)))
+    return out
+
+
+def test_distinct_shingles_matches_reference():
+    from go_datax_ray.stages.curation import _distinct_shingles
+
+    rng = np.random.default_rng(7)
+    texts = _rand_texts(rng, 60) + ["", "one", "one two", "a  b,c!d"]
+    docs, hashes, n_distinct = _distinct_shingles(pa.chunked_array([pa.array(texts)]))
+    for i, t in enumerate(texts):
+        assert n_distinct[i] == len(_ref_shingles(t)), t
+    # pairs are distinct per doc
+    assert len(set(zip(docs.tolist(), hashes.tolist()))) == len(docs)
+
+
+def test_decontaminate_paths_agree_and_match_reference(ray_session=None):
+    import ray.data as rd
+    from go_datax_ray.stages.curation import decontaminate
+
+    rng = np.random.default_rng(11)
+    texts = _rand_texts(rng, 120)
+    ids = list(range(120))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ev_mask = [i % 7 == 0 for i in ids]
+    ev_t = t.filter(pa.array(ev_mask))
+    tr_t = t.filter(pa.array([not m for m in ev_mask]))
+
+    ev_sh = set().union(*[_ref_shingles(x) for x in ev_t.column("text").to_pylist()])
+    want = {}
+    for i, x in zip(tr_t.column("doc_id").to_pylist(), tr_t.column("text").to_pylist()):
+        sh = _ref_shingles(x)
+        want[i] = (len(sh), len(sh & ev_sh))
+
+    outs = {}
+    for mode in ("broadcast", "join"):
+        got = (
+            decontaminate(rd.from_arrow(tr_t), rd.from_arrow(ev_t), mode=mode)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs[mode] = got
+        for _, r in got.iterrows():
+            ns, nh = want[r["doc_id"]]
+            assert (r["n_shingles"], r["n_hits"]) == (ns, nh)
+            assert bool(r["contaminated"]) == (nh > 0)
+    assert outs["broadcast"].equals(outs["join"])
+
+
+def test_gopher_quality_reference():
+    from go_datax_ray.stages.curation import gopher_quality
+
+    texts = [
+        "",  # empty: everything fails
+        "tiny doc",  # below word count
+        " ".join(f"w{i:02d}" for i in range(60)),  # 60 distinct 3-char words
+        " ".join(["dup"] * 60),  # all duplicates
+        " ".join(["antidisestablishmentarianism"] * 3 + ["ok"] * 57),  # long words ok (mean <= 10)
+        "the be to of and that have with " + " ".join(f"word{i}" for i in range(50)),
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    g = gopher_quality(t, min_words=10, max_words=100).to_pandas()
+
+    for i, txt in enumerate(texts):
+        words = [w for w in re.split(r"\W+", txt.lower()) if w]
+        assert g.n_words[i] == len(words)
+        assert g.n_word_chars[i] == sum(len(w) for w in words)
+        assert g.n_distinct_words[i] == len(set(words))
+        stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+        assert g.n_stop_words[i] == len(stops & set(words))
+    assert not g.keep[0] and not g.keep[1]
+    assert not g.ok_stopwords[2]  # no stopwords
+    assert not g.ok_dup_fraction[3]
+    assert g.ok_mean_word_len[4]  # mean (3*28 + 57*2)/60 = 3.3
+    assert g.keep[5]
+
+
+def test_dx_mask_golden():
+    from go_datax_ray.stages.transforms import dx_mask
+
+    t = pa.table({"s": pa.array([
+        "mail me at john.doe+x@sub.example.co.uk now",
+        "call +1 (415) 555-0000 or 020 7946 0958 today",
+        "server 192.168.1.250 and 8.8.8.8",
+        "clean text with no pii",
+        None,
+    ])})
+    out = dx_mask(t, "s").column("s").to_pylist()
+    assert out[0] == "mail me at <EMAIL> now"
+    assert out[1] == "call <PHONE> or <PHONE> today"
+    assert out[2] == "server <IP> and <IP>"
+    assert out[3] == "clean text with no pii"
+    assert out[4] is None
+
+    with pytest.raises(ValueError):
+        dx_mask(t, "s", kinds="ssn")
+
+
+def test_dx_mask_in_chain():
+    from go_datax_ray.stages.transforms import build_transformer_chain
+
+    t = pa.table({"v": pa.array(["x a@b.io y"])})
+    chain = build_transformer_chain(
+        [{"name": "dx_mask", "parameter": {"column": "v", "paras": ["email"]}}],
+        t.schema,
+    )
+    assert chain(t).column("v").to_pylist() == ["x <EMAIL> y"]
