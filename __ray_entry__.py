@@ -966,6 +966,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: dx_mask(t, "text"), batch_format="pyarrow"
         )
 
+    def q_line_dedup(sf_dir: str):
+        """C4-style corpus-global duplicate-line removal. Lines are
+        synthesised deterministically (8-word windows joined with \\n)
+        and the corpus is doubled with a doc_id+100000 shifted copy, so
+        every copied line is a duplicate: the copies must vanish
+        entirely and any intra-corpus duplicate lines keep only their
+        first (doc_id, line_idx) occurrence."""
+        from go_datax_ray.stages.curation import line_dedup
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def to_lines(shift: int):
+            def fn(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                out = []
+                for x in t.column("text").to_pylist():
+                    ws = (x or "").split()
+                    out.append(
+                        "\n".join(
+                            " ".join(ws[j : j + 8]) for j in range(0, len(ws), 8)
+                        )
+                    )
+                return pa.table(
+                    {"doc_id": pa.array(ids + shift, pa.int64()),
+                     "text": pa.array(out, pa.string())}
+                )
+
+            return fn
+
+        corpus = docs.map_batches(to_lines(0), batch_format="pyarrow").union(
+            docs.map_batches(to_lines(100000), batch_format="pyarrow")
+        )
+        return line_dedup(corpus)
+
     return {
         "cdc_final_state": q_cdc_final_state,
         "lww_latest_event": q_lww_latest_event,
@@ -983,6 +1020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "gopher_quality": q_gopher_quality,
         "pii_mask": q_pii_mask,
+        "line_dedup": q_line_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -1386,6 +1424,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) > 0 AS contaminated
             FROM d LEFT JOIN hits h ON h.doc_id = d.doc_id
             WHERE d.doc_id % 97 <> 0
+        """,
+        # line_dedup: keep-first by packed (doc_id * 2^20 + line_idx);
+        # docs rebuilt with string_agg ordered by line_idx; empty docs drop
+        "line_dedup": """
+            WITH base AS (
+              SELECT doc_id, array_to_string(
+                       list_transform(range(0, (len(ws) + 7) // 8),
+                         j -> array_to_string(ws[j*8+1 : j*8+8], ' ')),
+                       chr(10)) AS text
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x != '') AS ws
+                    FROM documents)
+            ),
+            corpus AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT doc_id + 100000, text FROM base
+            ),
+            lines AS (
+              SELECT doc_id, u.i - 1 AS line_idx, ls[u.i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM corpus),
+                   unnest(range(1, len(ls) + 1)) AS u(i)
+            ),
+            win AS (SELECT line, min(doc_id * 1048576 + line_idx) AS mpos
+                    FROM lines GROUP BY 1),
+            keep AS (SELECT l.doc_id, l.line_idx, l.line
+                     FROM lines l JOIN win w ON w.line = l.line
+                     WHERE l.doc_id * 1048576 + l.line_idx = w.mpos)
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY line_idx) AS text
+            FROM keep GROUP BY doc_id
         """,
         # gopher_quality: same tokenization, integer cross-multiplied rules
         "gopher_quality": """

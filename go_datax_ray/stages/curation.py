@@ -259,6 +259,146 @@ def decontaminate(ds, eval_ds, *, text_col: str = "text", id_col: str = "doc_id"
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ------------------------------------------------------------ line_dedup
+
+#: line_idx packing width for the global keep-first order (doc_id, idx)
+#: -> one int64: pos = doc_id * _MAX_LINES + idx. 2^20 lines per doc and
+#: 2^43 doc ids — both asserted, both far beyond any real document/shard.
+_MAX_LINES = 1 << 20
+
+
+def _split_lines(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Plain (non-regex) split on a separator, vectorized.
+
+    Returns ``(flat_lines, doc_idx, n_lines)``. Empty strings ARE lines
+    (``"".split(sep) == [""]``) — every line, including blanks,
+    participates in the global dedup, matching the SQL oracle's
+    ``string_split`` exactly.
+    """
+    arr = pc.split_pattern(pc.fill_null(texts, ""), pattern="\n")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_lines = offsets[1:] - offsets[:-1]
+    flat = np.asarray(arr.values, dtype=object)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
+    return flat, doc_idx, n_lines
+
+
+def line_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               n_buckets: int | None = None):
+    """Corpus-global duplicate-line removal (the C4 pipeline's exact
+    line dedup): a line survives only at its FIRST occurrence in the
+    global ``(doc_id, line_idx)`` order; later identical lines are
+    dropped; documents are reassembled from their surviving lines and
+    documents left with zero lines disappear from the output.
+
+    Scale shape: line TEXT never enters a shuffle. The exchange plan is
+    (1) ``(line_hash, pos)`` pairs -> bounded groupby min(pos) winners,
+    (2) pairs x winners bucket join on the int64 hash -> surviving
+    ``(doc_id, line_idx)`` ids, (3) survivors co-hash-grouped per doc
+    into a packed int32 index blob, (4) blobs bucket-joined back onto
+    the original documents (the ONE exchange that moves document text)
+    and lines re-split + filtered map-side. Hash = md5_lower64 of the
+    line (collision odds ~n^2/2^65).
+    """
+    from .partition import bounded_groupby, cohash_map_groups
+    from .joins import bucket_hash_join
+
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        assert ids.size == 0 or (0 <= ids.min() and ids.max() < (1 << 43)), \
+            "line_dedup packs (doc_id, line_idx) into int64: doc_id < 2^43"
+        flat, doc_idx, n_lines = _split_lines(t.column(text_col))
+        assert n_lines.size == 0 or n_lines.max() < _MAX_LINES
+        starts = np.zeros(len(n_lines) + 1, dtype=np.int64)
+        np.cumsum(n_lines, out=starts[1:])
+        line_idx = np.arange(len(flat), dtype=np.int64) - starts[doc_idx]
+        lh = md5_lower64_array(flat).view(np.int64)
+        pos = ids[doc_idx] * _MAX_LINES + line_idx
+        return pa.table(
+            {
+                "lh": pa.array(lh, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(pairs_fn, batch_format="pyarrow", zero_copy_batch=True)
+    winners = bounded_groupby(pairs, ["lh"]).min("pos")  # (lh, min(pos))
+
+    pair_schema = pa.schema([("lh", pa.int64()), ("pos", pa.int64())])
+    win_schema = pa.schema([("lh", pa.int64()), ("min(pos)", pa.int64())])
+    jkw = dict(n_buckets=n_buckets) if n_buckets else {}
+    joined = bucket_hash_join(
+        pairs, winners, on="lh", how="inner",
+        schemas=(pair_schema, win_schema), **jkw,
+    )
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        mpos = t.column("min(pos)").to_numpy(zero_copy_only=False)
+        k = pos == mpos
+        return pa.table(
+            {
+                id_col: pa.array(pos[k] // _MAX_LINES, pa.int64()),
+                "line_idx": pa.array(pos[k] % _MAX_LINES, pa.int64()),
+            }
+        )
+
+    surv = joined.map_batches(keep_first, batch_format="pyarrow", zero_copy_batch=True)
+
+    def to_blobs(g: pa.Table) -> pa.Table:
+        # many docs per coarse bucket: segment by doc_id, one blob per doc
+        d = g.column(id_col).to_numpy(zero_copy_only=False)
+        ix = g.column("line_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ix, d))
+        d, ix = d[order], ix[order]
+        bounds = np.flatnonzero(np.diff(d)) + 1
+        docs = np.concatenate([[0], bounds])
+        blobs = [
+            ix[a:b].astype(np.int32).tobytes()
+            for a, b in zip(np.concatenate([[0], bounds]), np.concatenate([bounds, [len(d)]]))
+        ]
+        return pa.table(
+            {
+                id_col: pa.array(d[docs], pa.int64()),
+                "keep_blob": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    blobs = cohash_map_groups(surv, [id_col], to_blobs)
+
+    def cast_ids(t: pa.Table) -> pa.Table:
+        i = t.column_names.index(id_col)
+        return t.set_column(i, id_col, t.column(id_col).cast(pa.int64()))
+
+    docs64 = ds.map_batches(cast_ids, batch_format="pyarrow", zero_copy_batch=True)
+    doc_schema = pa.schema(
+        [(id_col, pa.int64())]
+        + [(f.name, f.type) for f in ds.schema().base_schema if f.name != id_col]
+    )
+    blob_schema = pa.schema([(id_col, pa.int64()), ("keep_blob", pa.binary())])
+    docs_with = bucket_hash_join(
+        docs64, blobs, on=id_col, how="inner", schemas=(doc_schema, blob_schema)
+    )
+
+    def assemble(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        blobs_ = t.column("keep_blob").to_pylist()
+        out = []
+        for txt, bl in zip(texts, blobs_):
+            keep = np.frombuffer(bl, dtype=np.int32)
+            lines = (txt or "").split("\n")
+            out.append("\n".join(lines[j] for j in np.sort(keep)))
+        res = t.drop_columns(["keep_blob"])
+        return res.set_column(
+            res.column_names.index(text_col), text_col, pa.array(out, pa.string())
+        )
+
+    return docs_with.map_batches(assemble, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------------ gopher_quality
 
 def gopher_quality(t: pa.Table, *, text_col: str = "text", id_col: str = "doc_id",

@@ -106,6 +106,55 @@ def test_gopher_quality_reference():
     assert g.keep[5]
 
 
+def _ref_line_dedup(docs: list[tuple[int, str]]) -> dict[int, str]:
+    seen = set()
+    out = {}
+    for did, text in sorted(docs):
+        kept = []
+        for line in text.split("\n"):
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            out[did] = "\n".join(kept)
+    return out
+
+
+def test_line_dedup_matches_reference():
+    import ray.data as rd
+    from go_datax_ray.stages.curation import line_dedup
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", ""]
+    docs = []
+    for did in range(80):
+        n = int(rng.integers(1, 6))
+        lines = [
+            " ".join(rng.choice(vocab, size=int(rng.integers(0, 3))))
+            for _ in range(n)
+        ]
+        docs.append((did, "\n".join(lines)))
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs])})
+    got = (
+        line_dedup(rd.from_arrow(t))
+        .to_pandas().set_index("doc_id")["text"].to_dict()
+    )
+    assert got == _ref_line_dedup(docs)
+
+
+def test_line_dedup_keeps_extra_columns():
+    import ray.data as rd
+    from go_datax_ray.stages.curation import line_dedup
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a\nb", "b\nc"]),
+                  "lang": pa.array(["en", "de"])})
+    got = line_dedup(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert got["lang"].tolist() == ["en", "de"]
+    assert got["text"].tolist() == ["a\nb", "c"]
+
+
 def test_dx_mask_golden():
     from go_datax_ray.stages.transforms import dx_mask
 
