@@ -966,6 +966,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: dx_mask(t, "text"), batch_format="pyarrow"
         )
 
+    def q_token_count_bpe(sf_dir: str):
+        """GPT-2-style pre-tokenizer count via one RE2 scan (pyarrow
+        count_substring_regex); DuckDB runs the SAME RE2 pattern, so
+        the counts are bitwise-identical (see text.BPE_RE2_PATTERN for
+        why dropping the lookahead preserves the count)."""
+        from go_datax_ray.stages.text import bpe_token_count
+
+        rd = rd_lazy()
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+        return ds.map_batches(
+            bpe_token_count, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            lambda t: t.select(["doc_id", "n_tokens_bpe"]), batch_format="pyarrow"
+        )
+
     def q_line_dedup(sf_dir: str):
         """C4-style corpus-global duplicate-line removal. Lines are
         synthesised deterministically (8-word windows joined with \\n)
@@ -1021,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q_gopher_quality,
         "pii_mask": q_pii_mask,
         "line_dedup": q_line_dedup,
+        "token_count_bpe": q_token_count_bpe,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -1424,6 +1440,13 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) > 0 AS contaminated
             FROM d LEFT JOIN hits h ON h.doc_id = d.doc_id
             WHERE d.doc_id % 97 <> 0
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '''(?:[sdmt]|ll|ve|re)| ?\\w+| ?[^\\s\\w]+|\\s+'))
+                     AS BIGINT) AS n_tokens_bpe
+            FROM documents
         """,
         # line_dedup: keep-first by packed (doc_id * 2^20 + line_idx);
         # docs rebuilt with string_agg ordered by line_idx; empty docs drop

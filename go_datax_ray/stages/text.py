@@ -17,6 +17,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..synth import extract_text
 
@@ -51,6 +52,25 @@ class TextExtract:
         if self.out_col in batch.column_names:
             return batch.set_column(batch.column_names.index(self.out_col), self.out_col, arr)
         return batch.append_column(self.out_col, arr)
+
+
+# RE2-safe GPT-2-style pre-tokenizer: _BPE_RE minus the `\s+(?!\S)`
+# lookahead (RE2 has none). On text whose whitespace is plain spaces the
+# token COUNT matches the lookahead variant exactly (a run of n spaces
+# before a word yields 2 tokens either way for n>1, 1 for n==1;
+# property-tested); runs MIXING space with \t/\n can count differently
+# because ` ?\w+` only consumes a literal space. Arrow and DuckDB both
+# run RE2, so engine vs oracle is bitwise-identical regardless.
+BPE_RE2_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\w+| ?[^\s\w]+|\s+"
+
+
+def bpe_token_count(batch: pa.Table, *, text_col: str = "text",
+                    out_col: str = "n_tokens_bpe") -> pa.Table:
+    """GPT-2-ish token count via one vectorised RE2 scan (pyarrow)."""
+    n = pc.count_substring_regex(
+        pc.fill_null(batch.column(text_col), ""), pattern=BPE_RE2_PATTERN
+    )
+    return batch.append_column(out_col, n.cast(pa.int64()))
 
 
 def token_stats(batch: pd.DataFrame, *, text_col: str = "text") -> pd.DataFrame:

@@ -176,6 +176,27 @@ def test_dx_mask_golden():
         dx_mask(t, "s", kinds="ssn")
 
 
+def test_bpe_re2_count_equals_lookahead_variant():
+    """The RE2-safe pattern (no `\\s+(?!\\S)`) must COUNT identically to
+    the Python-re GPT-2 pattern whenever whitespace is plain spaces
+    (mixed space+tab runs legitimately differ — see BPE_RE2_PATTERN)."""
+    from go_datax_ray.stages.text import bpe_token_count, _BPE_RE
+
+    rng = np.random.default_rng(5)
+    alphabet = list("ab N'.,9  -")
+    texts = ["".join(rng.choice(alphabet, size=int(rng.integers(0, 40))))
+             for _ in range(300)]
+    texts += ["", "   ", "don't stop", "a  b   c", "x!!!  ", "'ll've"]
+    t = pa.table({"text": pa.array(texts)})
+    got = bpe_token_count(t).column("n_tokens_bpe").to_pylist()
+    want = [len(_BPE_RE.findall(x)) for x in texts]
+    assert got == want
+    # documented divergence on mixed-whitespace runs
+    mixed = pa.table({"text": pa.array([" \ta"])})
+    assert bpe_token_count(mixed).column("n_tokens_bpe").to_pylist() == [2]
+    assert len(_BPE_RE.findall(" \ta")) == 3
+
+
 def test_dx_mask_in_chain():
     from go_datax_ray.stages.transforms import build_transformer_chain
 
