@@ -981,6 +981,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.select(["doc_id", "n_tokens_bpe"]), batch_format="pyarrow"
         )
 
+    def q_inverted_index(sf_dir: str):
+        """Distributed inverted index over the corpus tokenizer's
+        tokens: one co-hashed exchange on token, segment-vectorised
+        postings assembly; postings render as a comma-joined sorted
+        string so the driver hash and the string_agg oracle see the
+        same value."""
+        from go_datax_ray.stages.text import inverted_index
+
+        rd = rd_lazy()
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+        return inverted_index(ds, min_df=3)
+
+    def q_tfidf_top_terms(sf_dir: str):
+        """Per-document top-3 tf-idf terms, two in-cluster co-hash
+        passes (token -> attach df; doc -> top-k). Integer-only output;
+        ln() ranks but never lands in a column (numpy vs DuckDB ln
+        differ in the last ulp — measured — so emitting the score
+        would be hash-fragile)."""
+        from go_datax_ray.stages.text import tfidf_top_terms
+
+        rd = rd_lazy()
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+        return tfidf_top_terms(ds, k=3)
+
     def q_line_dedup(sf_dir: str):
         """C4-style corpus-global duplicate-line removal. Lines are
         synthesised deterministically (8-word windows joined with \\n)
@@ -1037,6 +1061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_mask": q_pii_mask,
         "line_dedup": q_line_dedup,
         "token_count_bpe": q_token_count_bpe,
+        "inverted_index": q_inverted_index,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -1440,6 +1466,38 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) > 0 AS contaminated
             FROM d LEFT JOIN hits h ON h.doc_id = d.doc_id
             WHERE d.doc_id % 97 <> 0
+        """,
+        "inverted_index": """
+            WITH pairs AS (
+              SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\\W+')) AS token
+                FROM documents)
+              WHERE token <> '')
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                     AS postings
+            FROM pairs GROUP BY token HAVING COUNT(*) >= 3
+        """,
+        # tfidf_top_terms: the ln() score exists only inside ORDER BY —
+        # output columns are integer-exact (see q_tfidf_top_terms)
+        "tfidf_top_terms": """
+            WITH pairs AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\\W+')) AS token
+                FROM documents)
+              WHERE token <> '' GROUP BY doc_id, token),
+            dfs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                    FROM pairs GROUP BY token),
+            scored AS (
+              SELECT p.doc_id, p.token, p.tf, d.df,
+                     ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                       ORDER BY p.tf * ln((SELECT COUNT(*) FROM documents)::DOUBLE
+                                          / d.df) DESC,
+                                p.token ASC) AS rn
+              FROM pairs p JOIN dfs d USING (token))
+            SELECT doc_id, token, tf, df FROM scored WHERE rn <= 3
         """,
         "token_count_bpe": """
             SELECT doc_id,

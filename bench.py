@@ -71,6 +71,51 @@ def prepare_wal(n_events: int, n_urls: int) -> str:
     return wal
 
 
+def _host_probe() -> dict:
+    """~4 s ALU + memory-bandwidth snapshot of the host at bench time,
+    recorded into the output JSON. This sandbox VM is co-tenant: pure-CPU
+    throughput swings ~±30% and MEMORY BANDWIDTH swings >2x minute to
+    minute (measured 68 -> 33 GB/s at 8 workers within one round), and
+    the bandwidth-bound replay phases track it directly. A BENCH_r{N}
+    reading without this context can look like a 2-3x code regression
+    when it is the neighbor's memcpy."""
+    import ray
+    import numpy as np
+
+    @ray.remote
+    def _alu(k: int) -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(k):
+            x += i * i
+        return k / (time.perf_counter() - t0)
+
+    @ray.remote
+    def _bw() -> float:
+        # preallocated in+out buffers and an untimed warmup: first-touch
+        # page faults under co-tenant pressure cost SECONDS per 128 MB
+        # (measured), which is allocator noise, not stream bandwidth
+        a = np.ones(16 * 1024 * 1024, dtype=np.float64)  # 128 MB
+        b = np.empty_like(a)
+        np.multiply(a, 1.0000001, out=b)
+        t0 = time.perf_counter()
+        n = 0
+        while n < 3 or time.perf_counter() - t0 < 1.0:
+            np.multiply(a, 1.0000001, out=b)
+            n += 1
+        return n * 128 * 2 / (time.perf_counter() - t0)  # MB/s read+write
+
+    w = min(8, NUM_CPUS)
+    ray.get([_alu.remote(10**5) for _ in range(w)])  # warm workers
+    alu = sum(ray.get([_alu.remote(5 * 10**6) for _ in range(w)]))
+    bw = sum(ray.get([_bw.remote() for _ in range(w)]))
+    return {
+        "workers": w,
+        "alu_mops": round(alu / 1e6, 1),
+        "membw_gbs": round(bw / 1024, 1),
+    }
+
+
 def main() -> dict:
     import ray
 
@@ -81,6 +126,7 @@ def main() -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
+    host = {"before": _host_probe()}
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -145,7 +191,9 @@ def main() -> dict:
             "num_cpus": NUM_CPUS,
             "events": n_events,
             "events_per_sec": round(n_events / queries["cdc_replay"], 1),
+            "host_calibration": host,
         }
+        host["after"] = _host_probe()
         ray.shutdown()
         return result
 
@@ -177,6 +225,7 @@ def main() -> dict:
 
         timed(name, run)
 
+    host["after"] = _host_probe()
     result = {
         "metric": "cdc_webtext_replay_wall_sec",
         "value": queries["cdc_replay"],
@@ -186,6 +235,7 @@ def main() -> dict:
         "num_cpus": NUM_CPUS,
         "events": n_events,
         "events_per_sec": round(n_events / queries["cdc_replay"], 1),
+        "host_calibration": host,
     }
     ray.shutdown()
     return result

@@ -271,3 +271,140 @@ def fingerprint_rolling(batch: pa.Table, *, text_col: str = "text", out_col: str
             h = _FP_INIT * np.uint64(pow(int(_FP_BASE), m, 1 << 64))
             out[i] = h + (wh * _fp_powers(m)).sum(dtype=np.uint64)
     return batch.append_column(out_col, pa.array(out.astype(np.int64).tolist(), pa.int64()))
+
+
+def _token_doc_pairs(batch, *, text_col: str, id_col: str):
+    """Distinct (doc, token) pairs for one batch as a pandas frame —
+    lower + `\\W+` split (the corpus-wide tokenizer shared with the
+    token_freq oracle), explode, drop empties/dups. Each document is one
+    input row, so within-batch drop_duplicates IS per-document distinct
+    regardless of how documents were batched."""
+    import pandas as pd
+
+    e = batch[[id_col, text_col]].copy()
+    e[text_col] = e[text_col].fillna("").str.lower().str.split(r"\W+")
+    e = e.explode(text_col)
+    e = e[(e[text_col] != "") & e[text_col].notna()]
+    e = e.drop_duplicates()
+    return pd.DataFrame(
+        {"token": e[text_col].to_numpy(), "doc": e[id_col].to_numpy()}
+    )
+
+
+def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   min_df: int = 1):
+    """Distributed inverted index: token -> (df, comma-joined sorted
+    posting list). Classic search/dedup building block the reference has
+    no analogue for (its transforms are row-local,
+    plugins/transformer/transformer.go) — here it is the canonical Ray
+    shape: per-batch distinct (doc, token) pairs (tiny projection — text
+    never shuffles), then ONE co-hashed exchange on token with
+    segment-vectorised postings assembly (no per-token Python call:
+    one lexsort per coarse bucket + one str join per segment).
+
+    Postings render as a string (not list<int64>) so the result is
+    directly hashable by the driver's dtype-sensitive comparator and by
+    DuckDB's string_agg oracle."""
+    from .dedup import _segments
+    from .partition import cohash_map_groups
+
+    def build(t: pa.Table) -> pa.Table:
+        order, bounds = _segments(t, ["token"])
+        docs = t.column("doc").to_numpy(zero_copy_only=False)[order]
+        toks = t.column("token").to_pylist()
+        # vectorised int->str once per block; per-SEGMENT join only
+        dstr = np.char.mod("%d", docs)
+        out_tok, out_df, out_post = [], [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            n = int(b - a)
+            if n < min_df:
+                continue
+            seg = np.sort(docs[a:b])
+            out_tok.append(toks[order[a]])
+            out_df.append(n)
+            out_post.append(",".join(np.char.mod("%d", seg)))
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                "df": pa.array(out_df, pa.int64()),
+                "postings": pa.array(out_post, pa.string()),
+            }
+        )
+
+    pairs = ds.map_batches(
+        lambda b: _token_doc_pairs(b, text_col=text_col, id_col=id_col),
+        batch_format="pandas",
+    )
+    return cohash_map_groups(pairs, ["token"], build)
+
+
+def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 3, n_docs: int | None = None):
+    """Per-document top-k terms by tf-idf (score = tf * ln(N/df)), fully
+    in-cluster: pass 1 co-hashes (doc, token, tf) pairs by token to
+    attach df (segment lengths — no driver-side vocabulary), pass 2
+    co-hashes by doc and takes the top-k per segment.
+
+    The OUTPUT is integer-only (doc_id, token, tf, df): numpy's and
+    DuckDB's ln() differ in the last ulp on ~30% of inputs (measured),
+    so the float score is used exclusively for RANKING, where a 1-ulp
+    flip between two distinct (tf, df) pairs is vanishingly unlikely,
+    and ties (equal tf & df => bit-equal score on both sides) break on
+    token ASC."""
+    import pandas as pd
+
+    from .dedup import _segments
+    from .partition import cohash_map_groups
+
+    n = int(n_docs if n_docs is not None else ds.count())
+
+    def tf_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        e = batch[[id_col, text_col]].copy()
+        e[text_col] = e[text_col].fillna("").str.lower().str.split(r"\W+")
+        e = e.explode(text_col)
+        e = e[(e[text_col] != "") & e[text_col].notna()]
+        g = e.groupby([id_col, text_col], sort=False).size().reset_index(name="tf")
+        return pd.DataFrame(
+            {
+                "doc": g[id_col].to_numpy(),
+                "token": g[text_col].to_numpy(),
+                "tf": g["tf"].to_numpy().astype("int64"),
+            }
+        )
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        order, bounds = _segments(t, ["token"])
+        df = np.empty(t.num_rows, dtype=np.int64)
+        widths = (bounds[1:] - bounds[:-1]).astype(np.int64)
+        df[order] = np.repeat(widths, widths)
+        return t.append_column("df", pa.array(df, pa.int64()))
+
+    def topk(t: pa.Table) -> pa.Table:
+        doc = t.column("doc").to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy(zero_copy_only=False)
+        df = t.column("df").to_numpy(zero_copy_only=False)
+        score = tf * np.log(float(n) / df)
+        from .dedup import _col_np
+
+        tok_rank = _col_np(t, "token")
+        # per-doc rank: sort by (doc asc, score desc, token asc)
+        order = np.lexsort((tok_rank, -score, doc))
+        d = doc[order]
+        seg_start = np.concatenate([[0], np.nonzero(d[1:] != d[:-1])[0] + 1])
+        rank = np.arange(len(d)) - np.repeat(
+            seg_start, np.diff(np.concatenate([seg_start, [len(d)]]))
+        )
+        keep = order[rank < k]
+        out = t.take(pa.array(keep, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": out.column("doc"),
+                "token": out.column("token"),
+                "tf": out.column("tf"),
+                "df": out.column("df"),
+            }
+        )
+
+    pairs = ds.map_batches(tf_pairs, batch_format="pandas")
+    with_df = cohash_map_groups(pairs, ["token"], attach_df)
+    return cohash_map_groups(with_df, ["doc"], topk)
