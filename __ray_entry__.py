@@ -1005,6 +1005,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
         return tfidf_top_terms(ds, k=3)
 
+    def q_stratified_sample(sf_dir: str):
+        """Per-stratum hash sampling: heavy event types sampled down
+        hard, rare types kept whole — the deterministic
+        md5-over-key predicate of hash_sample, with a per-stratum
+        threshold resolved by dictionary decode (no per-row Python)."""
+        from go_datax_ray.stages.sampling import stratified_sample
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events")
+        return stratified_sample(
+            ev, key="event_id", stratum="event_type",
+            rates={"click": 0.5, "view": 0.1, "purchase": 1.0},
+            default_rate=0.05,
+        )
+
+    def q_grouped_quantiles(sf_dir: str):
+        """Exact per-event-type p50/p90/p99 of value (integer cents,
+        percentile_disc rank = ceil(q*n)). The shuffle carries one row
+        per DISTINCT (type, cents) — a histogram combiner, so the
+        exchange size is value-domain-bounded, not row-bounded."""
+        from go_datax_ray.stages.sampling import grouped_quantiles
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events", columns=["event_type", "value"])
+        return grouped_quantiles(ev, group="event_type", value_col="value")
+
     def q_line_dedup(sf_dir: str):
         """C4-style corpus-global duplicate-line removal. Lines are
         synthesised deterministically (8-word windows joined with \\n)
@@ -1063,6 +1089,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": q_token_count_bpe,
         "inverted_index": q_inverted_index,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_sample": q_stratified_sample,
+        "grouped_quantiles": q_grouped_quantiles,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -1466,6 +1494,35 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) > 0 AS contaminated
             FROM d LEFT JOIN hits h ON h.doc_id = d.doc_id
             WHERE d.doc_id % 97 <> 0
+        """,
+        "stratified_sample": """
+            SELECT * FROM events
+            WHERE md5_number_lower(CAST(event_id AS VARCHAR)) % 1000000 <
+              CASE event_type
+                WHEN 'click' THEN 500000
+                WHEN 'view' THEN 100000
+                WHEN 'purchase' THEN 1000000
+                ELSE 50000 END
+        """,
+        # grouped_quantiles: percentile_disc via explicit rank so the
+        # definition is pinned (rank ceil(q*n) of the ascending sort)
+        "grouped_quantiles": """
+            WITH c AS (SELECT event_type,
+                              CAST(ROUND(value*100) AS BIGINT) AS cents
+                       FROM events),
+            r AS (SELECT event_type, cents,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY cents) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM c)
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   MAX(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT)
+                       THEN cents END) AS p50_cents,
+                   MAX(CASE WHEN rn = CAST(ceil(0.9*n) AS BIGINT)
+                       THEN cents END) AS p90_cents,
+                   MAX(CASE WHEN rn = CAST(ceil(0.99*n) AS BIGINT)
+                       THEN cents END) AS p99_cents
+            FROM r GROUP BY event_type
         """,
         "inverted_index": """
             WITH pairs AS (

@@ -142,3 +142,103 @@ def approx_distinct(ds, *, column: str, p: int = 12) -> float:
     for row in parts:
         acc.merge(HllSketch.from_bytes(row["sketch"]))
     return acc.estimate()
+
+
+def stratified_sample(ds, *, key: str, stratum: str, rates: dict[str, float],
+                      default_rate: float = 0.0, salt: str = ""):
+    """Per-stratum deterministic sampling: each row keeps with its
+    stratum's rate, selected by md5_lower64(key+salt) — the same
+    hash-predicate contract as hash_sample (reproducible at any
+    parallelism, joinable across tables sharing the key, and
+    SQL-expressible via md5_number_lower + CASE). The rate lookup is a
+    vectorised dictionary-decode against the stratum column — no
+    shuffle, no per-row Python."""
+    denom = np.uint64(1_000_000)
+    thresh_by = {s: np.uint64(int(r * 1_000_000)) for s, r in rates.items()}
+    default_thresh = np.uint64(int(default_rate * 1_000_000))
+
+    def flt(t: pa.Table) -> pa.Table:
+        keys = t.column(key)
+        if not pa.types.is_string(keys.type):
+            keys = keys.cast(pa.string())
+        if salt:
+            keys = pc.binary_join_element_wise(keys, pa.scalar(salt), "")
+        h = md5_lower64_array(keys) % denom
+        strata = t.column(stratum)
+        if isinstance(strata, pa.ChunkedArray):
+            strata = strata.combine_chunks()
+        enc = strata.dictionary_encode()
+        dict_thresh = np.array(
+            [thresh_by.get(s, default_thresh) for s in enc.dictionary.to_pylist()],
+            dtype=np.uint64,
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        row_thresh = np.where(
+            codes >= 0, dict_thresh[np.maximum(codes, 0)], default_thresh
+        )
+        return t.filter(pa.array(h < row_thresh))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_quantiles(ds, *, group: str, value_col: str,
+                      qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """EXACT per-group quantiles (percentile_disc semantics: the element
+    at rank ceil(q*n) of the ascending sort) over a float value column,
+    computed in integer cents.
+
+    Scale shape: values are NOT sorted globally — each batch combines to
+    (group, cents, count) histogram rows (value domains are bounded in
+    practice, so distinct cents << rows), a bounded groupby sums the
+    histograms, and one co-hashed pass per group cumsums the sorted
+    histogram to read off every quantile. The shuffle carries one row
+    per DISTINCT (group, value), independent of row count — the exact
+    analogue of the partial-aggregate combiner, applied to quantiles."""
+    from .dedup import _col_np, _segments
+    from .partition import bounded_groupby, cohash_map_groups
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(t.column(value_col), pa.float64()), 100.0),
+                     options=pc.RoundOptions(round_mode="half_towards_infinity")),
+            pa.int64(),
+        )
+        small = pa.table({"g": t.column(group), "cents": cents})
+        import pandas as pd
+
+        g = small.to_pandas().groupby(["g", "cents"], sort=False).size()
+        g = g.reset_index(name="_c")
+        return pa.table({
+            "g": pa.array(g["g"]),
+            "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+            "_c": pa.array(g["_c"].to_numpy().astype("int64"), pa.int64()),
+        })
+
+    hist = bounded_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["g", "cents"]).aggregate(Sum("_c", alias_name="n"))
+
+    def quant(t: pa.Table) -> pa.Table:
+        order, bounds = _segments(t, ["g"], extra=_col_np(t, "cents"))
+        cents = _col_np(t, "cents")[order]
+        counts = t.column("n").to_numpy(zero_copy_only=False)[order]
+        gcol = t.column("g").take(pa.array(order[bounds[:-1]], pa.int64()))
+        out_cols: dict[str, list] = {f"p{int(q * 100)}_cents": [] for q in qs}
+        out_n = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            c = counts[a:b]
+            v = cents[a:b]
+            cum = np.cumsum(c)
+            n = int(cum[-1])
+            out_n.append(n)
+            for q in qs:
+                rank = int(np.ceil(q * n))  # 1-based rank, percentile_disc
+                out_cols[f"p{int(q * 100)}_cents"].append(
+                    int(v[np.searchsorted(cum, max(rank, 1))])
+                )
+        cols = {group: gcol, "n": pa.array(out_n, pa.int64())}
+        cols.update({k: pa.array(vv, pa.int64()) for k, vv in out_cols.items()})
+        return pa.table(cols)
+
+    return cohash_map_groups(hist, ["g"], quant)

@@ -85,3 +85,54 @@ def test_approx_distinct_dataset():
     est = approx_distinct(ds, column="user_id")
     exact = duckdb.sql(f"SELECT COUNT(DISTINCT user_id) FROM '{SF}/events.parquet'").fetchone()[0]
     assert abs(est - exact) / exact < 0.05
+
+
+def test_stratified_sample_matches_duckdb():
+    from go_datax_ray.stages.sampling import stratified_sample
+
+    ds = rd.read_parquet(f"{SF}/events.parquet")
+    got = stratified_sample(
+        ds, key="event_id", stratum="event_type",
+        rates={"click": 0.5, "view": 0.1, "purchase": 1.0}, default_rate=0.05,
+    ).to_pandas()
+    want = duckdb.sql(f"""
+        SELECT * FROM '{SF}/events.parquet'
+        WHERE md5_number_lower(CAST(event_id AS VARCHAR)) % 1000000 <
+          CASE event_type WHEN 'click' THEN 500000 WHEN 'view' THEN 100000
+                          WHEN 'purchase' THEN 1000000 ELSE 50000 END
+    """).df()
+    assert sorted(got["event_id"]) == sorted(want["event_id"])
+    # every stratum sampled at ~its own rate (tolerance for hash noise)
+    n_by = got.groupby("event_type").size()
+    tot = rd.read_parquet(f"{SF}/events.parquet").to_pandas().groupby("event_type").size()
+    assert n_by["view"] / tot["view"] < n_by["click"] / tot["click"]
+    assert n_by.get("purchase", 0) == tot["purchase"]  # rate 1.0 keeps all
+
+
+def test_grouped_quantiles_exact_vs_sorted_reference():
+    from go_datax_ray.stages.sampling import grouped_quantiles
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    got = grouped_quantiles(ds, group="event_type", value_col="value").to_pandas()
+    raw = rd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"]).to_pandas()
+    cents = np.floor(np.abs(raw["value"] * 100) + 0.5).astype("int64") * np.sign(
+        raw["value"]
+    ).astype("int64")  # half_towards_infinity
+    raw = raw.assign(cents=cents)
+    for _, row in got.iterrows():
+        vals = np.sort(raw.loc[raw["event_type"] == row["event_type"], "cents"].to_numpy())
+        n = len(vals)
+        assert row["n"] == n
+        for q, col in [(0.5, "p50_cents"), (0.9, "p90_cents"), (0.99, "p99_cents")]:
+            assert row[col] == vals[int(np.ceil(q * n)) - 1]
+
+
+def test_grouped_quantiles_tiny_groups():
+    from go_datax_ray.stages.sampling import grouped_quantiles
+
+    t = pa.table({"g": ["a", "a", "b"], "value": [1.0, 3.0, 2.5]})
+    out = grouped_quantiles(rd.from_arrow(t), group="g", value_col="value").to_pandas()
+    a = out[out["g"] == "a"].iloc[0]
+    assert (a["p50_cents"], a["p90_cents"], a["p99_cents"]) == (100, 300, 300)
+    b = out[out["g"] == "b"].iloc[0]
+    assert b["p50_cents"] == 250 and b["n"] == 1
