@@ -1031,6 +1031,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _rp(sf_dir, "events", columns=["event_type", "value"])
         return grouped_quantiles(ev, group="event_type", value_col="value")
 
+    def q_window_rank(sf_dir: str):
+        """ROW_NUMBER/RANK/DENSE_RANK/LAG/LEAD per user ordered by ts —
+        the co-hashed map_groups shape: one coarse-bucket shuffle, one
+        numpy lexsort per bucket segments every user at once (no
+        per-key Python call, no global sort)."""
+        from go_datax_ray.stages.analytic import ranked_window
+
+        rd = rd_lazy()
+        ds = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+        return ranked_window(ds)
+
+    def q_rollup_revenue(sf_dir: str):
+        """GROUP BY ROLLUP(l_returnflag, l_linestatus): finest level is
+        the only raw-input shuffle; coarser levels re-aggregate the
+        distinct-combo-sized base result."""
+        from go_datax_ray.stages.analytic import rollup_aggregate
+
+        rd = rd_lazy()
+        li = _rp(sf_dir, "lineitem",
+                 columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+        return rollup_aggregate(
+            li, keys=["l_returnflag", "l_linestatus"], value_col="l_extendedprice"
+        )
+
+    def q_pivot_events(sf_dir: str):
+        """Pivot event_type into per-value exact-cents sum columns per
+        user: conditional columns built vectorised per batch, ONE
+        groupby with map-side partial aggregation."""
+        from go_datax_ray.stages.analytic import pivot_aggregate
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events", columns=["user_id", "event_type", "value"])
+        return pivot_aggregate(ev)
+
+    def q_explode_tokens(sf_dir: str):
+        """UNNEST whitespace tokens: pure Arrow split/flatten kernels,
+        zero Python per row, no shuffle."""
+        from go_datax_ray.stages.analytic import explode_tokens
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+        return explode_tokens(docs)
+
     def q_line_dedup(sf_dir: str):
         """C4-style corpus-global duplicate-line removal. Lines are
         synthesised deterministically (8-word windows joined with \\n)
@@ -1091,6 +1134,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_sample": q_stratified_sample,
         "grouped_quantiles": q_grouped_quantiles,
+        "window_rank": q_window_rank,
+        "rollup_revenue": q_rollup_revenue,
+        "pivot_events": q_pivot_events,
+        "explode_tokens": q_explode_tokens,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -1523,6 +1570,46 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN rn = CAST(ceil(0.99*n) AS BIGINT)
                        THEN cents END) AS p99_cents
             FROM r GROUP BY event_type
+        """,
+        # window_rank: rn/lag/lead use the unique event_id tiebreak;
+        # rank/dense_rank order by ts alone so ties share a rank —
+        # deterministic either way
+        "window_rank": """
+            SELECT event_id, user_id, ts, value,
+                   CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS rn,
+                   CAST(RANK() OVER w1 AS BIGINT) AS rnk,
+                   CAST(DENSE_RANK() OVER w1 AS BIGINT) AS drnk,
+                   LAG(value) OVER w2 AS prev_value,
+                   LEAD(value) OVER w2 AS next_value
+            FROM events
+            WINDOW w1 AS (PARTITION BY user_id ORDER BY ts),
+                   w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_value_cents
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "pivot_events": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+            , CAST(SUM(CASE WHEN event_type = 'click' THEN
+                CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS click_cents
+            , CAST(SUM(CASE WHEN event_type = 'error' THEN
+                CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS error_cents
+            , CAST(SUM(CASE WHEN event_type = 'purchase' THEN
+                CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents
+            , CAST(SUM(CASE WHEN event_type = 'signup' THEN
+                CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS signup_cents
+            , CAST(SUM(CASE WHEN event_type = 'view' THEN
+                CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS view_cents
+            FROM events GROUP BY user_id
+        """,
+        "explode_tokens": r"""
+            SELECT doc_id, token FROM (
+              SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+              FROM documents
+            ) WHERE token <> ''
         """,
         "inverted_index": """
             WITH pairs AS (

@@ -1,0 +1,261 @@
+"""Partitioned analytic (window-function) operators.
+
+SQL-style analytic functions over a partitioned log: ROW_NUMBER / RANK /
+DENSE_RANK / LAG / LEAD per key, ROLLUP grouping sets, pivot (conditional
+aggregation) and explode/unnest. The reference engine has none of these
+(SURVEY.md §2.7 — go-datax transforms are record-at-a-time only); they are
+the analytics layer a replacement engine needs for parity with what users
+run AROUND the reference today.
+
+Ray-Data shapes (all chosen for the 100-TB case):
+
+- ``ranked_window``: per-key ordered state → the co-hashed map_groups
+  pattern (partition.cohash_map_groups): one shuffle on ``hash(key) %
+  n_groups`` coarse buckets, then ONE numpy lexsort per bucket segments
+  thousands of logical keys at once — no per-key Python call, no global
+  sort. Partitioning assumption (documented, same as session windows):
+  one key's rows fit one coarse bucket; keys are user-/url-grained.
+- ``rollup_aggregate``: the ONLY big shuffle is the finest-level
+  groupby; coarser levels re-aggregate the (small, distinct-key-sized)
+  base result — never the raw input. This is the classic two-level
+  rollup that makes GROUPING SETS O(input) instead of O(input x levels).
+- ``pivot_aggregate``: pivot values are discovered with a projected
+  ``unique`` (tiny shuffle over ONE column), then the wide conditional
+  columns are built vectorised per batch and summed in ONE groupby —
+  Ray's sort aggregate partial-aggregates map-side, so the shuffle
+  carries ~|index| x |values| ints, not events.
+- ``explode_tokens``: pure per-batch Arrow kernels
+  (split_pattern_regex → list_flatten / list_parent_indices) — a
+  flat_map with zero Python per row and no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .windows import _to_cents
+
+
+def _np_sort_key(col: pa.ChunkedArray) -> np.ndarray:
+    """Numpy view of a column usable as a lexsort key (timestamps → int64)."""
+    if pa.types.is_timestamp(col.type) or pa.types.is_integer(col.type):
+        return col.cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    if pa.types.is_floating(col.type):
+        return col.combine_chunks().to_numpy(zero_copy_only=False)
+    # strings: factorize via arrow dictionary encoding (C, not Python)
+    return (
+        pc.dictionary_encode(col.combine_chunks())
+        .combine_chunks()
+        .indices.to_numpy(zero_copy_only=False)
+    )
+
+
+def ranked_window(
+    ds,
+    *,
+    by: str = "user_id",
+    order: str = "ts",
+    tiebreak: str = "event_id",
+    value_col: str = "value",
+):
+    """ROW_NUMBER / RANK / DENSE_RANK / LAG / LEAD per ``by`` key.
+
+    Semantics (matches ANSI SQL / DuckDB):
+      rn    = ROW_NUMBER() OVER (PARTITION BY by ORDER BY order, tiebreak)
+      rnk   = RANK()        OVER (PARTITION BY by ORDER BY order)
+      drnk  = DENSE_RANK()  OVER (PARTITION BY by ORDER BY order)
+      prev_value = LAG(value)  OVER (... ORDER BY order, tiebreak)
+      next_value = LEAD(value) OVER (... ORDER BY order, tiebreak)
+
+    RANK/DENSE_RANK order by ``order`` alone (ties share a rank), so the
+    output is deterministic even with duplicate timestamps; rn/lag/lead
+    use the unique ``tiebreak`` and are deterministic too.
+    """
+    from .partition import cohash_map_groups
+
+    def rank_block(g: pa.Table) -> pa.Table:
+        key = _np_sort_key(g.column(by))
+        ts = _np_sort_key(g.column(order))
+        tb = _np_sort_key(g.column(tiebreak))
+        # lexsort: LAST key is primary
+        perm = np.lexsort((tb, ts, key))
+        n = len(perm)
+        key_s, ts_s = key[perm], ts[perm]
+        seg_start = np.empty(n, dtype=bool)  # first row of each `by` segment
+        if n:
+            seg_start[0] = True
+            seg_start[1:] = key_s[1:] != key_s[:-1]
+        starts = np.flatnonzero(seg_start)
+        # row_number: arange minus the segment start index, +1
+        seg_of = np.maximum.accumulate(np.where(seg_start, np.arange(n), 0))
+        rn = np.arange(n) - seg_of + 1
+        # rank: index (within segment) of the first row of the current
+        # equal-`order` run, +1; dense_rank: run counter within segment
+        new_run = seg_start.copy()
+        if n > 1:
+            new_run[1:] |= ts_s[1:] != ts_s[:-1]
+        run_of = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        rnk = run_of - seg_of + 1
+        runs_cum = np.cumsum(new_run)
+        drnk = runs_cum - np.repeat(runs_cum[starts] - 1, np.diff(np.r_[starts, n]))
+        sorted_tbl = g.take(pa.array(perm))
+        v = sorted_tbl.column(value_col).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        prev = np.empty_like(v)
+        nxt = np.empty_like(v)
+        if n:
+            prev[1:] = v[:-1]
+            prev[0] = 0.0
+            nxt[:-1] = v[1:]
+            nxt[-1] = 0.0
+        seg_end = np.empty(n, dtype=bool)
+        if n:
+            seg_end[:-1] = seg_start[1:]
+            seg_end[-1] = True
+        return (
+            sorted_tbl.append_column("rn", pa.array(rn, pa.int64()))
+            .append_column("rnk", pa.array(rnk, pa.int64()))
+            .append_column("drnk", pa.array(drnk, pa.int64()))
+            .append_column("prev_value", pa.array(prev, pa.float64(), mask=seg_start))
+            .append_column("next_value", pa.array(nxt, pa.float64(), mask=seg_end))
+        )
+
+    return cohash_map_groups(ds, [by], rank_block)
+
+
+def rollup_aggregate(ds, *, keys: list[str], value_col: str = "value"):
+    """GROUP BY ROLLUP(keys...): one row set per prefix level, coarser
+    levels null-filled — count + exact-cents sum per group.
+
+    Only the finest level touches the raw input; every coarser level
+    re-aggregates the finest-level result (distinct-key-sized)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .partition import bounded_groupby
+
+    ds2 = ds.map_batches(
+        lambda t: _to_cents(t, value_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    base = bounded_groupby(ds2, keys).aggregate(
+        Count(alias_name="n"), Sum("_cents", alias_name="sum_value_cents")
+    ).materialize()  # small: one row per distinct key combo
+
+    sch = base.schema()  # ray Schema: parallel .names / .types (pyarrow)
+    key_types = {k: dict(zip(sch.names, sch.types))[k] for k in keys}
+
+    def with_nulls(level: int):
+        """Null-fill the rolled-up key columns and fix column order."""
+
+        def fix(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys[:level]:
+                cols[k] = t.column(k)
+            for k in keys[level:]:
+                cols[k] = pa.nulls(t.num_rows, key_types[k])
+            cols["n"] = t.column("n").cast(pa.int64())
+            cols["sum_value_cents"] = t.column("sum_value_cents").cast(pa.int64())
+            return pa.table(cols)
+
+        return fix
+
+    levels = [base.map_batches(with_nulls(len(keys)), batch_format="pyarrow")]
+    for lvl in range(len(keys) - 1, 0, -1):
+        agg = base.groupby(keys[:lvl]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+        )
+        levels.append(agg.map_batches(with_nulls(lvl), batch_format="pyarrow"))
+    # grand total: scalar aggregate on the driver (a single row)
+    tot = base.aggregate(Sum("n"), Sum("sum_value_cents"))
+    total_tbl = pa.table(
+        {
+            **{k: pa.nulls(1, key_types[k]) for k in keys},
+            "n": pa.array([int(tot["sum(n)"])], pa.int64()),
+            "sum_value_cents": pa.array(
+                [int(tot["sum(sum_value_cents)"])], pa.int64()
+            ),
+        }
+    )
+    levels.append(rd.from_arrow(total_tbl))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def _safe_name(v: str) -> str:
+    return "".join(c if c.isalnum() else "_" for c in str(v))
+
+
+def pivot_aggregate(
+    ds,
+    *,
+    index: str = "user_id",
+    column: str = "event_type",
+    value_col: str = "value",
+    values: list[str] | None = None,
+):
+    """Pivot ``column``'s (small, discovered) value set into one
+    exact-cents sum column per value, grouped by ``index``.
+
+    SUM(CASE WHEN column = v THEN cents ELSE 0 END) per value — built
+    vectorised per batch, reduced in ONE groupby whose map-side partial
+    aggregation means the shuffle carries |index| x |values| ints."""
+    from ray.data.aggregate import Count, Sum
+
+    from .partition import bounded_groupby
+
+    if values is None:
+        values = sorted(ds.select_columns([column]).unique(column))
+
+    zero = pa.scalar(0, pa.int64())
+
+    def widen(t: pa.Table) -> pa.Table:
+        t = _to_cents(t, value_col)
+        et = t.column(column)
+        cents = t.column("_cents")
+        cols = {index: t.column(index)}
+        for v in values:
+            cols[f"{_safe_name(v)}_cents"] = pc.if_else(
+                pc.equal(et, pa.scalar(v)), cents, zero
+            )
+        return pa.table(cols)
+
+    wide = ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [Count(alias_name="n")] + [
+        Sum(f"{_safe_name(v)}_cents", alias_name=f"{_safe_name(v)}_cents")
+        for v in values
+    ]
+    out = bounded_groupby(wide, index).aggregate(*aggs)
+
+    def conform(t: pa.Table) -> pa.Table:
+        for name in t.column_names:
+            if name.endswith("_cents") or name == "n":
+                i = t.column_names.index(name)
+                t = t.set_column(i, name, t.column(name).cast(pa.int64()))
+        return t
+
+    return out.map_batches(conform, batch_format="pyarrow")
+
+
+def explode_tokens(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """UNNEST(whitespace-split tokens): (id, token) pair per token.
+
+    Pure Arrow kernels, no shuffle — split_pattern_regex builds the list
+    column, list_flatten/list_parent_indices explode it, empty tokens
+    (leading/trailing whitespace artifacts) are filtered to match
+    DuckDB's ``unnest(string_split_regex(...)) ... <> ''``."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        out = pa.table({id_col: t.column(id_col).take(parent), "token": flat})
+        return out.filter(pc.not_equal(out.column("token"), pa.scalar("")))
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

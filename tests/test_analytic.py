@@ -1,0 +1,163 @@
+"""Analytic window functions, rollup, pivot, explode — oracle + edge tests."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cmp(ds, sql, sort_cols, con=None):
+    mine = ds.to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    want = (con.sql(sql) if con else duckdb.sql(sql)).df()
+    want = want.sort_values(sort_cols).reset_index(drop=True)
+    mine, want = mine[sorted(mine.columns)], want[sorted(want.columns)]
+    pd.testing.assert_frame_equal(mine, want, check_dtype=True)
+    return len(mine)
+
+
+def test_ranked_window_matches_duckdb():
+    from go_datax_ray.stages.analytic import ranked_window
+
+    ds = rd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    n = _cmp(
+        ranked_window(ds),
+        f"""
+        SELECT event_id, user_id, ts, value,
+               CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS rn,
+               CAST(RANK() OVER w1 AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w1 AS BIGINT) AS drnk,
+               LAG(value) OVER w2 AS prev_value,
+               LEAD(value) OVER w2 AS next_value
+        FROM '{SF}/events.parquet'
+        WINDOW w1 AS (PARTITION BY user_id ORDER BY ts),
+               w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        ["event_id"],
+    )
+    assert n > 0
+
+
+def test_ranked_window_ties_share_rank():
+    """Duplicate order-values: RANK repeats, DENSE_RANK is gapless,
+    ROW_NUMBER stays unique via the tiebreak."""
+    from go_datax_ray.stages.analytic import ranked_window
+
+    t = pa.table(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pa.array([100, 100, 100, 200, 200], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": [7, 7, 7, 7, 9],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    out = (
+        ranked_window(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["rn"].tolist() == [1, 2, 3, 4, 1]
+    assert out["rnk"].tolist() == [1, 1, 1, 4, 1]
+    assert out["drnk"].tolist() == [1, 1, 1, 2, 1]
+    assert np.isnan(out["prev_value"][0]) and out["prev_value"][1] == 1.0
+    assert out["next_value"][2] == 4.0 and np.isnan(out["next_value"][3])
+    assert np.isnan(out["prev_value"][4]) and np.isnan(out["next_value"][4])
+
+
+def test_rollup_matches_duckdb():
+    from go_datax_ray.stages.analytic import rollup_aggregate
+
+    li = rd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+    n = _cmp(
+        rollup_aggregate(
+            li, keys=["l_returnflag", "l_linestatus"], value_col="l_extendedprice"
+        ),
+        f"""
+        SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+        FROM '{SF}/lineitem.parquet'
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        ["l_returnflag", "l_linestatus"],
+    )
+    # 6 combos + 3 flags + 1 total
+    assert n == 10
+
+
+def test_pivot_matches_duckdb():
+    from go_datax_ray.stages.analytic import pivot_aggregate
+
+    ev = rd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    cases = " ".join(
+        f""", CAST(SUM(CASE WHEN event_type = '{v}' THEN
+            CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT)
+            AS {v}_cents"""
+        for v in ("click", "error", "purchase", "signup", "view")
+    )
+    _cmp(
+        pivot_aggregate(ev),
+        f"""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n {cases}
+        FROM '{SF}/events.parquet' GROUP BY user_id
+        """,
+        ["user_id"],
+    )
+
+
+def test_pivot_sanitizes_value_names():
+    from go_datax_ray.stages.analytic import pivot_aggregate
+
+    t = pa.table(
+        {
+            "k": [1, 1, 2],
+            "ev": ["a-b", "a-b", "c d"],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    out = pivot_aggregate(
+        rd.from_arrow(t), index="k", column="ev", value_col="value"
+    ).to_pandas()
+    assert set(out.columns) == {"k", "n", "a_b_cents", "c_d_cents"}
+    row = out.set_index("k").loc[1]
+    assert row["a_b_cents"] == 300 and row["c_d_cents"] == 0
+
+
+def test_explode_tokens_matches_duckdb():
+    from go_datax_ray.stages.analytic import explode_tokens
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    _cmp(
+        explode_tokens(docs),
+        rf"""
+        SELECT doc_id, token FROM (
+          SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+          FROM '{SF}/documents.parquet'
+        ) WHERE token <> ''
+        """,
+        ["doc_id", "token"],
+    )
+
+
+def test_explode_edge_whitespace():
+    from go_datax_ray.stages.analytic import explode_tokens
+
+    t = pa.table(
+        {"doc_id": [1, 2, 3], "text": ["  lead and trail  ", "", "one"]}
+    )
+    out = explode_tokens(rd.from_arrow(t)).to_pandas()
+    got = sorted(map(tuple, out.itertuples(index=False)))
+    assert got == [(1, "and"), (1, "lead"), (1, "trail"), (3, "one")]
