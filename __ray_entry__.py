@@ -1074,6 +1074,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
         return explode_tokens(docs)
 
+    def _setop_sides(sf_dir: str):
+        from go_datax_ray.stages.windows import add_tumbling_window
+
+        ev = _rp(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+        ev = ev.map_batches(
+            add_tumbling_window,
+            fn_kwargs=dict(ts_col="ts", size_s=86400, out_col="day"),
+            batch_format="pyarrow",
+        ).drop_columns(["ts"])
+        return (
+            ev.filter(expr="event_type == 'click'"),
+            ev.filter(expr="event_type == 'purchase'"),
+        )
+
+    def q_set_intersect(sf_dir: str):
+        """INTERSECT on (user, day): flag-tag both sides, one groupby
+        with Max-flag aggregates — the shuffle carries keys + two ints,
+        dup-safe under skew."""
+        from go_datax_ray.stages.setops import set_op
+
+        rd = rd_lazy()
+        a, b = _setop_sides(sf_dir)
+        return set_op(a, b, on=["user_id", "day"], op="intersect")
+
+    def q_set_except(sf_dir: str):
+        """EXCEPT on (user, day): click-days with no purchase."""
+        from go_datax_ray.stages.setops import set_op
+
+        rd = rd_lazy()
+        a, b = _setop_sides(sf_dir)
+        return set_op(a, b, on=["user_id", "day"], op="except")
+
+    def q_approx_quantiles(sf_dir: str):
+        """Bottom-k hash-sample quantile sketch (the scale path where the
+        exact histogram's distinct-value shuffle would blow up); emits a
+        per-group rank-property boolean per quantile, verified in-cluster
+        against the full data — the oracle is `true` + COUNT(*)."""
+        from go_datax_ray.stages.sampling import approx_grouped_quantiles
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events", columns=["event_id", "event_type", "value"])
+        return approx_grouped_quantiles(
+            ev, group="event_type", value_col="value", id_col="event_id"
+        )
+
     def q_line_dedup(sf_dir: str):
         """C4-style corpus-global duplicate-line removal. Lines are
         synthesised deterministically (8-word windows joined with \\n)
@@ -1138,6 +1183,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": q_rollup_revenue,
         "pivot_events": q_pivot_events,
         "explode_tokens": q_explode_tokens,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
+        "approx_quantiles": q_approx_quantiles,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -1610,6 +1658,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
               FROM documents
             ) WHERE token <> ''
+        """,
+        "set_intersect": """
+            SELECT user_id, date_trunc('day', ts) AS day FROM events
+            WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id, date_trunc('day', ts) FROM events
+            WHERE event_type = 'purchase'
+        """,
+        "set_except": """
+            SELECT user_id, date_trunc('day', ts) AS day FROM events
+            WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id, date_trunc('day', ts) FROM events
+            WHERE event_type = 'purchase'
+        """,
+        # approx_quantiles: property oracle (the ann_ivf pattern) — the
+        # engine evaluates the rank property in-cluster; SQL pins the
+        # group set, exact counts, and all-true verdicts
+        "approx_quantiles": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   true AS p50_ok, true AS p90_ok, true AS p99_ok
+            FROM events GROUP BY event_type
         """,
         "inverted_index": """
             WITH pairs AS (

@@ -181,6 +181,135 @@ def stratified_sample(ds, *, key: str, stratum: str, rates: dict[str, float],
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def approx_grouped_quantiles(ds, *, group: str, value_col: str, id_col: str,
+                             k: int = 1024, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                             rank_tolerance: float = 0.05):
+    """APPROXIMATE per-group quantiles via a deterministic bottom-k hash
+    sample — the scale path where ``grouped_quantiles``' exact histogram
+    would blow up (unbounded value domains: the histogram shuffle carries
+    one row per distinct value; this carries <= k rows per group per
+    input block, period).
+
+    Sketch: keep the k rows with the SMALLEST splitmix64(id) per group —
+    hash order is a uniform permutation, so the bottom-k set is a
+    uniform k-sample, mergeable across batches by re-taking the k
+    smallest (the classic bottom-k/KMV construction). Expected rank
+    error of the sample quantile is ~sqrt(q(1-q)/k) (~1.6% at k=1024,
+    p50). Deterministic: depends only on ids, not visit order.
+
+    Output is PROPERTY-shaped (the ann_ivf pattern): per group, the
+    exact row count and one boolean per quantile asserting the estimate
+    brackets the target rank — two-sided, duplicate-safe:
+    ``count(< est) <= (q+tol)*n`` AND ``count(<= est) >= (q-tol)*n``
+    (the rank of a heavily-duplicated value is a step function, so a
+    single-rank check would false-fail on dup mass). Evaluated
+    in-cluster against the full data, so the driver's SQL oracle is
+    just `true` literals plus COUNT(*).
+    """
+    from .dedup import _col_np, _segments
+    from .partition import bounded_groupby, cohash_map_groups
+
+    from ray.data.aggregate import Sum
+
+    mask63 = np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+
+    def _cents(t: pa.Table) -> pa.ChunkedArray | pa.Array:
+        return pc.cast(
+            pc.round(pc.multiply(pc.cast(t.column(value_col), pa.float64()), 100.0),
+                     options=pc.RoundOptions(round_mode="half_towards_infinity")),
+            pa.int64(),
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        h = (splitmix64(ids.view(np.uint64)) & mask63).astype(np.int64)
+        small = pa.table(
+            {"g": t.column(group), "h": pa.array(h, pa.int64()), "cents": _cents(t)}
+        )
+        order, bounds = _segments(small, ["g"], extra=h)
+        n = len(order)
+        sizes = np.diff(bounds)
+        rank = np.arange(n) - np.repeat(bounds[:-1], sizes)
+        kept = small.take(pa.array(order)).append_column(
+            "_c", pa.array(np.where(rank == 0, np.repeat(sizes, sizes), 0), pa.int64())
+        )
+        return kept.filter(pa.array(rank < k))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(t: pa.Table) -> pa.Table:
+        order, bounds = _segments(t, ["g"], extra=_col_np(t, "h"))
+        cents = _col_np(t, "cents")[order]
+        cnt = t.column("_c").to_numpy(zero_copy_only=False)[order]
+        gcol = t.column("g").take(pa.array(order[bounds[:-1]], pa.int64()))
+        out_n, est_cols = [], {f"p{int(q*100)}": [] for q in qs}
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            n = int(cnt[a:b].sum())
+            out_n.append(n)
+            sample = np.sort(cents[a : min(b, a + k)])  # k smallest h
+            m = len(sample)
+            for q in qs:
+                est_cols[f"p{int(q*100)}"].append(
+                    int(sample[max(int(np.ceil(q * m)), 1) - 1])
+                )
+        cols = {group: gcol, "n": pa.array(out_n, pa.int64())}
+        cols.update({kk: pa.array(v, pa.int64()) for kk, v in est_cols.items()})
+        return pa.table(cols)
+
+    est = cohash_map_groups(parts, ["g"], merge).materialize()
+    # tiny (one row per group): broadcast the estimates, count true ranks
+    # in-cluster, then assert the rank property per quantile
+    est_rows = {r[group]: r for r in est.take_all()}
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t).combine_chunks().to_numpy(zero_copy_only=False)
+        garr = t.column(group).combine_chunks()
+        cols: dict[str, list] = {group: []}
+        for q in qs:
+            cols[f"lt_p{int(q*100)}"] = []
+            cols[f"le_p{int(q*100)}"] = []
+        for gval in pc.unique(garr).to_pylist():
+            mask = pc.equal(garr, pa.scalar(gval)).to_numpy(zero_copy_only=False)
+            sel = cents[mask]
+            e = est_rows.get(gval)
+            cols[group].append(gval)
+            for q in qs:
+                key = f"p{int(q*100)}"
+                cols[f"lt_{key}"].append(int((sel < e[key]).sum()) if e else 0)
+                cols[f"le_{key}"].append(int((sel <= e[key]).sum()) if e else 0)
+        return pa.table(
+            {group: pa.array(cols[group]),
+             **{c: pa.array(cols[c], pa.int64())
+                for c in cols if c != group}}
+        )
+
+    aggs = []
+    for q in qs:
+        aggs.append(Sum(f"lt_p{int(q*100)}", alias_name=f"lt_p{int(q*100)}"))
+        aggs.append(Sum(f"le_p{int(q*100)}", alias_name=f"le_p{int(q*100)}"))
+    ranks = bounded_groupby(
+        ds.map_batches(rank_partial, batch_format="pyarrow"), group
+    ).aggregate(*aggs)
+
+    n_by_group = {r[group]: r["n"] for r in est.take_all()}
+
+    def verdict(t: pa.Table) -> pa.Table:
+        gvals = t.column(group).to_pylist()
+        ns = np.array([n_by_group[g] for g in gvals], dtype=np.int64)
+        cols = {group: t.column(group), "n": pa.array(ns, pa.int64())}
+        nf = np.maximum(ns, 1).astype(np.float64)
+        for q in qs:
+            lt = t.column(f"lt_p{int(q*100)}").to_numpy(zero_copy_only=False)
+            le = t.column(f"le_p{int(q*100)}").to_numpy(zero_copy_only=False)
+            ok = (lt / nf <= q + rank_tolerance) & (le / nf >= q - rank_tolerance)
+            cols[f"p{int(q*100)}_ok"] = pa.array(ok, pa.bool_())
+        return pa.table(cols)
+
+    return ranks.map_batches(verdict, batch_format="pyarrow")
+
+
 def grouped_quantiles(ds, *, group: str, value_col: str,
                       qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
     """EXACT per-group quantiles (percentile_disc semantics: the element
