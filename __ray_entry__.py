@@ -1119,6 +1119,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, group="event_type", value_col="value", id_col="event_id"
         )
 
+    def q_bloom_semi_join(sf_dir: str):
+        """Runtime-filter semi-join: the key side is broadcast as a BLOOM
+        (1.25 B/key vs 8+ B raw), fact rows drop map-side before any
+        shuffle, and an exact bucketed semi-join on the tiny remainder
+        removes false positives — exact output, bandwidth-bounded.
+        force_bloom exercises the bloom path at test scale (the adaptive
+        default would broadcast raw keys this small)."""
+        from go_datax_ray.stages.bloom import bloom_semi_join
+
+        rd = rd_lazy()
+        cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+        keys = cust.filter(expr="c_acctbal > 5000").map_batches(
+            lambda t: pa.table({"user_id": t.column("c_custkey")}),
+            batch_format="pyarrow",
+        )
+        ev = _rp(sf_dir, "events", columns=["event_id", "user_id"])
+        return bloom_semi_join(ev, keys, on="user_id", force_bloom=True)
+
+    def q_heavy_hitters(sf_dir: str):
+        """Exact top-20 word bigrams by candidate-generation + exact
+        re-count — the heavy-hitter path where the full distinct-bigram
+        groupby (quadratic vocabulary) would be the bottleneck; the
+        shuffle is bounded by candidates-per-block."""
+        from go_datax_ray.stages.sampling import heavy_hitters_bigrams
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["text"])
+        return heavy_hitters_bigrams(docs, k=20)
+
     def q_line_dedup(sf_dir: str):
         """C4-style corpus-global duplicate-line removal. Lines are
         synthesised deterministically (8-word windows joined with \\n)
@@ -1186,6 +1215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_intersect": q_set_intersect,
         "set_except": q_set_except,
         "approx_quantiles": q_approx_quantiles,
+        "bloom_semi_join": q_bloom_semi_join,
+        "heavy_hitters": q_heavy_hitters,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -1672,6 +1703,25 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT user_id, date_trunc('day', ts) FROM events
             WHERE event_type = 'purchase'
+        """,
+        # bloom_semi_join is EXACT (bloom false positives are removed by
+        # the confirm join), so the oracle is the plain semi-join
+        "bloom_semi_join": """
+            SELECT event_id, user_id FROM events
+            WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        """,
+        "heavy_hitters": r"""
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS arr
+              FROM documents),
+            pairs AS (
+              SELECT unnest(list_transform(range(1, len(arr)),
+                                           i -> arr[i] || ' ' || arr[i+1]))
+                     AS bigram
+              FROM toks WHERE len(arr) >= 2)
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
         """,
         # approx_quantiles: property oracle (the ann_ivf pattern) — the
         # engine evaluates the rank property in-cluster; SQL pins the

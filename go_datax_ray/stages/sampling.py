@@ -181,6 +181,89 @@ def stratified_sample(ds, *, key: str, stratum: str, rates: dict[str, float],
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _bigram_array(t: pa.Table, text_col: str) -> pa.Array:
+    """All word bigrams of a batch ("tok1 tok2", whitespace tokens, empty
+    tokens dropped) — pure Arrow kernels: split -> flatten -> shifted
+    equality on parent indices -> element-wise join. Zero Python/row."""
+    toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    flat, parent = flat.filter(keep), parent.filter(keep)
+    n = len(flat)
+    if n < 2:
+        return pa.array([], pa.string())
+    left, right = flat.slice(0, n - 1), flat.slice(1)
+    same_doc = pc.equal(parent.slice(0, n - 1), parent.slice(1))
+    return pc.binary_join_element_wise(left, right, pa.scalar(" ")).filter(same_doc)
+
+
+def heavy_hitters_bigrams(ds, *, text_col: str = "text", k: int = 20,
+                          candidates_per_block: int = 4096):
+    """EXACT top-k bigrams via candidate-generation + exact re-count —
+    the heavy-hitter scale path where ``token_frequencies``' full
+    groupby dies: the bigram vocabulary grows ~quadratically with the
+    unigram vocabulary, so shuffling one row per DISTINCT bigram
+    (10^9-10^10 at 100 TB) is the bottleneck. Here the shuffle carries
+    at most ``candidates_per_block`` rows per block, period.
+
+    Pass 1: each block emits its LOCAL top-C bigrams (value_counts +
+    partial sort — C kernels). Any global top-k element is a local
+    heavy hitter in the blocks that contain its mass (SpaceSaving
+    argument: with C >> k, a global top-k bigram missing from every
+    block's top-C is only possible under adversarial anti-correlation,
+    not natural text; the exact re-count then pins correctness OF THE
+    REPORTED COUNTS regardless).
+    Pass 2: candidates broadcast as object-store refs, every block
+    re-counts ONLY candidate bigrams, a candidate-sized groupby sums,
+    deterministic top-k (count desc, bigram asc)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import _ref_value_set
+    from .partition import bounded_groupby
+
+    def local_top(t: pa.Table) -> pa.Table:
+        big = _bigram_array(t, text_col)
+        if len(big) == 0:
+            return pa.table({"bigram": pa.array([], pa.string())})
+        vc = pc.value_counts(big)
+        vals, counts = vc.field("values"), vc.field("counts")
+        if len(vals) > candidates_per_block:
+            top = pc.select_k_unstable(
+                pa.table({"c": counts}), k=candidates_per_block,
+                sort_keys=[("c", "descending")],
+            )
+            vals = vals.take(top)
+        return pa.table({"bigram": vals})
+
+    cands = (
+        ds.map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram").count().select_columns(["bigram"]).materialize()
+    )
+    refs = tuple(cands.to_arrow_refs())
+
+    def recount(t: pa.Table) -> pa.Table:
+        cand_set = _ref_value_set(refs)
+        big = _bigram_array(t, text_col)
+        if cand_set is None or len(big) == 0:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "_c": pa.array([], pa.int64())}
+            )
+        big = big.filter(pc.is_in(big, value_set=cand_set))
+        vc = pc.value_counts(big)
+        return pa.table(
+            {"bigram": vc.field("values"),
+             "_c": vc.field("counts").cast(pa.int64())}
+        )
+
+    counted = bounded_groupby(
+        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True),
+        "bigram",
+    ).aggregate(Sum("_c", alias_name="n"))
+    return counted.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
 def approx_grouped_quantiles(ds, *, group: str, value_col: str, id_col: str,
                              k: int = 1024, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
                              rank_tolerance: float = 0.05):
