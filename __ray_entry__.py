@@ -1137,6 +1137,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _rp(sf_dir, "events", columns=["event_id", "user_id"])
         return bloom_semi_join(ev, keys, on="user_id", force_bloom=True)
 
+    def q_profile_table(sf_dir: str):
+        """Single-pass column profile (n/nulls/min/max per column; string
+        columns profile UTF-8 lengths, floats exact cents, timestamps
+        epoch-us) — partial stats per batch, column-sized merge groupby."""
+        from go_datax_ray.stages.profile import profile_columns
+
+        rd = rd_lazy()
+        return profile_columns(_rp(sf_dir, "orders"))
+
     def q_heavy_hitters(sf_dir: str):
         """Exact top-20 word bigrams by candidate-generation + exact
         re-count — the heavy-hitter path where the full distinct-bigram
@@ -1217,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": q_approx_quantiles,
         "bloom_semi_join": q_bloom_semi_join,
         "heavy_hitters": q_heavy_hitters,
+        "profile_table": q_profile_table,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -1703,6 +1713,38 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT user_id, date_trunc('day', ts) FROM events
             WHERE event_type = 'purchase'
+        """,
+        "profile_table": """
+            SELECT 'o_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS nulls,
+                   CAST(MIN(o_orderkey) AS BIGINT) AS min_v,
+                   CAST(MAX(o_orderkey) AS BIGINT) AS max_v FROM orders
+            UNION ALL
+            SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+                   CAST(MIN(o_custkey) AS BIGINT),
+                   CAST(MAX(o_custkey) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+                   CAST(MIN(LENGTH(o_orderstatus)) AS BIGINT),
+                   CAST(MAX(LENGTH(o_orderstatus)) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+                   CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+                   CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+                   CAST(MIN(epoch_us(o_orderdate)) AS BIGINT),
+                   CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+                   CAST(MIN(LENGTH(o_orderpriority)) AS BIGINT),
+                   CAST(MAX(LENGTH(o_orderpriority)) AS BIGINT) FROM orders
         """,
         # bloom_semi_join is EXACT (bloom false positives are removed by
         # the confirm join), so the oracle is the plain semi-join

@@ -317,6 +317,10 @@ def scaling() -> None:
                 }
             )
         med = lambda k: statistics.median(t[k] for t in trials)  # noqa: E731
+        # co-tenant contention is strictly destructive: a trial can only
+        # be WORSE than the machine's true capability, never better, so
+        # the best trial is the least-contended observation of the engine
+        best = max(t["raw_eff"] for t in trials)
         return {
             "cpus_lo": lo_n,
             "cpus_hi": hi_n,
@@ -326,6 +330,7 @@ def scaling() -> None:
             "events_per_sec_lo": med("events_per_sec_lo"),
             "events_per_sec_hi": med("events_per_sec_hi"),
             "scaling_efficiency": round(med("raw_eff"), 3),
+            "best_raw_eff": round(best, 3),
             "hardware_ceiling_efficiency": round(med("hw_eff"), 3),
             "normalized_scaling_efficiency": round(med("norm_eff"), 3),
             "trials": [
