@@ -1074,6 +1074,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
         return explode_tokens(docs)
 
+    def q_funnel(sf_dir: str):
+        """Ordered funnel signup -> click -> purchase: per step one
+        projected groupby-min over ONE event type; the prior step's
+        (user, first_ts) frontier is broadcast as object-store refs and
+        binary-searched per batch (worker-cached) — no corpus-wide
+        shuffle, no driver-side frontier."""
+        from go_datax_ray.stages.analytic import funnel_counts
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+        return funnel_counts(ev)
+
     def _setop_sides(sf_dir: str):
         from go_datax_ray.stages.windows import add_tumbling_window
 
@@ -1221,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": q_rollup_revenue,
         "pivot_events": q_pivot_events,
         "explode_tokens": q_explode_tokens,
+        "funnel": q_funnel,
         "set_intersect": q_set_intersect,
         "set_except": q_set_except,
         "approx_quantiles": q_approx_quantiles,
@@ -1699,6 +1712,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
               FROM documents
             ) WHERE token <> ''
+        """,
+        # funnel: chained first-qualifying-event CTEs; strict > matches
+        # the engine's post-frontier filter
+        "funnel": """
+            WITH s0 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY user_id),
+            s1 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s0 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s0.t
+              GROUP BY e.user_id),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s1 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s1.t
+              GROUP BY e.user_id)
+            SELECT 'signup' AS step,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s0) AS users
+            UNION ALL SELECT 'click',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s1)
+            UNION ALL SELECT 'purchase',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s2)
         """,
         "set_intersect": """
             SELECT user_id, date_trunc('day', ts) AS day FROM events

@@ -243,6 +243,97 @@ def pivot_aggregate(
     return out.map_batches(conform, batch_format="pyarrow")
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=4)
+def _frontier_lookup(refs: tuple):
+    """(sorted users, firsts) arrays from broadcast frontier block refs —
+    cached per WORKER PROCESS (same contract as joins._ref_value_set):
+    each worker pulls the (user, first_ts) frontier from the object
+    store once; the driver and task closures carry only refs."""
+    import ray
+
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    if not tables:
+        return None
+    t = pa.concat_tables(tables)
+    users = t.column(0).to_numpy(zero_copy_only=False)
+    firsts = t.column("_first").to_numpy(zero_copy_only=False)
+    order = np.argsort(users, kind="stable")
+    return users[order], firsts[order]
+
+
+def _after_frontier(t: pa.Table, *, user_col: str, ts_col: str,
+                    refs: tuple) -> pa.Table:
+    """Keep rows whose ts is STRICTLY after the user's frontier time;
+    drop users absent from the frontier. Vectorised binary search on the
+    worker-cached sorted frontier — no shuffle, no driver state."""
+    lk = _frontier_lookup(refs)
+    if lk is None or t.num_rows == 0:
+        return t.schema.empty_table()
+    users, firsts = lk
+    u = t.column(user_col).to_numpy(zero_copy_only=False)
+    ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    pos = np.minimum(np.searchsorted(users, u), len(users) - 1)
+    mask = (users[pos] == u) & (ts > firsts[pos])
+    return t.filter(pa.array(mask))
+
+
+def funnel_counts(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type", steps: list[str] | None = None):
+    """Ordered-funnel conversion: users whose FIRST step-i event is
+    strictly after their first qualifying step-(i-1) event, per step.
+
+    Composed from scale-safe primitives instead of per-user scans: each
+    stage is one projected groupby-min (the shuffle carries (user, ts)
+    pairs for ONE event type) plus the prior stage's (user, t_prev)
+    frontier as OBJECT-STORE refs pulled once per worker into a sorted
+    lookup (the _ref_value_set pattern) — the frontier never lands on
+    the driver or in task closures, and it shrinks monotonically per
+    step.
+
+    Output: one row per step — (step, users:int64).
+    """
+    from ray.data.aggregate import Min
+
+    from .partition import bounded_groupby
+
+    steps = steps or ["signup", "click", "purchase"]
+    import ray.data as rdm
+
+    out_steps, out_users = [], []
+    frontier_refs = None
+    for step in steps:
+        sub = ds.filter(expr=f"{type_col} == {step!r}")
+        if frontier_refs is not None:
+            sub = sub.map_batches(
+                _after_frontier,
+                fn_kwargs=dict(user_col=user_col, ts_col=ts_col,
+                               refs=frontier_refs),
+                batch_format="pyarrow",
+            )
+        firsts = bounded_groupby(
+            sub.map_batches(
+                lambda t: pa.table(
+                    {user_col: t.column(user_col),
+                     "_ts": t.column(ts_col).cast(pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ),
+            user_col,
+        ).aggregate(Min("_ts", alias_name="_first")).materialize()
+        out_steps.append(step)
+        out_users.append(firsts.count())
+        frontier_refs = tuple(firsts.to_arrow_refs())
+    return rdm.from_arrow(
+        pa.table(
+            {"step": pa.array(out_steps, pa.string()),
+             "users": pa.array(out_users, pa.int64())}
+        )
+    )
+
+
 def explode_tokens(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     """UNNEST(whitespace-split tokens): (id, token) pair per token.
 

@@ -161,3 +161,59 @@ def test_explode_edge_whitespace():
     out = explode_tokens(rd.from_arrow(t)).to_pandas()
     got = sorted(map(tuple, out.itertuples(index=False)))
     assert got == [(1, "and"), (1, "lead"), (1, "trail"), (3, "one")]
+
+
+def test_funnel_ordering_matters():
+    """A click BEFORE a user's first signup must not count; a user who
+    purchases before clicking must not reach the purchase step."""
+    from go_datax_ray.stages.analytic import funnel_counts
+
+    us = pa.timestamp("us")
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 3, 3, 4], pa.int64()),
+        "ts": pa.array(
+            [100, 200, 300,       # u1: signup->click->purchase (full)
+             200, 100,            # u2: signup at 200, click EARLIER at 100
+             100, 200, 150,       # u3: signup, click, purchase BEFORE click
+             100],                # u4: signup only
+            pa.int64()).cast(us),
+        "event_type": pa.array(
+            ["signup", "click", "purchase",
+             "signup", "click",
+             "signup", "click", "purchase",
+             "signup"], pa.string()),
+    })
+    out = funnel_counts(rd.from_arrow(t)).to_pandas()
+    got = dict(zip(out["step"], out["users"]))
+    assert got == {"signup": 4, "click": 2, "purchase": 1}
+
+
+def test_funnel_matches_duckdb_chained_ctes():
+    from go_datax_ray.stages.analytic import funnel_counts
+
+    ds = rd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    _cmp(
+        funnel_counts(ds),
+        f"""
+        WITH ev AS (SELECT * FROM '{SF}/events.parquet'),
+        s0 AS (SELECT user_id, min(ts) AS t FROM ev
+               WHERE event_type = 'signup' GROUP BY user_id),
+        s1 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+               JOIN s0 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > s0.t
+               GROUP BY e.user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+               JOIN s1 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > s1.t
+               GROUP BY e.user_id)
+        SELECT 'signup' AS step,
+               (SELECT CAST(count(*) AS BIGINT) FROM s0) AS users
+        UNION ALL SELECT 'click',
+               (SELECT CAST(count(*) AS BIGINT) FROM s1)
+        UNION ALL SELECT 'purchase',
+               (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        """,
+        ["step"],
+    )
