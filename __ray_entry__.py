@@ -1074,6 +1074,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
         return explode_tokens(docs)
 
+    def q_json_extract(sf_dir: str):
+        """Column-level JSON path extraction (dx_json + dx_cast through
+        the config-driven transformer chain): RE2 fast path on flat
+        documents, exact json.loads fallback elsewhere."""
+        from go_datax_ray.stages.transforms import apply_transformers
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events", columns=["event_id", "props"])
+        out = apply_transformers(ev, [
+            {"name": "dx_json", "parameter": {"column": "props",
+                                              "paras": ["$.k", "k"]}},
+            {"name": "dx_cast", "parameter": {"column": "k",
+                                              "paras": ["long", "lenient"]}},
+        ])
+        return out.select_columns(["event_id", "k"])
+
+    def q_windowed_distinct(sf_dir: str):
+        """Exact COUNT(DISTINCT user) per tumbling hour: within-batch
+        pair combiner -> pair dedup groupby -> window count over the
+        distinct-pair-sized remainder."""
+        from go_datax_ray.stages.windows import windowed_count_distinct
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events", columns=["ts", "user_id"])
+        return windowed_count_distinct(ev, ts_col="ts", key_col="user_id",
+                                       size_s=3600)
+
+    def q_grouped_mode(sf_dir: str):
+        """Per-user modal event type (ties -> smallest type): counts
+        groupby with map-side partials, then segment-vectorised top-1."""
+        from go_datax_ray.stages.analytic import grouped_mode
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+        return grouped_mode(ev, group="user_id", value="event_type")
+
     def q_funnel(sf_dir: str):
         """Ordered funnel signup -> click -> purchase: per step one
         projected groupby-min over ONE event type; the prior step's
@@ -1234,6 +1270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q_pivot_events,
         "explode_tokens": q_explode_tokens,
         "funnel": q_funnel,
+        "json_extract": q_json_extract,
+        "windowed_distinct": q_windowed_distinct,
+        "grouped_mode": q_grouped_mode,
         "set_intersect": q_set_intersect,
         "set_except": q_set_except,
         "approx_quantiles": q_approx_quantiles,
@@ -1712,6 +1751,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
               FROM documents
             ) WHERE token <> ''
+        """,
+        "json_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "windowed_distinct": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+            FROM events GROUP BY 1
+        """,
+        "grouped_mode": """
+            SELECT user_id, event_type, n FROM (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
         """,
         # funnel: chained first-qualifying-event CTEs; strict > matches
         # the engine's post-frontier filter

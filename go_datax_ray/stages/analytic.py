@@ -350,3 +350,27 @@ def explode_tokens(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         return out.filter(pc.not_equal(out.column("token"), pa.scalar("")))
 
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_mode(ds, *, group: str = "user_id", value: str = "event_type"):
+    """Per-group MODE (most frequent value; ties -> smallest value).
+
+    Two bounded shuffles, both on reduced data: counts per (group,
+    value) with Ray's map-side partial aggregation, then the existing
+    segment-vectorised top-k (k=1, order=n desc, tiebreak=value asc)
+    over the distinct-combo-sized counts table."""
+    from ray.data.aggregate import Count
+
+    from .partition import bounded_groupby
+    from .sampling import top_k_per_group
+
+    counts = bounded_groupby(
+        ds.select_columns([group, value]), [group, value]
+    ).aggregate(Count(alias_name="n"))
+
+    def conform(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("n")
+        return t.set_column(i, "n", t.column("n").cast(pa.int64()))
+
+    counts = counts.map_batches(conform, batch_format="pyarrow")
+    return top_k_per_group(counts, group=group, order="n", k=1, tiebreak=value)

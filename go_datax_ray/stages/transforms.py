@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 from typing import Any, Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -119,6 +120,95 @@ def dx_mask(t: pa.Table, column: str, kinds: str = "email,phone,ip") -> pa.Table
     return t.set_column(t.column_names.index(column), column, out)
 
 
+import json as _json
+import re as _re
+
+# Fast path applies only to FLAT objects with no nesting/arrays/escapes;
+# anything else (nested paths, escaped strings) takes the exact json.loads
+# fallback — same guarded-vectorisation pattern as the html extractor.
+_JSON_FLAT_RE = r"^\{[^{}\[\]\\]*\}$"
+
+
+def _json_fallback(vals: list, segs: list[str]) -> list:
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            cur = _json.loads(v)
+            for s in segs:
+                cur = cur[s] if isinstance(cur, dict) else None
+                if cur is None:
+                    break
+        except (ValueError, KeyError, TypeError):
+            cur = None
+        if cur is None:
+            out.append(None)
+        elif isinstance(cur, bool):
+            out.append("true" if cur else "false")
+        elif isinstance(cur, (dict, list)):
+            out.append(_json.dumps(cur, separators=(",", ":")))
+        else:
+            out.append(str(cur))
+    return out
+
+
+def dx_json(t: pa.Table, column: str, path: str, out_col: str | None = None) -> pa.Table:
+    """Extract a JSON value at a dotted path from a JSON-string column
+    into a new STRING column (engine extension: the column-level sibling
+    of the jsonfilereader's dotted-path record model — the reference
+    reads dotted paths from json FILES but has no per-column JSON
+    transformer). Semantics match DuckDB ``json_extract_string``:
+    missing key / JSON null / unparsable document -> SQL NULL; booleans
+    render as true/false. Chain ``dx_cast`` to type the result.
+
+    Vectorised: flat single-key documents (the overwhelming web-log
+    case) are matched with TWO Arrow RE2 kernels (quoted / unquoted
+    value); only non-flat or escaped documents fall back to per-row
+    ``json.loads``."""
+    segs = [s for s in path.lstrip("$").lstrip(".").split(".") if s]
+    if not segs:
+        raise ValueError(f"empty json path {path!r}")
+    out_col = out_col or segs[-1]
+    col = t.column(column)
+    if not pa.types.is_string(col.type):
+        col = col.cast(pa.string())
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    flat = pc.fill_null(pc.match_substring_regex(col, _JSON_FLAT_RE), False)
+    result = pa.nulls(len(col), pa.string())
+    if len(segs) == 1 and pc.any(flat).as_py():
+        key = _re.escape(segs[0])
+        nulls = pa.nulls(len(col), pa.string())
+
+        def _field(struct_arr):
+            # extract_regex non-matches are STRUCT-level nulls; the child
+            # holds "" there — mask them back to null before coalescing
+            if isinstance(struct_arr, pa.ChunkedArray):
+                struct_arr = struct_arr.combine_chunks()
+            return pc.if_else(pc.is_valid(struct_arr), struct_arr.field(0), nulls)
+
+        qv = _field(pc.extract_regex(col, f'"{key}"\\s*:\\s*"(?P<v>[^"]*)"'))
+        uv = _field(pc.extract_regex(col, f'"{key}"\\s*:\\s*(?P<v>[^",}}\\s][^,}}]*)'))
+        uv = pc.utf8_rtrim_whitespace(uv)
+        # JSON literal null -> SQL NULL (json_extract_string parity)
+        uv = pc.if_else(
+            pc.fill_null(pc.equal(uv, pa.scalar("null")), False), nulls, uv
+        )
+        fastv = pc.coalesce(qv, uv)
+        result = pc.if_else(flat, fastv, result)
+    need_slow = pc.and_(pc.invert(flat), pc.is_valid(col))
+    if pc.any(need_slow).as_py():
+        idx = np.flatnonzero(need_slow.to_numpy(zero_copy_only=False))
+        slow = _json_fallback(col.take(pa.array(idx)).to_pylist(), segs)
+        res_np = result.to_pylist()
+        for i, v in zip(idx, slow):
+            res_np[i] = v
+        result = pa.array(res_np, pa.string())
+    return t.append_column(out_col, result)
+
+
 def dx_digest(t: pa.Table, column: str, algo: str = "md5") -> pa.Table:
     """Hex digest of the column's utf-8 text (null stays null)."""
     h = _DIGESTS[algo.lower()]
@@ -168,6 +258,10 @@ def build_transformer_chain(
         elif name == "dx_digest":
             algo = paras[0] if paras else "md5"
             steps.append(lambda t, c=col, a=algo: dx_digest(t, c, a))
+        elif name == "dx_json":  # engine extension: column-level JSON path
+            path = paras[0]
+            out = paras[1] if len(paras) > 1 else None
+            steps.append(lambda t, c=col, p=path, o=out: dx_json(t, c, p, o))
         elif name == "dx_cast":  # engine extension: the §1.1 casting matrix
             from .cast import dx_cast
 

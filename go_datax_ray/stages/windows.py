@@ -218,3 +218,44 @@ def session_windows(ds, *, key: str = "user_id", ts_col: str = "ts", gap_s: int 
         )
 
     return cohash_map_groups(summaries, [key], stitch)
+
+
+def windowed_count_distinct(ds, *, ts_col: str = "ts", key_col: str = "user_id",
+                            size_s: int = 3600):
+    """Exact COUNT(DISTINCT key) per tumbling window.
+
+    Scale shape: the only corpus-sized work is the per-batch pair
+    projection + within-batch distinct (an Arrow group_by with no
+    aggregates — a map-side combiner, so the shuffle carries unique
+    (window, key) pairs per block, not events). The first groupby
+    dedups pairs globally; the second counts rows per window over an
+    input already reduced to |distinct pairs|."""
+    from ray.data.aggregate import Count
+
+    from .partition import bounded_groupby
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = add_tumbling_window(t, ts_col=ts_col, size_s=size_s)
+        pairs = pa.table(
+            {"window_start": t.column("window_start"), key_col: t.column(key_col)}
+        )
+        return pairs.group_by(["window_start", key_col]).aggregate([])
+
+    pairs = ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+    dis = bounded_groupby(pairs, ["window_start", key_col]).aggregate(
+        Count(alias_name="_c")
+    )
+    out = bounded_groupby(
+        dis.select_columns(["window_start"]), "window_start"
+    ).aggregate(Count(alias_name="users"))
+
+    def conform(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("users")
+        t = t.set_column(i, "users", t.column("users").cast(pa.int64()))
+        j = t.column_names.index("window_start")
+        # pandas-block round-trips infer [s] on hour-aligned values
+        return t.set_column(
+            j, "window_start", t.column("window_start").cast(pa.timestamp("us"))
+        )
+
+    return out.map_batches(conform, batch_format="pyarrow")

@@ -548,3 +548,80 @@ def test_session_windows_hot_key_completes():
     assert len(out) == 100  # one session per hole-separated run
     assert out["n"].sum() == n
     assert out["sum_value_cents"].sum() == n * 100
+
+
+def test_dx_json_matches_duckdb_edge_cases():
+    """dx_json == DuckDB json_extract_string on every edge class the
+    fast/fallback split cares about (quoted, unquoted, bool, null,
+    missing key, escapes, nesting, arrays, key-lookalike values)."""
+    from go_datax_ray.stages.transforms import dx_json
+
+    cases = [
+        '{"k": 87}', '{"k": 0}', '{"k": "hello"}', '{"k": true}',
+        '{"k": false}', '{"k": null}', '{"j": 5}', None, '{"k": 1.5}',
+        '{"a": {"k": 9}, "k": 2}', '{"k": "a\\"b"}', '{"k": [1,2]}',
+        '{"a": "k", "k": 3}', '{"kk": 4}', '{"k":-7 , "j": 1}',
+        '{ "k" : 42 }', '{"k": ""}',
+    ]
+    t = pa.table({"props": pa.array(cases, pa.string())})
+    mine = dx_json(t, "props", "$.k").column("k").to_pylist()
+    for c, m in zip(cases, mine):
+        if c is None:
+            assert m is None
+            continue
+        want = duckdb.sql(
+            "select json_extract_string(?::JSON, '$.k')", params=[c]
+        ).fetchone()[0]
+        assert m == want, (c, m, want)
+    # dotted path goes through the exact fallback
+    t2 = pa.table({"p": ['{"a": {"b": 5}}', '{"a": 1}']})
+    assert dx_json(t2, "p", "a.b").column("b").to_pylist() == ["5", None]
+
+
+def test_windowed_count_distinct_matches_duckdb():
+    from go_datax_ray.stages.windows import windowed_count_distinct
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    mine = (
+        windowed_count_distinct(ds, size_s=3600)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(mine[["window_start", "users"]], want)
+
+
+def test_grouped_mode_matches_duckdb():
+    from go_datax_ray.stages.analytic import grouped_mode
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    mine = (
+        grouped_mode(ds)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT user_id, event_type, n FROM (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY count(*) DESC, event_type) AS rn
+          FROM '{SF}/events.parquet' GROUP BY user_id, event_type
+        ) WHERE rn = 1 ORDER BY user_id
+        """
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        mine[["user_id", "event_type", "n"]], want
+    )
