@@ -1074,6 +1074,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
         return explode_tokens(docs)
 
+    def q_ngram_commonness(sf_dir: str):
+        """Per-doc boilerplate score: sum of the corpus-global counts
+        of the doc's bigrams — the canonical feature-lookup join
+        ((id, feature) pairs x global feature frequencies)."""
+        from go_datax_ray.stages.text import ngram_commonness
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+        return ngram_commonness(docs)
+
     def q_json_extract(sf_dir: str):
         """Column-level JSON path extraction (dx_json + dx_cast through
         the config-driven transformer chain): RE2 fast path on flat
@@ -1270,6 +1280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q_pivot_events,
         "explode_tokens": q_explode_tokens,
         "funnel": q_funnel,
+        "ngram_commonness": q_ngram_commonness,
         "json_extract": q_json_extract,
         "windowed_distinct": q_windowed_distinct,
         "grouped_mode": q_grouped_mode,
@@ -1751,6 +1762,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
               FROM documents
             ) WHERE token <> ''
+        """,
+        "ngram_commonness": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS arr
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bigram
+              FROM d, unnest(range(1, len(arr))) AS t(i)
+            ),
+            cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(c) AS BIGINT) AS commonness
+            FROM bg JOIN cnt USING (bigram) GROUP BY doc_id
         """,
         "json_extract": """
             SELECT event_id,

@@ -408,3 +408,75 @@ def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
     pairs = ds.map_batches(tf_pairs, batch_format="pandas")
     with_df = cohash_map_groups(pairs, ["token"], attach_df)
     return cohash_map_groups(with_df, ["doc"], topk)
+
+
+def ngram_commonness(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document COMMONNESS score: the sum of the corpus-global
+    frequencies of the document's word bigrams (+ its bigram count) —
+    an integer-exact proxy for "how boilerplate is this page" that a
+    web-corpus curation tier uses beside quality rules: mass-duplicated
+    templates score high, original prose scores low. The reference has
+    no corpus-global statistics at all (SURVEY.md §2.7).
+
+    Scale shape — this is the canonical FEATURE-LOOKUP JOIN: (id,
+    feature) pairs join to a global feature-frequency table.
+    1. pairs: per-batch Arrow kernels (split -> flatten -> shifted
+       parent equality -> element-wise join), zero Python per row.
+    2. global counts: within-batch value_counts combiner, then ONE
+       groupby-sum over ~|local vocab| rows per block, never one row
+       per token occurrence.
+    3. pairs JOIN counts: bucketed hash join on the bigram (both sides
+       corpus-scale; n_salts handles the "of the" hot keys at real
+       scale), then a per-doc groupby-sum over the joined pairs.
+    The input streams twice (pairs for counting, pairs for joining) —
+    re-execution, not materialization, so nothing corpus-sized is ever
+    pinned in the object store."""
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import bucket_hash_join
+    from .partition import bounded_groupby
+
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        n = len(flat)
+        id_type = t.schema.field(id_col).type
+        if n < 2:
+            return pa.table(
+                {id_col: pa.array([], id_type),
+                 "bigram": pa.array([], pa.string())}
+            )
+        same = pc.equal(parent.slice(0, n - 1), parent.slice(1))
+        big = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1), pa.scalar(" ")
+        ).filter(same)
+        ids = t.column(id_col).take(parent.slice(0, n - 1).filter(same))
+        return pa.table({id_col: ids, "bigram": big})
+
+    pairs = ds.map_batches(pairs_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    def vc(t: pa.Table) -> pa.Table:
+        v = pc.value_counts(t.column("bigram").combine_chunks())
+        return pa.table(
+            {"bigram": v.field("values"), "_c": v.field("counts").cast(pa.int64())}
+        )
+
+    counts = bounded_groupby(
+        pairs.map_batches(vc, batch_format="pyarrow"), "bigram"
+    ).aggregate(Sum("_c", alias_name="c"))
+
+    joined = bucket_hash_join(pairs, counts, on="bigram")
+    out = bounded_groupby(
+        joined.select_columns([id_col, "c"]), id_col
+    ).aggregate(Count(alias_name="n_bigrams"), Sum("c", alias_name="commonness"))
+
+    def conform(t: pa.Table) -> pa.Table:
+        for name in ("n_bigrams", "commonness"):
+            i = t.column_names.index(name)
+            t = t.set_column(i, name, t.column(name).cast(pa.int64()))
+        return t
+
+    return out.map_batches(conform, batch_format="pyarrow")

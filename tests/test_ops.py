@@ -625,3 +625,52 @@ def test_grouped_mode_matches_duckdb():
     pd.testing.assert_frame_equal(
         mine[["user_id", "event_type", "n"]], want
     )
+
+
+def test_ngram_commonness_matches_duckdb():
+    from go_datax_ray.stages.text import ngram_commonness
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    mine = (
+        ngram_commonness(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        rf"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS arr
+          FROM '{SF}/documents.parquet'
+        ),
+        bg AS (
+          SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bigram
+          FROM d, unnest(range(1, len(arr))) AS t(i)
+        ),
+        cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(c) AS BIGINT) AS commonness
+        FROM bg JOIN cnt USING (bigram) GROUP BY doc_id ORDER BY doc_id
+        """
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        mine[["doc_id", "n_bigrams", "commonness"]], want
+    )
+
+
+def test_ngram_commonness_tiny_docs():
+    """Docs with <2 tokens produce no bigrams and no output row; a
+    repeated bigram counts its global multiplicity."""
+    from go_datax_ray.stages.text import ngram_commonness
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["a b a b", "a b", "", "solo"],
+    })
+    out = ngram_commonness(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    got = {r.doc_id: (r.n_bigrams, r.commonness) for r in out.itertuples()}
+    # global counts: "a b" x3 ("a b a b" has 2, "a b" has 1), "b a" x1
+    assert got == {1: (3, 7), 2: (1, 3)}
