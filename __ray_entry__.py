@@ -1074,6 +1074,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
         return explode_tokens(docs)
 
+    def q_composite_join(sf_dir: str):
+        """Composite-key (user_id, event_type) LEFT bucket join: attach
+        per-(user, type) click counts to every event; non-click rows
+        stay null — exercising multi-column bucketing AND the int64
+        null-conformance path on the composite merge."""
+        from ray.data.aggregate import Count
+
+        from go_datax_ray.stages.joins import bucket_hash_join
+        from go_datax_ray.stages.partition import bounded_groupby
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events",
+                 columns=["event_id", "user_id", "event_type"])
+        clicks = bounded_groupby(
+            ev.filter(expr="event_type == 'click'")
+            .select_columns(["user_id", "event_type"]),
+            ["user_id", "event_type"],
+        ).aggregate(Count(alias_name="n_clicks"))
+
+        def conform(t):
+            import pyarrow as _pa
+            i = t.column_names.index("n_clicks")
+            return t.set_column(
+                i, "n_clicks", t.column("n_clicks").cast(_pa.int64())
+            )
+
+        clicks = clicks.map_batches(conform, batch_format="pyarrow")
+        return bucket_hash_join(
+            ev, clicks, on=["user_id", "event_type"], how="left"
+        )
+
     def q_ngram_commonness(sf_dir: str):
         """Per-doc boilerplate score: sum of the corpus-global counts
         of the doc's bigrams — the canonical feature-lookup join
@@ -1280,6 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q_pivot_events,
         "explode_tokens": q_explode_tokens,
         "funnel": q_funnel,
+        "composite_join": q_composite_join,
         "ngram_commonness": q_ngram_commonness,
         "json_extract": q_json_extract,
         "windowed_distinct": q_windowed_distinct,
@@ -1762,6 +1794,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
               FROM documents
             ) WHERE token <> ''
+        """,
+        "composite_join": """
+            SELECT e.event_id, e.user_id, e.event_type, s.n_clicks
+            FROM events e LEFT JOIN (
+              SELECT user_id, event_type,
+                     CAST(count(*) AS BIGINT) AS n_clicks
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            ) s USING (user_id, event_type)
         """,
         "ngram_commonness": r"""
             WITH d AS (

@@ -37,11 +37,12 @@ def _actor_pool():
 
 
 class _BroadcastProbe:
-    def __init__(self, small_ref, on: str, how: str, suffix: str):
+    def __init__(self, small_ref, on: str | list[str], how: str, suffix: str):
         small = ray.get(small_ref)  # once per actor
         self.r_schema = small.schema
         self.small = small.to_pandas()
         self.on, self.how, self.suffix = on, how, suffix
+        self.on_set = set(on) if isinstance(on, list) else {on}
         self._out_schema: pa.Schema | None = None  # per input schema
 
     def _out(self, l_schema: pa.Schema) -> pa.Schema:
@@ -49,7 +50,7 @@ class _BroadcastProbe:
             fields = [pa.field(f.name, f.type) for f in l_schema]
             l_names = set(l_schema.names)
             for f in self.r_schema:
-                if f.name == self.on:
+                if f.name in self.on_set:
                     continue
                 name = f.name + self.suffix if f.name in l_names else f.name
                 fields.append(pa.field(name, f.type))
@@ -70,9 +71,10 @@ class _BroadcastProbe:
         )
 
 
-def broadcast_join(ds, small: pd.DataFrame | pa.Table, *, on: str,
+def broadcast_join(ds, small: pd.DataFrame | pa.Table, *, on: str | list[str],
                    how: Literal["inner", "left"] = "inner", suffix: str = "_r"):
-    """Join a Dataset against a small in-memory table (broadcast)."""
+    """Join a Dataset against a small in-memory table (broadcast).
+    ``on`` may be a list of columns for composite keys."""
     if isinstance(small, pd.DataFrame):
         small = pa.Table.from_pandas(small, preserve_index=False)
     ref = ray.put(small)
@@ -172,22 +174,31 @@ def _conform_merged(t: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=schema)
 
 
-def _add_bucket(t: pa.Table, key: str, n_buckets: int, side: str) -> pa.Table:
-    col = t.column(key)
-    if pa.types.is_integer(col.type):
-        h = col.cast(pa.int64()).to_numpy() % n_buckets
+def _add_bucket(t: pa.Table, key: str | list[str], n_buckets: int,
+                side: str) -> pa.Table:
+    if isinstance(key, list):
+        from .partition import _cohash
+
+        h = _cohash(t, key, n_buckets)
     else:
-        h = crc32_array(col) % np.uint64(n_buckets)
+        col = t.column(key)
+        if pa.types.is_integer(col.type):
+            h = col.cast(pa.int64()).to_numpy() % n_buckets
+        else:
+            h = crc32_array(col) % np.uint64(n_buckets)
     t = t.append_column("_bucket", pa.array(h.astype(np.int64), pa.int64()))
     return t.append_column("_side", pa.array([side] * t.num_rows, pa.string()))
 
 
-def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
+def bucket_hash_join(left, right, *, on: str | list[str], n_buckets: int = 32,
                      how: Literal["inner", "left", "right", "full",
                                   "semi", "anti"] = "inner",
                      suffix: str = "_r", n_salts: int = 1,
                      schemas: tuple[pa.Schema, pa.Schema] | None = None):
-    """Partitioned hash join of two Datasets on ``on``.
+    """Partitioned hash join of two Datasets on ``on`` (a column name or
+    a LIST of names for composite keys — both sides bucket on the
+    combined key hash, so multi-key equality joins co-locate exactly
+    like single-key ones).
 
     Both sides are union'd with a bucket tag, one groupby("_bucket")
     co-locates matching buckets, and each group does a pandas merge of
@@ -214,6 +225,10 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
     if how in ("right", "full") and n_salts > 1:
         raise ValueError(f"how={how!r} is incompatible with n_salts > 1")
     filter_only = how in ("semi", "anti")
+    on_cols = on if isinstance(on, list) else [on]
+    on_set = set(on_cols)
+    # pandas merge / bucket key argument: a list for composite keys
+    on_key: str | list[str] = on if isinstance(on, list) else on
 
     if schemas is not None:
         # caller-supplied schemas skip Dataset.schema(), which EXECUTES a
@@ -228,7 +243,7 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
     # union schema: left columns then right-only columns (join key shared)
     fields = {f.name: f.type for f in l_schema}
     for f in r_schema:
-        if f.name in fields and f.name != on and fields[f.name] != f.type:
+        if f.name in fields and f.name not in on_set and fields[f.name] != f.type:
             raise TypeError(f"column {f.name!r} type conflict across join sides")
         fields.setdefault(f.name, f.type)
     union_schema = pa.schema([pa.field(n, t) for n, t in fields.items()])
@@ -240,7 +255,7 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
     right_src = {}  # output column name -> right-side source column
     if not filter_only:
         for f in r_schema:
-            if f.name == on:
+            if f.name in on_set:
                 continue
             out_name = f.name + suffix if f.name in l_names else f.name
             right_src[out_name] = f.name
@@ -253,8 +268,8 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
         right side, left-only columns null)."""
         cols = []
         for f in out_schema:
-            if f.name == on:
-                cols.append(rg.column(on).combine_chunks().cast(f.type))
+            if f.name in on_set:
+                cols.append(rg.column(f.name).combine_chunks().cast(f.type))
             elif f.name in right_src:
                 cols.append(rg.column(right_src[f.name]).combine_chunks().cast(f.type))
             else:
@@ -263,7 +278,7 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
 
     def prep(side: str):
         def fn(t: pa.Table) -> pa.Table:
-            t = _add_bucket(conform(t, union_schema), on, n_buckets, side)
+            t = _add_bucket(conform(t, union_schema), on_key, n_buckets, side)
             if n_salts <= 1:
                 return t.append_column(
                     "_salt", pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64())
@@ -312,18 +327,31 @@ def bucket_hash_join(left, right, *, on: str, n_buckets: int = 32,
             anti = how == "anti"
             if rg.num_rows == 0:
                 return lg.cast(out_schema) if anti else out_schema.empty_table()
-            mask = pc.is_in(
-                lg.column(on), value_set=rg.column(on).combine_chunks()
-            )
-            if anti:
-                mask = pc.invert(mask)
-            return lg.filter(pc.fill_null(mask, anti)).cast(out_schema)
+            if len(on_cols) == 1:
+                mask = pc.is_in(
+                    lg.column(on_cols[0]),
+                    value_set=rg.column(on_cols[0]).combine_chunks(),
+                )
+                if anti:
+                    mask = pc.invert(mask)
+                return lg.filter(pc.fill_null(mask, anti)).cast(out_schema)
+            # composite key: EXACT membership via an indicator merge on the
+            # real key columns (hash equality alone would admit collisions)
+            lpd = lg.to_pandas()
+            rkeys = rg.select(on_cols).to_pandas().drop_duplicates()
+            hit = lpd.merge(
+                rkeys, on=on_cols, how="left", indicator="_m"
+            )["_m"].eq("both").to_numpy()
+            keep = ~hit if anti else hit
+            return lg.filter(pa.array(keep)).cast(out_schema)
         if rg.num_rows == 0:
             if how in ("left", "full"):
                 return conform(lg, out_schema)  # null-fill right cols
             return out_schema.empty_table()
         pd_how = "outer" if how == "full" else how
-        merged = lg.to_pandas().merge(rg.to_pandas(), on=on, how=pd_how, suffixes=("", suffix))
+        merged = lg.to_pandas().merge(
+            rg.to_pandas(), on=on_cols, how=pd_how, suffixes=("", suffix)
+        )
         return _conform_merged(
             pa.Table.from_pandas(merged, preserve_index=False), out_schema
         )

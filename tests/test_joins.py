@@ -267,3 +267,83 @@ def test_exact_dedup_anti_join_path_matches_broadcast():
     a = exact_dedup(rd.from_arrow(docs)).to_pandas().sort_values("doc_id")
     b = exact_dedup(rd.from_arrow(docs), broadcast_limit=0).to_pandas().sort_values("doc_id")
     assert a["doc_id"].tolist() == b["doc_id"].tolist() == list(range(10))
+
+
+def test_composite_key_bucket_join_left_with_nulls():
+    """Multi-column key: LEFT join with unmatched rows keeps exact int64
+    dtype (null, not NaN-float) on the right columns."""
+    from go_datax_ray.stages.joins import bucket_hash_join
+
+    left = pa.table({
+        "u": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "t": ["a", "b", "a", "c", "a"],
+        "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+    })
+    right = pa.table({
+        "u": pa.array([1, 2, 9], pa.int64()),
+        "t": ["a", "c", "a"],
+        "n": pa.array([100, 200, 900], pa.int64()),
+    })
+    joined = bucket_hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), on=["u", "t"],
+        how="left", n_buckets=4,
+    )
+    assert str(joined.schema().base_schema.field("n").type) == "int64"
+    out = joined.to_pandas().sort_values("event_id").reset_index(drop=True)
+    # (1,a)->100, (2,c)->200, the other three rows unmatched -> null
+    assert out.loc[out.event_id == 10, "n"].iloc[0] == 100
+    assert out.loc[out.event_id == 13, "n"].iloc[0] == 200
+    assert out["n"].isna().sum() == 3
+
+
+def test_composite_key_semi_anti_exact():
+    """Composite semi/anti use real-key membership (indicator merge),
+    not hash equality — verified against DuckDB EXISTS/NOT EXISTS."""
+    import duckdb
+
+    from go_datax_ray.stages.joins import bucket_hash_join
+
+    left = pa.table({
+        "u": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+        "t": ["a", "b", "a", "c", "a", "b"],
+        "v": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+    })
+    right = pa.table({
+        "u": pa.array([1, 2, 3], pa.int64()),
+        "t": ["a", "c", "zzz"],
+    })
+    left_pd, right_pd = left.to_pandas(), right.to_pandas()
+    for how, neg in (("semi", ""), ("anti", "NOT")):
+        out = (
+            bucket_hash_join(
+                rd.from_arrow(left), rd.from_arrow(right), on=["u", "t"],
+                how=how, n_buckets=4,
+            )
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        )
+        want = duckdb.sql(f"""
+            SELECT u, t, v FROM left_pd l
+            WHERE {neg} EXISTS (SELECT 1 FROM right_pd r
+                                WHERE r.u = l.u AND r.t = l.t)
+            ORDER BY v
+        """).df()
+        assert out["v"].tolist() == want["v"].tolist(), (how, out, want)
+
+
+def test_composite_key_broadcast_join():
+    from go_datax_ray.stages.joins import broadcast_join
+
+    left = pa.table({
+        "u": pa.array([1, 2, 3], pa.int64()),
+        "t": ["a", "b", "a"],
+    })
+    small = pa.table({
+        "u": pa.array([1, 3], pa.int64()),
+        "t": ["a", "a"],
+        "tag": ["x", "y"],
+    })
+    out = (
+        broadcast_join(rd.from_arrow(left), small, on=["u", "t"], how="left")
+        .to_pandas().sort_values("u")
+    )
+    assert out["tag"].tolist() == ["x", None, "y"]
