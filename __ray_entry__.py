@@ -1055,6 +1055,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             li, keys=["l_returnflag", "l_linestatus"], value_col="l_extendedprice"
         )
 
+    def q_cube_revenue(sf_dir: str):
+        """GROUP BY CUBE(l_returnflag, l_linestatus): all 2^k grouping
+        sets; only the finest touches the raw input."""
+        from go_datax_ray.stages.analytic import cube_aggregate
+
+        rd = rd_lazy()
+        li = _rp(sf_dir, "lineitem",
+                 columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+        return cube_aggregate(
+            li, keys=["l_returnflag", "l_linestatus"], value_col="l_extendedprice"
+        )
+
     def q_pivot_events(sf_dir: str):
         """Pivot event_type into per-value exact-cents sum columns per
         user: conditional columns built vectorised per batch, ONE
@@ -1308,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": q_grouped_quantiles,
         "window_rank": q_window_rank,
         "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
         "pivot_events": q_pivot_events,
         "explode_tokens": q_explode_tokens,
         "funnel": q_funnel,
@@ -1774,6 +1787,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
                      AS BIGINT) AS sum_value_cents
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_value_cents
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "pivot_events": """
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n

@@ -188,6 +188,72 @@ def rollup_aggregate(ds, *, keys: list[str], value_col: str = "value"):
     return out
 
 
+def cube_aggregate(ds, *, keys: list[str], value_col: str = "value"):
+    """GROUP BY CUBE(keys...): one row set per key SUBSET (2^k grouping
+    sets), absent keys null-filled — count + exact-cents sum per group.
+
+    Same cost model as ``rollup_aggregate``: only the finest grouping
+    touches the raw input (one bounded shuffle); every other subset
+    re-aggregates the distinct-combo-sized base result, so the 2^k
+    explosion applies to the tiny aggregate, never the corpus."""
+    import itertools
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .partition import bounded_groupby
+
+    ds2 = ds.map_batches(
+        lambda t: _to_cents(t, value_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    base = bounded_groupby(ds2, keys).aggregate(
+        Count(alias_name="n"), Sum("_cents", alias_name="sum_value_cents")
+    ).materialize()  # small: one row per distinct key combo
+
+    sch = base.schema()
+    key_types = {k: dict(zip(sch.names, sch.types))[k] for k in keys}
+
+    def with_subset(subset: tuple):
+        keep = set(subset)
+
+        def fix(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (
+                    t.column(k) if k in keep else pa.nulls(t.num_rows, key_types[k])
+                )
+            cols["n"] = t.column("n").cast(pa.int64())
+            cols["sum_value_cents"] = t.column("sum_value_cents").cast(pa.int64())
+            return pa.table(cols)
+
+        return fix
+
+    levels = [base.map_batches(with_subset(tuple(keys)), batch_format="pyarrow")]
+    for r in range(len(keys) - 1, 0, -1):
+        for subset in itertools.combinations(keys, r):
+            agg = base.groupby(list(subset)).aggregate(
+                Sum("n", alias_name="n"),
+                Sum("sum_value_cents", alias_name="sum_value_cents"),
+            )
+            levels.append(agg.map_batches(with_subset(subset), batch_format="pyarrow"))
+    tot = base.aggregate(Sum("n"), Sum("sum_value_cents"))
+    total_tbl = pa.table(
+        {
+            **{k: pa.nulls(1, key_types[k]) for k in keys},
+            "n": pa.array([int(tot["sum(n)"])], pa.int64()),
+            "sum_value_cents": pa.array(
+                [int(tot["sum(sum_value_cents)"])], pa.int64()
+            ),
+        }
+    )
+    levels.append(rd.from_arrow(total_tbl))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
 def _safe_name(v: str) -> str:
     return "".join(c if c.isalnum() else "_" for c in str(v))
 

@@ -217,3 +217,47 @@ def test_funnel_matches_duckdb_chained_ctes():
         """,
         ["step"],
     )
+
+
+def test_cube_matches_duckdb():
+    from go_datax_ray.stages.analytic import cube_aggregate
+
+    li = rd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+    _cmp(
+        cube_aggregate(li, keys=["l_returnflag", "l_linestatus"],
+                       value_col="l_extendedprice"),
+        f"""
+        SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS sum_value_cents
+        FROM '{SF}/lineitem.parquet'
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        ["l_returnflag", "l_linestatus", "n"],
+    )
+
+
+def test_cube_three_keys_subset_count():
+    """3 keys -> 8 grouping sets; spot-check totals per set count."""
+    from go_datax_ray.stages.analytic import cube_aggregate
+
+    t = pa.table({
+        "a": ["x", "x", "y"],
+        "b": ["p", "q", "p"],
+        "c": ["1", "1", "2"],
+        "value": [1.0, 2.0, 4.0],
+    })
+    out = cube_aggregate(
+        rd.from_arrow(t), keys=["a", "b", "c"], value_col="value"
+    ).to_pandas()
+    # grand-total row: all keys null, n=3, sum=700 cents
+    gt = out[out[["a", "b", "c"]].isna().all(axis=1)]
+    assert len(gt) == 1 and gt["n"].iloc[0] == 3
+    assert gt["sum_value_cents"].iloc[0] == 700
+    # distinct grouping sets present = 8
+    import numpy as np
+    masks = {tuple(r) for r in out[["a", "b", "c"]].isna().itertuples(index=False)}
+    assert len(masks) == 8
