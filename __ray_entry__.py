@@ -1086,6 +1086,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
         return explode_tokens(docs)
 
+    def q_normalize_text(sf_dir: str):
+        """DuckDB-parity canonical normalization (NFC -> lower ->
+        whitespace collapse -> trim): ASCII rows fully vectorised, only
+        non-ASCII rows pay the exact unicodedata fallback."""
+        from go_datax_ray.stages.curation import normalize_text_ds
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+        return normalize_text_ds(docs).select_columns(["doc_id", "norm"])
+
+    def q_cluster_histogram(sf_dir: str):
+        """Exact-duplicate cluster-size histogram: per-batch hash
+        value_counts combiner -> cluster sizes -> size histogram; text
+        never shuffles."""
+        from go_datax_ray.stages.dedup import cluster_size_histogram
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["text"])
+        return cluster_size_histogram(docs)
+
     def q_composite_join(sf_dir: str):
         """Composite-key (user_id, event_type) LEFT bucket join: attach
         per-(user, type) click counts to every event; non-click rows
@@ -1324,6 +1344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q_pivot_events,
         "explode_tokens": q_explode_tokens,
         "funnel": q_funnel,
+        "normalize_text": q_normalize_text,
+        "cluster_histogram": q_cluster_histogram,
         "composite_join": q_composite_join,
         "ngram_commonness": q_ngram_commonness,
         "json_extract": q_json_extract,
@@ -1813,6 +1835,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
               FROM documents
             ) WHERE token <> ''
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\s+', ' ', 'g')) AS norm
+            FROM documents
+        """,
+        "cluster_histogram": """
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM (
+              SELECT CAST(count(*) AS BIGINT) AS cluster_size
+              FROM documents GROUP BY text
+            ) GROUP BY cluster_size
         """,
         "composite_join": """
             SELECT e.event_id, e.user_id, e.event_type, s.n_clicks

@@ -466,3 +466,48 @@ def gopher_quality(t: pa.Table, *, text_col: str = "text", id_col: str = "doc_id
             "keep": pa.array(keep, pa.bool_()),
         }
     )
+
+
+def normalize_text(t: pa.Table, *, text_col: str = "text",
+                   out_col: str = "norm") -> pa.Table:
+    """Canonical text normalization: Unicode NFC -> lower -> collapse
+    runs of whitespace to one space -> trim spaces. Byte-identical to
+    DuckDB ``trim(regexp_replace(lower(nfc_normalize(x)), '\\s+', ' ',
+    'g'))`` (the oracle), so normalized text is safely joinable/hashable
+    across engines — the precondition for cross-run dedup keys.
+
+    Vectorised: NFC is the IDENTITY on pure-ASCII text (the dominant
+    web-corpus case, checked with one C kernel); only non-ASCII rows pay
+    a per-row ``unicodedata.normalize`` (this build's Arrow
+    utf8_normalize never composes, so it cannot be used for NFC parity
+    — verified against DuckDB). lower/regex/trim are Arrow RE2/C
+    kernels either way."""
+    import unicodedata
+
+    col = t.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    is_ascii = pc.string_is_ascii(col)
+    need = pc.and_(pc.invert(is_ascii), pc.is_valid(col))
+    need_np = need.to_numpy(zero_copy_only=False)
+    if need_np.any():
+        idx = np.flatnonzero(need_np)
+        sub = [
+            unicodedata.normalize("NFC", v)
+            for v in col.take(pa.array(idx)).to_pylist()
+        ]
+        col = pc.replace_with_mask(col, need, pa.array(sub, pa.string()))
+    out = pc.utf8_lower(col)
+    out = pc.replace_substring_regex(out, r"\s+", " ")
+    out = pc.utf8_trim(out, characters=" ")
+    return t.append_column(out_col, out)
+
+
+def normalize_text_ds(ds, *, text_col: str = "text", out_col: str = "norm"):
+    """Dataset stage for ``normalize_text``."""
+    return ds.map_batches(
+        normalize_text,
+        fn_kwargs=dict(text_col=text_col, out_col=out_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

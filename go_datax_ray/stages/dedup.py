@@ -1046,3 +1046,43 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95, n_planes: 
 
     # distinct (cosine identical across bucket collisions of a pair)
     return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+def cluster_size_histogram(ds, *, text_col: str = "text"):
+    """Duplicate-cluster diagnostics: for each exact-duplicate cluster
+    size s, how many clusters have that size — the first chart any
+    dedup run is judged by (how much of the corpus is singleton vs
+    mass-duplicated template).
+
+    Payload-free: the shuffle carries per-batch (content_hash, partial
+    count) pairs (a value_counts combiner — one row per DISTINCT hash
+    per block), one groupby sums them into cluster sizes, and the
+    second groupby counts the distinct-hash-sized result. Text never
+    leaves the map stage."""
+    from ray.data.aggregate import Count, Sum
+
+    from .partition import bounded_groupby
+
+    def hash_counts(t: pa.Table) -> pa.Table:
+        h = add_content_hash(t, text_col=text_col).column("content_hash")
+        v = pc.value_counts(h.combine_chunks())
+        return pa.table(
+            {"content_hash": v.field("values"),
+             "_c": v.field("counts").cast(pa.int64())}
+        )
+
+    sizes = bounded_groupby(
+        ds.map_batches(hash_counts, batch_format="pyarrow", zero_copy_batch=True),
+        "content_hash",
+    ).aggregate(Sum("_c", alias_name="cluster_size"))
+    out = bounded_groupby(
+        sizes.select_columns(["cluster_size"]), "cluster_size"
+    ).aggregate(Count(alias_name="n_clusters"))
+
+    def conform(t: pa.Table) -> pa.Table:
+        for name in ("cluster_size", "n_clusters"):
+            i = t.column_names.index(name)
+            t = t.set_column(i, name, t.column(name).cast(pa.int64()))
+        return t
+
+    return out.map_batches(conform, batch_format="pyarrow")

@@ -206,3 +206,42 @@ def test_dx_mask_in_chain():
         t.schema,
     )
     assert chain(t).column("v").to_pylist() == ["x <EMAIL> y"]
+
+
+def test_normalize_text_matches_duckdb_unicode():
+    """Byte parity with DuckDB on composed/decomposed accents, fullwidth
+    forms, case folds, and whitespace runs — the fallback path."""
+    import duckdb
+
+    from go_datax_ray.stages.curation import normalize_text
+
+    cases = [
+        "Café  NOËL",     # decomposed accents -> NFC composes
+        "Café noël",        # precomposed stays
+        "  A\tB\n\nC  ",              # ws collapse + trim (pure ascii)
+        "İstanbul STRASSE",      # dotted I, sharp-s-free casefold
+        "ＡＢＣ",          # fullwidth (NFC keeps, lower maps)
+        "plain ascii",
+        "",
+    ]
+    t = pa.table({"text": pa.array(cases, pa.string())})
+    mine = normalize_text(t).column("norm").to_pylist()
+    for c, m in zip(cases, mine):
+        want = duckdb.sql(
+            r"select trim(regexp_replace(lower(nfc_normalize(?)),"
+            r" '\s+', ' ', 'g'))",
+            params=[c],
+        ).fetchone()[0]
+        assert m == want, (c.encode("unicode_escape"), m, want)
+
+
+def test_cluster_size_histogram():
+    from go_datax_ray.stages.dedup import cluster_size_histogram
+
+    import ray.data as rd
+
+    texts = ["a"] * 5 + ["b"] * 3 + ["c", "d", "e"]  # sizes: 5,3,1,1,1
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    out = cluster_size_histogram(ds).to_pandas()
+    got = dict(zip(out["cluster_size"], out["n_clusters"]))
+    assert got == {5: 1, 3: 1, 1: 3}
