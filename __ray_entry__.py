@@ -158,6 +158,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return read_lake(lake).map_batches(_cdc_out, batch_format="pyarrow")
 
+    def q_lake_view(sf_dir: str):
+        """Incrementally-maintained aggregate view (sinks/views.py):
+        replay the CDC log into a lake over several epochs with a
+        per-event_type (count, exact-cents sum) view updated INSIDE each
+        partition merge from the in-memory old/new states; the returned
+        table is read from the epoch delta files, never recomputed from
+        the lake."""
+        import shutil
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from go_datax_ray.pipelines.cdc_replay import (
+            DatasetEventSource,
+            ReplayConfig,
+            replay,
+        )
+        from go_datax_ray.sinks.views import ViewSpec, read_view
+
+        rd = rd_lazy()
+
+        def derive(t):
+            cents = _pc.cast(
+                _pc.round(_pc.multiply(t.column("value"), _pa.scalar(100.0)),
+                          options=_pc.RoundOptions(round_mode="half_towards_infinity")),
+                _pa.int64(),
+            )
+            return t.append_column("value_cents", cents)
+
+        spec = ViewSpec(name="type_stats", group_cols=("event_type",),
+                        sum_cols=("value_cents",), derive=derive)
+        lake = "/tmp/gdr_q_view_lake"
+        shutil.rmtree(lake, ignore_errors=True)
+        ev = _events_as_cdc(sf_dir)
+        n = ev.count()
+        replay(
+            DatasetEventSource(ev, 0, n),
+            ReplayConfig(lake_dir=lake, num_partitions=8,
+                         epoch_size=max(n // 3, 1), views=(spec,)),
+        )
+        return rd.from_arrow(read_view(lake, spec))
+
     def q_flagship_final_state(sf_dir: str):
         from go_datax_ray.pipelines.flagship import run_flagship
 
@@ -1344,6 +1386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q_pivot_events,
         "explode_tokens": q_explode_tokens,
         "funnel": q_funnel,
+        "lake_view": q_lake_view,
         "normalize_text": q_normalize_text,
         "cluster_histogram": q_cluster_histogram,
         "composite_join": q_composite_join,
@@ -1429,6 +1472,12 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "cdc_lake_replay": cdc_final,
+        "lake_view": f"""
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_cents
+            FROM ({cdc_final}) GROUP BY event_type
+        """,
         "flagship_final_state": """
             WITH k AS (
               SELECT doc_id, text, lang, source,

@@ -267,6 +267,11 @@ class ReplayConfig:
     # read — the dx_* transformer-chain hook (stages.transforms
     # .build_transformer_chain output plugs in here).
     transform: Any | None = None
+    # Incrementally-maintained aggregate views (sinks.views.ViewSpec):
+    # per-partition deltas computed INSIDE the merge (old/new state are
+    # already in memory there), committed-epoch visibility via the
+    # manifest; read with sinks.views.read_view.
+    views: tuple = ()
 
 
 @dataclass
@@ -312,7 +317,7 @@ def _exchange_and_merge(ds, cfg: ReplayConfig, man: Manifest, epoch: int,
             return []
         merge = make_delta_merger(
             cfg.lake_dir, epoch, committed, delta_dir, metrics,
-            extract_missing_text=cfg.extract_text,
+            extract_missing_text=cfg.extract_text, view_specs=cfg.views,
         )
         pid_ds = rd.from_items([{"pid": p} for p in pids], override_num_blocks=len(pids))
         entries = pid_ds.map_batches(merge, batch_format="numpy", batch_size=1).take_all()
@@ -322,7 +327,7 @@ def _exchange_and_merge(ds, cfg: ReplayConfig, man: Manifest, epoch: int,
     if cfg.exchange == "repartition":
         merge = make_partition_merger(
             cfg.lake_dir, epoch, committed, metrics,
-            extract_missing_text=cfg.extract_text,
+            extract_missing_text=cfg.extract_text, view_specs=cfg.views,
         )
 
         def merge_multi(batch: pa.Table) -> pa.Table:
@@ -373,7 +378,7 @@ def _exchange_and_merge(ds, cfg: ReplayConfig, man: Manifest, epoch: int,
             )
         merge = make_partition_merger(
             cfg.lake_dir, epoch, committed, metrics,
-            extract_missing_text=cfg.extract_text,
+            extract_missing_text=cfg.extract_text, view_specs=cfg.views,
         )
         return ds.groupby("part_id").map_groups(merge, batch_format="pyarrow").take_all()
 

@@ -105,6 +105,7 @@ def make_partition_merger(
     committed: dict[int, str],
     metrics: Any | None = None,
     extract_missing_text: bool = False,
+    view_specs: tuple = (),
 ) -> Callable[[pa.Table], pa.Table]:
     """Build the map_groups merge fn for one epoch.
 
@@ -125,6 +126,7 @@ def make_partition_merger(
             events = group.num_rows
         new = _strip_engine_cols(group)
         old_path = committed.get(pid)
+        old = None
         if old_path is not None and fsh.exists(old_path):
             old = fsh.read_parquet(old_path)
             target = evolve(old.schema, new.schema)
@@ -135,6 +137,12 @@ def make_partition_merger(
             merged = lww_sorted(new)
         if extract_missing_text:
             merged = _fill_text(merged)
+        if view_specs:
+            # incremental view maintenance: old & merged are already in
+            # memory here — two local aggregates, no extra lake IO
+            from .views import write_view_deltas
+
+            write_view_deltas(fsh, lake_dir, view_specs, old, merged, epoch, pid)
         out = final_path(lake_dir, pid, epoch)
         fsh.makedirs(out.rsplit("/", 1)[0] if not fsh.local else os.path.dirname(out))
         fsh.write_parquet(merged, out, compression="zstd", compression_level=1,
@@ -163,6 +171,7 @@ def make_delta_merger(
     delta_dir: str,
     metrics: Any | None = None,
     extract_missing_text: bool = False,
+    view_specs: tuple = (),
 ) -> Callable[[dict], pa.Table]:
     """Merge fn for the delta exchange: input batches carry partition ids;
     each pid's delta files (written by the partition-pruned
@@ -199,6 +208,7 @@ def make_delta_merger(
                 "part_id", pa.array(np.full(new.num_rows, pid), pa.int64())
             )
             old_path = committed.get(pid)
+            old = None
             if old_path is not None and fsh.exists(old_path):
                 old = fsh.read_parquet(old_path)
                 t2 = evolve(old.schema, new.schema)
@@ -207,6 +217,10 @@ def make_delta_merger(
                 new = lww_sorted(new)
             if extract_missing_text:
                 new = _fill_text(new)
+            if view_specs:
+                from .views import write_view_deltas
+
+                write_view_deltas(fsh, lake_dir, view_specs, old, new, epoch, pid)
             outp = final_path(lake_dir, pid, epoch)
             fsh.makedirs(outp.rsplit("/", 1)[0] if not fsh.local else os.path.dirname(outp))
             fsh.write_parquet(new, outp, compression="zstd", compression_level=1,
