@@ -139,30 +139,116 @@ def write_view_deltas(
         fsh.write_parquet(d, path, compression="zstd", compression_level=1)
 
 
+def _list_delta_files(fsh: LakeFS, base: str) -> list[tuple[int, str]]:
+    import glob as _glob
+    import posixpath
+
+    pat = (posixpath.join if not fsh.local else __import__("os").path.join)(
+        base, "delta-*.parquet"
+    )
+    files = sorted(_glob.glob(pat) if fsh.local else fsh.fs.glob(pat))
+    out = []
+    for f in files:
+        m = _DELTA_RE.search(f)
+        if m:
+            out.append((int(m.group(1)), f))
+    return out
+
+
+_BASE_RE = re.compile(r"base-e(\d+)\.parquet$")
+
+
+def _find_base(fsh: LakeFS, base_dir: str) -> tuple[int, str] | None:
+    import glob as _glob
+    import posixpath
+
+    pat = (posixpath.join if not fsh.local else __import__("os").path.join)(
+        base_dir, "base-*.parquet"
+    )
+    files = sorted(_glob.glob(pat) if fsh.local else fsh.fs.glob(pat))
+    best = None
+    for f in files:
+        m = _BASE_RE.search(f)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), f)
+    return best
+
+
+def fold_view_deltas(lake_dir: str, spec: ViewSpec) -> dict:
+    """Compact the view's committed per-epoch delta files into ONE base
+    file (``base-e{N}.parquet`` = summed state as of epoch N), bounding
+    ``read_view`` cost as epochs accumulate. Crash-safe ordering: the
+    new base is written BEFORE the folded files are removed (a crash
+    between leaves double-counting impossible because read_view always
+    prefers the NEWEST base and ignores deltas <= its epoch). Folding
+    drops per-epoch granularity, so ``asof_epoch`` time travel below the
+    base epoch stops working — same trade as Manifest.gc_history.
+    Caller must hold the lake writer lock (same contract as gc)."""
+    from ..state.manifest import Manifest
+
+    man = Manifest.load(lake_dir)
+    fsh = man.fsh
+    base_dir = fsh.join(VIEWS_DIR, spec.name)
+    prior = _find_base(fsh, base_dir)
+    deltas = [
+        (e, f) for e, f in _list_delta_files(fsh, base_dir)
+        if e <= man.epoch and (prior is None or e > prior[0])
+    ]
+    if not deltas:
+        return {"folded": 0, "base_epoch": prior[0] if prior else -1}
+    parts = [fsh.read_parquet(f) for _, f in deltas]
+    if prior is not None:
+        parts.append(fsh.read_parquet(prior[1]))
+    t = _sum_deltas(parts, spec)
+    new_epoch = max(e for e, _ in deltas)
+    out = (
+        __import__("posixpath").join if not fsh.local
+        else __import__("os").path.join
+    )(base_dir, f"base-e{new_epoch:06d}.parquet")
+    fsh.write_parquet(t, out, compression="zstd", compression_level=1)
+    removed = 0
+    for _, f in deltas:
+        try:
+            fsh.remove(f)
+            removed += 1
+        except OSError:
+            pass  # leftover delta <= base epoch is ignored by read_view
+    if prior is not None:
+        try:
+            fsh.remove(prior[1])
+        except OSError:
+            pass
+    return {"folded": removed, "base_epoch": new_epoch}
+
+
 def read_view(lake_dir: str, spec: ViewSpec, *, asof_epoch: int | None = None) -> pa.Table:
     """Materialize the view: sum committed epoch deltas (epoch <=
     manifest watermark, or ``asof_epoch`` for time travel), drop groups
     whose live count reached zero, sort by group for determinism. The
-    read is O(|distinct groups| x epochs) — independent of lake size;
-    fold old deltas periodically if epoch count ever dominates."""
-    import glob as _glob
-    import posixpath
-
+    read is O(|distinct groups| x epochs-since-last-fold) — independent
+    of lake size; ``fold_view_deltas`` bounds the epoch factor. The
+    newest ``base-e{N}`` file (if any) is preferred and all deltas
+    ``<= N`` are ignored — that makes a crash between the fold's
+    base-write and delta-removal harmless (no double count)."""
     from ..state.manifest import Manifest
 
     man = Manifest.load(lake_dir)
     horizon = man.epoch if asof_epoch is None else asof_epoch
     fsh = man.fsh
-    base = fsh.join(VIEWS_DIR, spec.name)
-    pat = (posixpath.join if not fsh.local else __import__("os").path.join)(
-        base, "delta-*.parquet"
-    )
-    files = sorted(_glob.glob(pat) if fsh.local else fsh.fs.glob(pat))
-    keep = []
-    for f in files:
-        m = _DELTA_RE.search(f)
-        if m and int(m.group(1)) <= horizon:
-            keep.append(f)
+    base_dir = fsh.join(VIEWS_DIR, spec.name)
+    folded = _find_base(fsh, base_dir)
+    if folded is not None and folded[0] > horizon:
+        raise ValueError(
+            f"view {spec.name!r}: asof_epoch={horizon} predates the folded "
+            f"base (epoch {folded[0]}) — per-epoch granularity was compacted "
+            "away (fold_view_deltas docstring)"
+        )
+    keep = [
+        f for e, f in _list_delta_files(fsh, base_dir)
+        if e <= horizon and (folded is None or e > folded[0])
+    ]
+    if folded is not None:
+        keep = [folded[1]] + keep
     def _group_type(k: str) -> pa.DataType:
         # empty-view schema: take group-col types from the committed lake
         # schema (derived group cols fall back to string)

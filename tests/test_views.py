@@ -115,3 +115,30 @@ def test_view_empty_lake_returns_empty():
     v = read_view("/tmp/gdr_empty_view_lake", SPEC)
     assert v.num_rows == 0
     assert v.column_names == ["lang", "n", "sum_text_len"]
+
+
+def test_fold_view_deltas(tmp_path):
+    """Folding compacts committed deltas into one base; the view is
+    unchanged, new epochs keep accumulating on top, and a second fold
+    absorbs the prior base."""
+    from go_datax_ray.sinks.views import fold_view_deltas
+
+    lake = str(tmp_path / "lake")
+    cfg = ReplayConfig(lake_dir=lake, num_partitions=4, epoch_size=2000,
+                       views=(SPEC,))
+    replay(SynthEventSource(6000, SynthConfig(n_urls=500)), cfg)
+    before = _view(lake)
+    res = fold_view_deltas(lake, SPEC)
+    assert res["folded"] > 0
+    assert _view(lake) == before == _recompute(lake)
+    # new epochs on top of the base
+    replay(SynthEventSource(10000, SynthConfig(n_urls=500)), cfg)
+    assert _view(lake) == _recompute(lake)
+    res2 = fold_view_deltas(lake, SPEC)
+    assert res2["base_epoch"] > res["base_epoch"]
+    assert _view(lake) == _recompute(lake)
+    # asof below the folded base must raise (granularity gone)
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_view(lake, SPEC, asof_epoch=0)
