@@ -7,6 +7,7 @@
     python -m go_datax_ray.lake_cli gc-orphans LAKE_DIR
     python -m go_datax_ray.lake_cli gc-history LAKE_DIR --keep-after N
     python -m go_datax_ray.lake_cli delete-where LAKE_DIR --where '[["col","op",value],...]'
+    python -m go_datax_ray.lake_cli fold-view LAKE_DIR --view NAME --group-cols a,b [--sum-cols x,y]
 
 Owns its own Ray session (only for ``count``); every other command is
 pure manifest/filesystem work. LAKE_DIR may be a local path or any
@@ -23,12 +24,16 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="go_datax_ray.lake_cli")
     p.add_argument("cmd", choices=["status", "lineage", "count", "compact",
-                                   "gc-orphans", "gc-history", "delete-where"])
+                                   "gc-orphans", "gc-history", "delete-where",
+                                   "fold-view"])
     p.add_argument("lake_dir")
     p.add_argument("--asof-epoch", type=int, default=None)
     p.add_argument("--horizon", type=int, default=None)
     p.add_argument("--keep-after", type=int, default=None)
     p.add_argument("--where", type=str, default=None)
+    p.add_argument("--view", type=str, default=None)
+    p.add_argument("--group-cols", type=str, default=None)
+    p.add_argument("--sum-cols", type=str, default="")
     args = p.parse_args(argv)
 
     from .state.manifest import Manifest
@@ -91,6 +96,23 @@ def main(argv: list[str] | None = None) -> int:
             p.error("gc-history requires --keep-after")
         with writer_lock(args.lake_dir):
             print(json.dumps({"removed": man.gc_history(args.keep_after)}))
+        return 0
+
+    if args.cmd == "fold-view":
+        # Folding only touches measure sums, so the CLI spec needs the
+        # column lists but never the (non-serialisable) derive hook —
+        # derived measure columns already live inside the delta files.
+        if not args.view or not args.group_cols:
+            p.error("fold-view requires --view and --group-cols")
+        from .sinks.views import ViewSpec, fold_view_deltas
+
+        spec = ViewSpec(
+            name=args.view,
+            group_cols=tuple(c for c in args.group_cols.split(",") if c),
+            sum_cols=tuple(c for c in args.sum_cols.split(",") if c),
+        )
+        with writer_lock(args.lake_dir):
+            print(json.dumps(fold_view_deltas(args.lake_dir, spec)))
         return 0
 
     if args.cmd == "delete-where":

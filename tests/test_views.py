@@ -142,3 +142,19 @@ def test_fold_view_deltas(tmp_path):
 
     with pytest.raises(ValueError):
         read_view(lake, SPEC, asof_epoch=0)
+
+
+def test_fold_view_cli(tmp_path):
+    """CLI fold-view (no derive needed — measures already live in the
+    delta files) matches the API result."""
+    from go_datax_ray.lake_cli import main as cli
+
+    lake = str(tmp_path / "lake")
+    cfg = ReplayConfig(lake_dir=lake, num_partitions=4, epoch_size=2000,
+                       views=(SPEC,))
+    replay(SynthEventSource(4000, SynthConfig(n_urls=400)), cfg)
+    before = _view(lake)
+    rc = cli(["fold-view", lake, "--view", "lang_stats",
+              "--group-cols", "lang", "--sum-cols", "text_len"])
+    assert rc == 0
+    assert _view(lake) == before
