@@ -158,6 +158,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return read_lake(lake).map_batches(_cdc_out, batch_format="pyarrow")
 
+    def q_group_sample(sf_dir: str):
+        """Deterministic k-per-group sample: membership is a pure
+        function of md5(key), so resumed jobs and sibling tables pick
+        consistent rows; one segment-vectorised top-k pass."""
+        from go_datax_ray.stages.sampling import group_sample
+
+        rd = rd_lazy()
+        ds = _rp(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        return group_sample(ds, group="o_custkey", key="o_orderkey", k=2)
+
+    def q_grouped_outliers(sf_dir: str):
+        """Per-user 2-sigma outlier flags decided from exact integer
+        moments ((n*x-s)^2 > 4*(n*q-s^2), evaluated float64 in the same
+        expression order as the SQL) — group stats broadcast as
+        object-store refs, flag vectorised per batch."""
+        from go_datax_ray.stages.analytic import grouped_outliers
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events", columns=["event_id", "user_id", "value"])
+        return grouped_outliers(ev)
+
     def q_lake_view(sf_dir: str):
         """Incrementally-maintained aggregate view (sinks/views.py):
         replay the CDC log into a lake over several epochs with a
@@ -1386,6 +1408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q_pivot_events,
         "explode_tokens": q_explode_tokens,
         "funnel": q_funnel,
+        "group_sample": q_group_sample,
+        "grouped_outliers": q_grouped_outliers,
         "lake_view": q_lake_view,
         "normalize_text": q_normalize_text,
         "cluster_histogram": q_cluster_histogram,
@@ -1884,6 +1908,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
               FROM documents
             ) WHERE token <> ''
+        """,
+        "group_sample": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY md5_number_lower(CAST(o_orderkey AS VARCHAR)),
+                                o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 2
+        """,
+        "grouped_outliers": """
+            WITH c AS (
+              SELECT event_id, user_id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS x
+              FROM events),
+            s AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS s,
+                     CAST(sum(x * x) AS BIGINT) AS q
+              FROM c GROUP BY user_id)
+            SELECT event_id, user_id,
+                   (CAST(n*x - s AS DOUBLE) * CAST(n*x - s AS DOUBLE))
+                     > 4.0 * CAST(n*q - s*s AS DOUBLE) AS is_outlier
+            FROM c JOIN s USING (user_id)
         """,
         "normalize_text": r"""
             SELECT doc_id,

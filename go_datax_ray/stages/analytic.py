@@ -440,3 +440,70 @@ def grouped_mode(ds, *, group: str = "user_id", value: str = "event_type"):
 
     counts = counts.map_batches(conform, batch_format="pyarrow")
     return top_k_per_group(counts, group=group, order="n", k=1, tiebreak=value)
+
+
+def grouped_outliers(ds, *, group: str = "user_id", value_col: str = "value",
+                     id_col: str = "event_id", n_sigma: int = 2):
+    """Per-group outlier flag: |x - mean| > n_sigma * std (population),
+    decided EXACTLY from integer-cents moments so the boolean is
+    reproducible across engines: with s = sum(cents), q = sum(cents^2),
+    n = count, the test is (n*x - s)^2 > n_sigma^2 * (n*q - s^2) — both
+    sides computed as float64 from exact int64 moments in the SAME
+    expression order the SQL oracle uses (identical IEEE results).
+
+    Two-pass shape: one bounded groupby produces the per-group moment
+    triple (tiny — one row per group), which joins back to the events
+    via the broadcast path inside a map (per-batch vectorised flag).
+    int64 moment overflow bound: |cents| < ~3e6 at 1e6 rows/group."""
+    from ray.data.aggregate import Count, Sum
+
+    from .partition import bounded_groupby
+
+    def cents_col(t: pa.Table) -> pa.Table:
+        t = _to_cents(t, value_col)
+        sq = pc.multiply(t.column("_cents"), t.column("_cents"))
+        return t.append_column("_sq", sq)
+
+    ev = ds.map_batches(cents_col, batch_format="pyarrow", zero_copy_batch=True)
+    stats = bounded_groupby(
+        ev.select_columns([group, "_cents", "_sq"]), group
+    ).aggregate(
+        Count(alias_name="_n"),
+        Sum("_cents", alias_name="_s"),
+        Sum("_sq", alias_name="_q"),
+    ).materialize()  # one row per group
+
+    import ray as _ray
+
+    refs = tuple(stats.to_arrow_refs())
+
+    def flag(t: pa.Table) -> pa.Table:
+        import functools
+
+        @functools.lru_cache(maxsize=2)
+        def lookup(rs):
+            tables = [x for x in _ray.get(list(rs)) if x.num_rows]
+            st = pa.concat_tables(tables)
+            g = st.column(group).to_numpy(zero_copy_only=False)
+            order = np.argsort(g, kind="stable")
+            return (g[order],
+                    st.column("_n").to_numpy(zero_copy_only=False)[order].astype(np.int64),
+                    st.column("_s").to_numpy(zero_copy_only=False)[order].astype(np.int64),
+                    st.column("_q").to_numpy(zero_copy_only=False)[order].astype(np.int64))
+
+        gs, n, s, q = lookup(refs)
+        gv = t.column(group).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(gs, gv)
+        pos = np.minimum(pos, len(gs) - 1)
+        x = t.column("_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        ni, si, qi = n[pos], s[pos], q[pos]
+        lhs = (ni * x - si).astype(np.float64) ** 2
+        rhs = float(n_sigma * n_sigma) * (ni * qi - si * si).astype(np.float64)
+        out = pa.table({
+            id_col: t.column(id_col),
+            group: t.column(group),
+            "is_outlier": pa.array(lhs > rhs),
+        })
+        return out
+
+    return ev.map_batches(flag, batch_format="pyarrow")

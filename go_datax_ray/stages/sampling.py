@@ -454,3 +454,30 @@ def grouped_quantiles(ds, *, group: str, value_col: str,
         return pa.table(cols)
 
     return cohash_map_groups(hist, ["g"], quant)
+
+
+def group_sample(ds, *, group: str, key: str, k: int):
+    """Deterministic fixed-k sample PER GROUP: keep each group's k rows
+    with the smallest md5_number_lower(key) — a reservoir whose
+    membership is a pure function of the key, so re-runs, resumed jobs
+    and other tables sampled with the same hash pick CONSISTENT rows
+    (same property as hash_sample, but k-per-group instead of a rate).
+    One segment-vectorised top-k pass (no per-group Python), oracle =
+    ROW_NUMBER() OVER (PARTITION BY group ORDER BY md5_number_lower)."""
+
+    def add_h(t: pa.Table) -> pa.Table:
+        keys = t.column(key)
+        if not pa.types.is_string(keys.type):
+            keys = keys.cast(pa.string())
+        return t.append_column(
+            "_h", pa.array(md5_lower64_array(keys), pa.uint64())
+        )
+
+    tagged = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    out = top_k_per_group(
+        tagged, group=group, order="_h", k=k, descending=False, tiebreak=key
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["_h"]), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -136,3 +136,37 @@ def test_grouped_quantiles_tiny_groups():
     assert (a["p50_cents"], a["p90_cents"], a["p99_cents"]) == (100, 300, 300)
     b = out[out["g"] == "b"].iloc[0]
     assert b["p50_cents"] == 250 and b["n"] == 1
+
+
+def test_group_sample_deterministic_and_consistent():
+    """Same keys -> same sample across reruns and across differently
+    partitioned inputs; each group yields min(k, group size) rows."""
+    from go_datax_ray.stages.sampling import group_sample
+
+    t = pa.table({
+        "g": pa.array([1] * 10 + [2] * 3 + [3], pa.int64()),
+        "k": pa.array(list(range(10)) + [100, 101, 102] + [7], pa.int64()),
+    })
+    a = group_sample(rd.from_arrow(t), group="g", key="k", k=2).to_pandas()
+    b = group_sample(
+        rd.from_arrow(t).repartition(5), group="g", key="k", k=2
+    ).to_pandas()
+    sa = sorted(map(tuple, a[["g", "k"]].itertuples(index=False)))
+    sb = sorted(map(tuple, b[["g", "k"]].itertuples(index=False)))
+    assert sa == sb
+    counts = a.groupby("g").size().to_dict()
+    assert counts == {1: 2, 2: 2, 3: 1}
+
+
+def test_grouped_outliers_flags_extreme_value():
+    from go_datax_ray.stages.analytic import grouped_outliers
+
+    vals = [10.0] * 20 + [1000.0] + [10.0, 10.01]  # u1 spike; u2 calm
+    t = pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "user_id": pa.array([1] * 21 + [2, 2], pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    out = grouped_outliers(rd.from_arrow(t)).to_pandas()
+    flagged = set(out.loc[out.is_outlier, "event_id"])
+    assert flagged == {20}  # only the 1000.0 spike
