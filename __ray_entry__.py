@@ -158,6 +158,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return read_lake(lake).map_batches(_cdc_out, batch_format="pyarrow")
 
+    def q_tpch_q1_composed(sf_dir: str):
+        """TPC-H Q1-shaped pricing summary from engine operators: filter
+        -> per-row exact-cents derivation (disc_price/charge with the
+        SQL oracle's exact float association order) -> ONE map-side
+        combining groupby -> key sort. The classic wide-aggregate scan."""
+        from ray.data.aggregate import Count, Sum
+
+        from go_datax_ray.stages.partition import bounded_groupby
+
+        rd = rd_lazy()
+        li = _rp(sf_dir, "lineitem",
+                 columns=["l_returnflag", "l_linestatus", "l_quantity",
+                          "l_extendedprice", "l_discount", "l_tax",
+                          "l_shipdate"])
+        cutoff = pa.scalar(pd_ts("1998-09-02"))
+
+        def cents(col):
+            # RoundOptions built per call: the options object is not
+            # picklable, so it must not live in the task closure
+            return pc.cast(
+                pc.round(pc.multiply(col, pa.scalar(100.0)),
+                         options=pc.RoundOptions(round_mode="half_towards_infinity")),
+                pa.int64(),
+            )
+
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+            disc_price = pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+            charge = pc.multiply(
+                disc_price, pc.add(pa.scalar(1.0), t.column("l_tax"))
+            )
+            return pa.table({
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_cents": cents(t.column("l_quantity")),
+                "base_cents": cents(t.column("l_extendedprice")),
+                "disc_price_cents": cents(disc_price),
+                "charge_cents": cents(charge),
+            })
+
+        agg = bounded_groupby(
+            li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+            ["l_returnflag", "l_linestatus"],
+        ).aggregate(
+            Sum("qty_cents", alias_name="sum_qty_cents"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_price_cents", alias_name="sum_disc_price_cents"),
+            Sum("charge_cents", alias_name="sum_charge_cents"),
+            Count(alias_name="n"),
+        )
+
+        def conform(t: pa.Table) -> pa.Table:
+            for name in ("sum_qty_cents", "sum_base_cents",
+                         "sum_disc_price_cents", "sum_charge_cents", "n"):
+                i = t.column_names.index(name)
+                t = t.set_column(i, name, t.column(name).cast(pa.int64()))
+            return t
+
+        return agg.map_batches(conform, batch_format="pyarrow").sort(
+            ["l_returnflag", "l_linestatus"]
+        )
+
     def q_group_sample(sf_dir: str):
         """Deterministic k-per-group sample: membership is a pure
         function of md5(key), so resumed jobs and sibling tables pick
@@ -1408,6 +1473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q_pivot_events,
         "explode_tokens": q_explode_tokens,
         "funnel": q_funnel,
+        "tpch_q1_composed": q_tpch_q1_composed,
         "group_sample": q_group_sample,
         "grouped_outliers": q_grouped_outliers,
         "lake_view": q_lake_view,
@@ -1908,6 +1974,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
               FROM documents
             ) WHERE token <> ''
+        """,
+        "tpch_q1_composed": """
+            SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)
+                AS sum_qty_cents,
+              CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                AS sum_base_cents,
+              CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*100)
+                AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+              CAST(SUM(CAST(ROUND(((l_extendedprice*(1-l_discount))*(1+l_tax))*100)
+                AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
         """,
         "group_sample": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (
