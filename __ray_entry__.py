@@ -158,6 +158,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return read_lake(lake).map_batches(_cdc_out, batch_format="pyarrow")
 
+    def q_windowed_topk(sf_dir: str):
+        """Top-3 event types per tumbling hour: composition of the
+        tumbling tagger, one map-side-combining counts groupby, and the
+        segment-vectorised per-group top-k (windows are the groups)."""
+        from ray.data.aggregate import Count
+
+        from go_datax_ray.stages.partition import bounded_groupby
+        from go_datax_ray.stages.sampling import top_k_per_group
+        from go_datax_ray.stages.windows import add_tumbling_window
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events", columns=["ts", "event_type"])
+        tagged = ev.map_batches(
+            add_tumbling_window, fn_kwargs=dict(ts_col="ts", size_s=3600),
+            batch_format="pyarrow",
+        ).drop_columns(["ts"])
+        counts = bounded_groupby(
+            tagged, ["window_start", "event_type"]
+        ).aggregate(Count(alias_name="n"))
+
+        def conform(t):
+            import pyarrow as _pa
+            i = t.column_names.index("n")
+            t = t.set_column(i, "n", t.column("n").cast(_pa.int64()))
+            j = t.column_names.index("window_start")
+            return t.set_column(
+                j, "window_start",
+                t.column("window_start").cast(_pa.timestamp("us")),
+            )
+
+        counts = counts.map_batches(conform, batch_format="pyarrow")
+        return top_k_per_group(
+            counts, group="window_start", order="n", k=3,
+            tiebreak="event_type",
+        )
+
     def q_tpch_q1_composed(sf_dir: str):
         """TPC-H Q1-shaped pricing summary from engine operators: filter
         -> per-row exact-cents derivation (disc_price/charge with the
@@ -1473,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q_pivot_events,
         "explode_tokens": q_explode_tokens,
         "funnel": q_funnel,
+        "windowed_topk": q_windowed_topk,
         "tpch_q1_composed": q_tpch_q1_composed,
         "group_sample": q_group_sample,
         "grouped_outliers": q_grouped_outliers,
@@ -1974,6 +2011,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
               FROM documents
             ) WHERE token <> ''
+        """,
+        "windowed_topk": """
+            SELECT window_start, event_type, n FROM (
+              SELECT window_start, event_type, n, ROW_NUMBER() OVER (
+                PARTITION BY window_start ORDER BY n DESC, event_type) rn
+              FROM (
+                SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                       event_type, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+              )
+            ) WHERE rn <= 3
         """,
         "tpch_q1_composed": """
             SELECT l_returnflag, l_linestatus,

@@ -256,7 +256,7 @@ def _col_np(t: pa.Table, name: str) -> np.ndarray:
     col = t.column(name)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if pa.types.is_integer(col.type):
+    if pa.types.is_integer(col.type) or pa.types.is_timestamp(col.type):
         return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
     enc = col.dictionary_encode()
     # rank the dictionary so code order == string order

@@ -127,7 +127,7 @@ def _cohash(t: pa.Table, keys: list[str], n_groups: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         for k in keys:
             col = t.column(k)
-            if pa.types.is_integer(col.type):
+            if pa.types.is_integer(col.type) or pa.types.is_timestamp(col.type):
                 v = col.cast(pa.int64()).combine_chunks().to_numpy(
                     zero_copy_only=False
                 ).view(np.uint64)

@@ -158,3 +158,43 @@ def test_fold_view_cli(tmp_path):
               "--group-cols", "lang", "--sum-cols", "text_len"])
     assert rc == 0
     assert _view(lake) == before
+
+
+def test_uncommitted_epoch_deltas_invisible(tmp_path):
+    """Deltas written for an epoch the manifest never committed (crashed
+    epoch) must not appear in read_view — visibility rides the manifest,
+    exactly like data files."""
+    from go_datax_ray.sinks.views import write_view_deltas
+    from go_datax_ray.state.fs import LakeFS
+    from go_datax_ray.state.manifest import Manifest
+
+    lake = str(tmp_path / "lake")
+    cfg = ReplayConfig(lake_dir=lake, num_partitions=4, epoch_size=4000,
+                       views=(SPEC,))
+    replay(SynthEventSource(4000, SynthConfig(n_urls=400)), cfg)
+    before = _view(lake)
+    # simulate a crashed epoch: delta files exist, manifest never moved
+    crashed_epoch = Manifest.load(lake).epoch + 1
+    fake_new = pa.table({
+        "op": ["U"], "lang": ["zz"],
+        "text": ["x" * 10],
+    })
+    write_view_deltas(LakeFS(lake), lake, (SPEC,), None, fake_new,
+                      crashed_epoch, 0)
+    assert _view(lake) == before  # zz never appears
+    assert "zz" not in _view(lake)
+
+
+def test_two_views_same_replay(tmp_path):
+    """Multiple ViewSpecs maintained in one replay, independently."""
+    spec2 = ViewSpec(name="op_counts", group_cols=("lang", "op"))
+    lake = str(tmp_path / "lake")
+    cfg = ReplayConfig(lake_dir=lake, num_partitions=4, epoch_size=3000,
+                       views=(SPEC, spec2))
+    replay(SynthEventSource(6000, SynthConfig(n_urls=600)), cfg)
+    assert _view(lake) == _recompute(lake)
+    v2 = read_view(lake, spec2)
+    # live rows only -> op is never 'D' (I/U both live)
+    assert "D" not in set(v2.column("op").to_pylist())
+    total = sum(v2.column("n").to_pylist())
+    assert total == sum(n for n, _ in _recompute(lake).values())
