@@ -158,6 +158,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return read_lake(lake).map_batches(_cdc_out, batch_format="pyarrow")
 
+    def q_regex_extract(sf_dir: str):
+        """dx_extract through the transformer chain: RE2 capture-group
+        extraction, byte parity with DuckDB regexp_extract (non-match ->
+        '', null stays null)."""
+        from go_datax_ray.stages.transforms import apply_transformers
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+        out = apply_transformers(docs, [
+            {"name": "dx_extract",
+             "parameter": {"column": "text",
+                           "paras": [r"^(\w+)\s+(\w+)", "2", "second_word"]}},
+        ])
+        return out.select_columns(["doc_id", "second_word"])
+
     def q_windowed_topk(sf_dir: str):
         """Top-3 event types per tumbling hour: composition of the
         tumbling tagger, one map-side-combining counts groupby, and the
@@ -1509,6 +1524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q_pivot_events,
         "explode_tokens": q_explode_tokens,
         "funnel": q_funnel,
+        "regex_extract": q_regex_extract,
         "windowed_topk": q_windowed_topk,
         "tpch_q1_composed": q_tpch_q1_composed,
         "group_sample": q_group_sample,
@@ -2011,6 +2027,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
               FROM documents
             ) WHERE token <> ''
+        """,
+        "regex_extract": r"""
+            SELECT doc_id,
+                   regexp_extract(text, '^(\w+)\s+(\w+)', 2) AS second_word
+            FROM documents
         """,
         "windowed_topk": """
             SELECT window_start, event_type, n FROM (

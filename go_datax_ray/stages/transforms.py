@@ -209,6 +209,35 @@ def dx_json(t: pa.Table, column: str, path: str, out_col: str | None = None) -> 
     return t.append_column(out_col, result)
 
 
+def dx_extract(t: pa.Table, column: str, pattern: str, group: int = 1,
+               out_col: str | None = None) -> pa.Table:
+    """Regex capture-group extraction into a new string column — the
+    structured-field sibling of dx_replace. Both Arrow and DuckDB run
+    RE2, so the same pattern string is oracle-checkable via
+    ``regexp_extract(col, pattern, group)``; like DuckDB, a non-match
+    yields '' (empty string), null input stays null."""
+    named = _re.sub(r"(?<!\\)\((?!\?)", lambda m, c=iter(range(99)): f"(?P<g{next(c)}>",
+                    pattern)
+    col = t.column(column)
+    if not pa.types.is_string(col.type):
+        col = col.cast(pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ext = pc.extract_regex(col, named)
+    field_names = [f.name for f in ext.type]
+    want = f"g{group - 1}" if group >= 1 else None
+    if want is None or want not in field_names:
+        raise ValueError(
+            f"pattern {pattern!r} has no capture group {group}"
+        )
+    # extract_regex: non-match -> struct-level null; DuckDB regexp_extract
+    # returns '' there — match that, but keep null inputs null
+    vals = pc.if_else(pc.is_valid(ext), ext.field(want),
+                      pa.scalar("", pa.string()))
+    vals = pc.if_else(pc.is_valid(col), vals, pa.nulls(len(col), pa.string()))
+    return t.append_column(out_col or f"{column}_extract", vals)
+
+
 def dx_digest(t: pa.Table, column: str, algo: str = "md5") -> pa.Table:
     """Hex digest of the column's utf-8 text (null stays null)."""
     h = _DIGESTS[algo.lower()]
@@ -262,6 +291,13 @@ def build_transformer_chain(
             path = paras[0]
             out = paras[1] if len(paras) > 1 else None
             steps.append(lambda t, c=col, p=path, o=out: dx_json(t, c, p, o))
+        elif name == "dx_extract":  # engine extension: regex capture group
+            pat = paras[0]
+            grp = int(paras[1]) if len(paras) > 1 else 1
+            out = paras[2] if len(paras) > 2 else None
+            steps.append(
+                lambda t, c=col, p=pat, g=grp, o=out: dx_extract(t, c, p, g, o)
+            )
         elif name == "dx_cast":  # engine extension: the §1.1 casting matrix
             from .cast import dx_cast
 

@@ -674,3 +674,21 @@ def test_ngram_commonness_tiny_docs():
     got = {r.doc_id: (r.n_bigrams, r.commonness) for r in out.itertuples()}
     # global counts: "a b" x3 ("a b a b" has 2, "a b" has 1), "b a" x1
     assert got == {1: (3, 7), 2: (1, 3)}
+
+
+def test_dx_extract_matches_duckdb():
+    from go_datax_ray.stages.transforms import dx_extract
+
+    cases = ["user=alice id=7", "no match", None, "x=3.14 y=2",
+             "a-b-c", ""]
+    pat, grp = r"(\w+)=([0-9.]+)", 2
+    t = pa.table({"c": pa.array(cases, pa.string())})
+    mine = dx_extract(t, "c", pat, grp).column("c_extract").to_pylist()
+    for s, m in zip(cases, mine):
+        if s is None:
+            assert m is None
+            continue
+        want = duckdb.sql(
+            "select regexp_extract(?, ?, ?)", params=[s, pat, grp]
+        ).fetchone()[0]
+        assert m == want, (s, m, want)
