@@ -158,6 +158,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return read_lake(lake).map_batches(_cdc_out, batch_format="pyarrow")
 
+    def q_ntile(sf_dir: str):
+        """Exact NTILE(4) over (value, event_id) with NO global sort:
+        domain-bounded value histogram broadcast once per worker +
+        value-bit cohash shuffle for within-tie id ranks."""
+        from go_datax_ray.stages.analytic import global_ntile
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events", columns=["event_id", "value"])
+        return global_ntile(ev, value_col="value", id_col="event_id", k=4)
+
     def q_regex_extract(sf_dir: str):
         """dx_extract through the transformer chain: RE2 capture-group
         extraction, byte parity with DuckDB regexp_extract (non-match ->
@@ -1524,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q_pivot_events,
         "explode_tokens": q_explode_tokens,
         "funnel": q_funnel,
+        "ntile": q_ntile,
         "regex_extract": q_regex_extract,
         "windowed_topk": q_windowed_topk,
         "tpch_q1_composed": q_tpch_q1_composed,
@@ -2027,6 +2038,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
               FROM documents
             ) WHERE token <> ''
+        """,
+        "ntile": """
+            SELECT event_id, value,
+                   CAST(NTILE(4) OVER (ORDER BY value, event_id) AS BIGINT)
+                     AS bucket
+            FROM events
         """,
         "regex_extract": r"""
             SELECT doc_id,

@@ -507,3 +507,91 @@ def grouped_outliers(ds, *, group: str = "user_id", value_col: str = "value",
         return out
 
     return ev.map_batches(flag, batch_format="pyarrow")
+
+
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=4)
+def _ntile_lookup(refs: tuple):
+    """(sorted distinct values, exclusive prefix counts, total n) from the
+    broadcast per-value histogram refs — worker-cached (joins'
+    _ref_value_set contract)."""
+    import ray as _ray
+
+    tables = [t for t in _ray.get(list(refs)) if t.num_rows]
+    t = pa.concat_tables(tables)
+    v = t.column("v").to_numpy(zero_copy_only=False)
+    c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    prefix = np.concatenate([[0], np.cumsum(c)[:-1]])
+    return v, prefix, int(c.sum())
+
+
+def global_ntile(ds, *, value_col: str = "value", id_col: str = "event_id",
+                 k: int = 4):
+    """Exact NTILE(k) OVER (ORDER BY value, id) WITHOUT a global sort.
+
+    rank(row) = #rows with smaller value + #same-value rows with smaller
+    id. Two passes:
+    1. per-VALUE histogram (combiner groupby — the shuffle is bounded by
+       the value DOMAIN, not the row count) -> broadcast as object-store
+       refs, each worker folds it once into (sorted values, exclusive
+       prefix counts, n).
+    2. rows co-hash-shuffle on the value's BIT PATTERN (exact float
+       equality grouping) so equal values co-locate; one lexsort per
+       coarse bucket yields the within-value id rank; global rank =
+       prefix[value] + within; the bucket follows DuckDB's NTILE split
+       (first n%k buckets get ceil(n/k) rows).
+
+    Partitioning assumption (documented): rows sharing ONE value fit one
+    coarse bucket — for genuinely discrete/low-cardinality values with
+    huge tie classes, pre-bucket by (value, id-range) instead."""
+    from ray.data.aggregate import Count
+
+    from .partition import bounded_groupby, cohash_map_groups
+
+    counts = bounded_groupby(
+        ds.map_batches(
+            lambda t: pa.table({"v": t.column(value_col)}),
+            batch_format="pyarrow",
+        ),
+        "v",
+    ).aggregate(Count(alias_name="c")).materialize()  # domain-bounded
+    refs = tuple(counts.to_arrow_refs())
+
+    def tag(t: pa.Table) -> pa.Table:
+        bits = t.column(value_col).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).view(np.int64)
+        return t.append_column("_vb", pa.array(bits, pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def rank_block(g: pa.Table) -> pa.Table:
+        vs, prefix, total = _ntile_lookup(refs)
+        q, r = divmod(total, k)
+        v = g.column(value_col).combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((ids, v))
+        v_s = v[order]
+        heads = np.concatenate([[True], v_s[1:] != v_s[:-1]])
+        seg_of = np.maximum.accumulate(np.where(heads, np.arange(len(v_s)), 0))
+        within = np.arange(len(v_s)) - seg_of
+        base = prefix[np.searchsorted(vs, v_s)]
+        rank = base + within  # 0-based global rank
+        big = r * (q + 1)
+        if q == 0:
+            bucket = rank // max(q + 1, 1)
+        else:
+            bucket = np.where(rank < big, rank // (q + 1),
+                              r + (rank - big) // q)
+        out = g.take(pa.array(order)).select([id_col, value_col])
+        return out.append_column(
+            "bucket", pa.array((bucket + 1).astype(np.int64), pa.int64())
+        )
+
+    return cohash_map_groups(tagged, ["_vb"], rank_block)

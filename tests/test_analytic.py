@@ -261,3 +261,46 @@ def test_cube_three_keys_subset_count():
     import numpy as np
     masks = {tuple(r) for r in out[["a", "b", "c"]].isna().itertuples(index=False)}
     assert len(masks) == 8
+
+
+def test_global_ntile_matches_duckdb():
+    from go_datax_ray.stages.analytic import global_ntile
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "value"])
+    _cmp(
+        global_ntile(ds, k=7),  # k not dividing n exercises uneven buckets
+        f"""
+        SELECT event_id, value,
+               CAST(NTILE(7) OVER (ORDER BY value, event_id) AS BIGINT)
+                 AS bucket
+        FROM '{SF}/events.parquet'
+        """,
+        ["event_id"],
+    )
+
+
+def test_global_ntile_heavy_ties():
+    """One value shared by most rows: within-tie id order must decide
+    buckets exactly as SQL does."""
+    from go_datax_ray.stages.analytic import global_ntile
+
+    import duckdb
+
+    n = 1000
+    vals = [5.0] * 900 + [float(i) for i in range(100)]
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    mine = (
+        global_ntile(rd.from_arrow(t), k=3)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    tp = t.to_pandas()
+    want = duckdb.sql("""
+        SELECT event_id,
+               CAST(NTILE(3) OVER (ORDER BY value, event_id) AS BIGINT)
+                 AS bucket
+        FROM tp ORDER BY event_id
+    """).df()
+    assert mine["bucket"].tolist() == want["bucket"].tolist()
