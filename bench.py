@@ -214,6 +214,9 @@ def main() -> dict:
         "hash_sample",
         "asof_join",
         "token_freq",
+        "ngram_commonness",
+        "lake_view",
+        "ntile",
     ):
         fn = qs[name]
 

@@ -94,6 +94,9 @@ def _cached_bloom(refs: tuple) -> BloomFilter:
     the object store; tasks carry only refs)."""
     acc: BloomFilter | None = None
     for t in ray.get(list(refs)):
+        # zero-row map outputs can surface as empty-schema blocks
+        if t.num_rows == 0 or "bloom" not in t.column_names:
+            continue
         for row in t.column("bloom").to_pylist():
             f = BloomFilter.from_bytes(row)
             if acc is None:

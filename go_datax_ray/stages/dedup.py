@@ -411,6 +411,10 @@ class _BroadcastPairVerifier:
         self.shingles: dict[int, np.ndarray] = {}
         for ref in doc_refs:
             t = ray.get(ref)
+            # zero-row map outputs can surface as blocks with an EMPTY
+            # schema (no columns at all) — skip them before .column()
+            if t.num_rows == 0 or id_col not in t.column_names:
+                continue
             for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
                 self.shingles[i] = _shingle_hashes(txt or "", k)
 
