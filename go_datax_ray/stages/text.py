@@ -410,7 +410,71 @@ def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return cohash_map_groups(with_df, ["doc"], topk)
 
 
-def ngram_commonness(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+@functools.lru_cache(maxsize=2)
+def _bigram_count_lookup(refs: tuple):
+    """(vocab StringArray, int64 counts) from broadcast count-block refs —
+    built once per WORKER PROCESS (joins._ref_value_set contract)."""
+    import ray
+
+    tables = [
+        t for t in ray.get(list(refs))
+        if t.num_rows and "bigram" in t.column_names
+    ]
+    vocab = pa.concat_arrays(
+        [t.column("bigram").combine_chunks().cast(pa.string()) for t in tables]
+    )
+    cnts = np.concatenate(
+        [t.column("c").cast(pa.int64()).to_numpy(zero_copy_only=False) for t in tables]
+    )
+    return vocab, cnts
+
+
+def _score_docs_batch(t: pa.Table, *, id_col: str, text_col: str,
+                      refs: tuple) -> pa.Table:
+    """One-pass per-doc commonness against the broadcast global counts:
+    every bigram of a document lives in the document's own batch, so the
+    whole score is a local index_in + segment reduceat — no shuffle."""
+    vocab, cnts = _bigram_count_lookup(refs)
+    id_type = t.schema.field(id_col).type
+    empty = pa.table(
+        {id_col: pa.array([], id_type),
+         "n_bigrams": pa.array([], pa.int64()),
+         "commonness": pa.array([], pa.int64())}
+    )
+    toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    flat, parent = flat.filter(keep), parent.filter(keep)
+    n = len(flat)
+    if n < 2:
+        return empty
+    same = pc.equal(parent.slice(0, n - 1), parent.slice(1))
+    big = pc.binary_join_element_wise(
+        flat.slice(0, n - 1), flat.slice(1), pa.scalar(" ")
+    ).filter(same)
+    if len(big) == 0:
+        return empty
+    pr = parent.slice(0, n - 1).filter(same).to_numpy(zero_copy_only=False)
+    idx = pc.index_in(big.combine_chunks(), value_set=vocab)
+    # every scored bigram was seen by the counting pass (same corpus,
+    # same kernels) — fill_null(0) only guards ref-order races
+    c = cnts[pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)]
+    # parent indices are non-decreasing -> exact int64 segment sums
+    seg = np.concatenate([[0], np.nonzero(pr[1:] != pr[:-1])[0] + 1])
+    sums = np.add.reduceat(c, seg)
+    widths = np.diff(np.concatenate([seg, [len(pr)]]))
+    return pa.table(
+        {
+            id_col: t.column(id_col).take(pa.array(pr[seg], pa.int64())),
+            "n_bigrams": pa.array(widths, pa.int64()),
+            "commonness": pa.array(sums, pa.int64()),
+        }
+    )
+
+
+def ngram_commonness(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                     broadcast_limit: int = 2_000_000):
     """Per-document COMMONNESS score: the sum of the corpus-global
     frequencies of the document's word bigrams (+ its bigram count) —
     an integer-exact proxy for "how boilerplate is this page" that a
@@ -419,16 +483,22 @@ def ngram_commonness(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     no corpus-global statistics at all (SURVEY.md §2.7).
 
     Scale shape — this is the canonical FEATURE-LOOKUP JOIN: (id,
-    feature) pairs join to a global feature-frequency table.
+    feature) pairs join to a global feature-frequency table. Adaptive:
     1. pairs: per-batch Arrow kernels (split -> flatten -> shifted
        parent equality -> element-wise join), zero Python per row.
     2. global counts: within-batch value_counts combiner, then ONE
        groupby-sum over ~|local vocab| rows per block, never one row
        per token occurrence.
-    3. pairs JOIN counts: bucketed hash join on the bigram (both sides
-       corpus-scale; n_salts handles the "of the" hot keys at real
-       scale), then a per-doc groupby-sum over the joined pairs.
-    The input streams twice (pairs for counting, pairs for joining) —
+    3a. small vocabularies (<= broadcast_limit distinct bigrams): the
+       counts table is broadcast as object-store block refs (pulled
+       once per worker, lru-cached) and each doc scores in ONE
+       vectorized map pass — pc.index_in against the vocab + a bincount
+       per-doc sum. A document's bigrams never leave their batch, so
+       there is NO join shuffle and NO per-doc groupby at all.
+    3b. web-scale vocabularies: pairs JOIN counts via the bucketed hash
+       join on the bigram (both sides corpus-scale; n_salts handles the
+       "of the" hot keys), then a per-doc groupby-sum.
+    The input streams twice (once for counting, once for scoring) —
     re-execution, not materialization, so nothing corpus-sized is ever
     pinned in the object store."""
     from ray.data.aggregate import Count, Sum
@@ -466,7 +536,15 @@ def ngram_commonness(ds, *, id_col: str = "doc_id", text_col: str = "text"):
 
     counts = bounded_groupby(
         pairs.map_batches(vc, batch_format="pyarrow"), "bigram"
-    ).aggregate(Sum("_c", alias_name="c"))
+    ).aggregate(Sum("_c", alias_name="c")).materialize()  # vocab-sized
+
+    if counts.count() <= broadcast_limit:
+        refs = tuple(counts.to_arrow_refs())
+        return ds.map_batches(
+            _score_docs_batch,
+            fn_kwargs=dict(id_col=id_col, text_col=text_col, refs=refs),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
 
     joined = bucket_hash_join(pairs, counts, on="bigram")
     out = bounded_groupby(

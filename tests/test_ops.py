@@ -676,6 +676,25 @@ def test_ngram_commonness_tiny_docs():
     assert got == {1: (3, 7), 2: (1, 3)}
 
 
+def test_ngram_commonness_join_path_matches_broadcast():
+    """broadcast_limit=0 forces the bucketed-join scale path; both
+    strategies must produce identical rows."""
+    from go_datax_ray.stages.text import ngram_commonness
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    a = (
+        ngram_commonness(ds)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        ngram_commonness(ds, broadcast_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
 def test_dx_extract_matches_duckdb():
     from go_datax_ray.stages.transforms import dx_extract
 
