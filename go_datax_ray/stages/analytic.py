@@ -68,10 +68,15 @@ def ranked_window(
       drnk  = DENSE_RANK()  OVER (PARTITION BY by ORDER BY order)
       prev_value = LAG(value)  OVER (... ORDER BY order, tiebreak)
       next_value = LEAD(value) OVER (... ORDER BY order, tiebreak)
+      pct_rank   = PERCENT_RANK() OVER (PARTITION BY by ORDER BY order)
+      cume_dist  = CUME_DIST()    OVER (PARTITION BY by ORDER BY order)
 
-    RANK/DENSE_RANK order by ``order`` alone (ties share a rank), so the
-    output is deterministic even with duplicate timestamps; rn/lag/lead
-    use the unique ``tiebreak`` and are deterministic too.
+    RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST order by ``order`` alone
+    (ties share a rank), so the output is deterministic even with
+    duplicate timestamps; rn/lag/lead use the unique ``tiebreak`` and
+    are deterministic too. The two ratio columns divide the same int64
+    pairs ANSI engines divide ((rnk-1)/(n-1) and peers_through/n), so
+    the doubles are IEEE-bit-identical to DuckDB's.
     """
     from .partition import cohash_map_groups
 
@@ -115,12 +120,25 @@ def ranked_window(
         if n:
             seg_end[:-1] = seg_start[1:]
             seg_end[-1] = True
+        # per-row segment size, and the within-segment index of the LAST
+        # row of the current equal-`order` run (for CUME_DIST)
+        seg_sizes = np.diff(np.r_[starts, n])
+        seg_n = np.repeat(seg_sizes, seg_sizes)
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.r_[run_starts[1:], n] - 1  # global index per run
+        run_id = np.cumsum(new_run) - 1
+        peers_through = run_ends[run_id] - seg_of + 1
+        denom = np.maximum(seg_n - 1, 1)
+        pct_rank = (rnk - 1).astype(np.float64) / denom.astype(np.float64)
+        cume = peers_through.astype(np.float64) / seg_n.astype(np.float64)
         return (
             sorted_tbl.append_column("rn", pa.array(rn, pa.int64()))
             .append_column("rnk", pa.array(rnk, pa.int64()))
             .append_column("drnk", pa.array(drnk, pa.int64()))
             .append_column("prev_value", pa.array(prev, pa.float64(), mask=seg_start))
             .append_column("next_value", pa.array(nxt, pa.float64(), mask=seg_end))
+            .append_column("pct_rank", pa.array(pct_rank, pa.float64()))
+            .append_column("cume_dist", pa.array(cume, pa.float64()))
         )
 
     return cohash_map_groups(ds, [by], rank_block)

@@ -33,7 +33,9 @@ def test_ranked_window_matches_duckdb():
                CAST(RANK() OVER w1 AS BIGINT) AS rnk,
                CAST(DENSE_RANK() OVER w1 AS BIGINT) AS drnk,
                LAG(value) OVER w2 AS prev_value,
-               LEAD(value) OVER w2 AS next_value
+               LEAD(value) OVER w2 AS next_value,
+               PERCENT_RANK() OVER w1 AS pct_rank,
+               CUME_DIST() OVER w1 AS cume_dist
         FROM '{SF}/events.parquet'
         WINDOW w1 AS (PARTITION BY user_id ORDER BY ts),
                w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
