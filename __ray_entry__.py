@@ -183,6 +183,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ])
         return out.select_columns(["doc_id", "second_word"])
 
+    def q_url_parse(sf_dir: str):
+        """dx_url through the transformer chain: scheme/host/port/path/
+        query-param extraction with RE2 patterns shared verbatim with
+        the DuckDB oracle (regexp_extract). The url column is built
+        deterministically from documents (the test tables carry no raw
+        urls; the flagship's synthetic urls never reach the driver
+        contract)."""
+        from go_datax_ray.stages.transforms import apply_transformers
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+        def build_url(t):
+            import numpy as np
+
+            ids = t.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+            did = t.column("doc_id").cast(pa.string())
+            port = pc.if_else(
+                pa.array(ids % 13 == 0),
+                pa.scalar(":8080"), pa.scalar(""),
+            )
+            path = pc.if_else(
+                pa.array(ids % 7 == 0),
+                pa.scalar(""),
+                pc.binary_join_element_wise(pa.array(["/docs/"] * t.num_rows), did, ""),
+            )
+            q = pc.if_else(
+                pa.array(ids % 3 == 0),
+                pc.binary_join_element_wise(
+                    pa.array(["?lang="] * t.num_rows),
+                    t.column("lang").cast(pa.string()),
+                    pa.array(["&v="] * t.num_rows),
+                    pa.array((ids % 5).astype(str)),
+                    "",
+                ),
+                pa.scalar(""),
+            )
+            url = pc.binary_join_element_wise(
+                pa.array(["https://"] * t.num_rows),
+                t.column("source").cast(pa.string()),
+                pa.array([".example.com"] * t.num_rows),
+                port, path, q, "",
+            )
+            return pa.table({"doc_id": t.column("doc_id"), "url": url})
+
+        built = docs.map_batches(build_url, batch_format="pyarrow")
+        out = apply_transformers(built, [
+            {"name": "dx_url", "parameter": {"column": "url", "paras": ["host"]}},
+            {"name": "dx_url", "parameter": {"column": "url", "paras": ["port"]}},
+            {"name": "dx_url", "parameter": {"column": "url", "paras": ["path"]}},
+            {"name": "dx_url",
+             "parameter": {"column": "url", "paras": ["param:lang", "lang_param"]}},
+        ])
+        return out.select_columns(
+            ["doc_id", "url", "url_host", "url_port", "url_path", "lang_param"]
+        )
+
     def q_windowed_topk(sf_dir: str):
         """Top-3 event types per tumbling hour: composition of the
         tumbling tagger, one map-side-combining counts groupby, and the
@@ -1536,6 +1593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,
         "ntile": q_ntile,
         "regex_extract": q_regex_extract,
+        "url_parse": q_url_parse,
         "windowed_topk": q_windowed_topk,
         "tpch_q1_composed": q_tpch_q1_composed,
         "group_sample": q_group_sample,
@@ -1600,6 +1658,34 @@ def _stopword_patterns():
     return pat(set().union(*_STOPWORDS.values())), {
         lang: pat(s) for lang, s in _STOPWORDS.items() if lang != "ru"
     }
+
+
+def _url_parse_oracle() -> str:
+    """url_parse oracle — the RE2 patterns come from the SAME
+    transforms.url_pattern() the engine runs, so engine and oracle can
+    never drift."""
+    from go_datax_ray.stages.transforms import url_pattern
+
+    host, port = url_pattern("host"), url_pattern("port")
+    path, lang = url_pattern("path"), url_pattern("param:lang")
+    return f"""
+        WITH b AS (
+          SELECT doc_id,
+                 'https://' || source || '.example.com'
+                 || CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN ''
+                         ELSE '/docs/' || doc_id END
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '?lang=' || lang || '&v=' || (doc_id % 5)
+                         ELSE '' END AS url
+          FROM documents)
+        SELECT doc_id, url,
+               regexp_extract(url, '{host}', 1) AS url_host,
+               regexp_extract(url, '{port}', 1) AS url_port,
+               regexp_extract(url, '{path}', 1) AS url_path,
+               regexp_extract(url, '{lang}', 1) AS lang_param
+        FROM b
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2052,6 +2138,7 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(text, '^(\w+)\s+(\w+)', 2) AS second_word
             FROM documents
         """,
+        "url_parse": _url_parse_oracle(),
         "windowed_topk": """
             SELECT window_start, event_type, n FROM (
               SELECT window_start, event_type, n, ROW_NUMBER() OVER (

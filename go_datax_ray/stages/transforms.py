@@ -238,6 +238,44 @@ def dx_extract(t: pa.Table, column: str, pattern: str, group: int = 1,
     return t.append_column(out_col or f"{column}_extract", vals)
 
 
+#: RE2 patterns for URL-part extraction. Exported so the DuckDB oracle
+#: runs the IDENTICAL pattern through regexp_extract — both engines are
+#: RE2, so byte parity is structural (the dx_extract contract).
+_URL_PARTS = {
+    "scheme": r"^([a-zA-Z][a-zA-Z0-9+.-]*)://",
+    "host": r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)",
+    "port": r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)",
+    "path": r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)",
+    "query": r"\?([^#]*)",
+    "fragment": r"#(.*)$",
+}
+
+
+def url_pattern(part: str) -> str:
+    """The RE2 pattern dx_url uses for ``part`` (``param:<name>`` builds
+    a per-parameter pattern) — share it with the SQL oracle verbatim."""
+    if part.startswith("param:"):
+        name = _re.escape(part.split(":", 1)[1])
+        return rf"[?&]{name}=([^&#]*)"
+    try:
+        return _URL_PARTS[part]
+    except KeyError:
+        raise ValueError(
+            f"dx_url: unknown part {part!r} (one of {sorted(_URL_PARTS)} or param:<name>)"
+        ) from None
+
+
+def dx_url(t: pa.Table, column: str, part: str, out_col: str | None = None) -> pa.Table:
+    """URL-part extraction for webtext curation: scheme/host/port/path/
+    query/fragment/param:<name> as a new string column. Pure RE2 over
+    dx_extract's kernels (no per-row urllib); non-match -> '' and null
+    stays null, exactly like DuckDB's regexp_extract on the same
+    pattern. The reference has no URL functions at all — its webtext
+    jobs carry urls as opaque strings (SURVEY.md §1.4 input_hint)."""
+    return dx_extract(t, column, url_pattern(part), 1,
+                      out_col or f"{column}_{part.replace(':', '_')}")
+
+
 def dx_digest(t: pa.Table, column: str, algo: str = "md5") -> pa.Table:
     """Hex digest of the column's utf-8 text (null stays null)."""
     h = _DIGESTS[algo.lower()]
@@ -298,6 +336,10 @@ def build_transformer_chain(
             steps.append(
                 lambda t, c=col, p=pat, g=grp, o=out: dx_extract(t, c, p, g, o)
             )
+        elif name == "dx_url":  # engine extension: URL-part extraction
+            part = paras[0]
+            out = paras[1] if len(paras) > 1 else None
+            steps.append(lambda t, c=col, p=part, o=out: dx_url(t, c, p, o))
         elif name == "dx_cast":  # engine extension: the §1.1 casting matrix
             from .cast import dx_cast
 

@@ -695,6 +695,37 @@ def test_ngram_commonness_join_path_matches_broadcast():
     pd.testing.assert_frame_equal(a, b[a.columns])
 
 
+def test_dx_url_parts():
+    """dx_url edge classes: full url, no scheme (-> ''), no port, null
+    input stays null, missing query param -> ''."""
+    from go_datax_ray.stages.transforms import dx_url
+
+    t = pa.table({
+        "url": pa.array([
+            "https://user@www.ex.com:8080/a/b?x=1&lang=fr#frag",
+            "http://ex.org",
+            "www.no-scheme.com/path",
+            None,
+        ], pa.string()),
+    })
+    out = t
+    for part in ("scheme", "host", "port", "path", "query", "fragment"):
+        out = dx_url(out, "url", part)
+    out = dx_url(out, "url", "param:lang", "lang_p")
+    rows = out.to_pylist()
+    assert rows[0]["url_scheme"] == "https"
+    assert rows[0]["url_host"] == "www.ex.com"
+    assert rows[0]["url_port"] == "8080"
+    assert rows[0]["url_path"] == "/a/b"
+    assert rows[0]["url_query"] == "x=1&lang=fr"
+    assert rows[0]["url_fragment"] == "frag"
+    assert rows[0]["lang_p"] == "fr"
+    assert rows[1]["url_host"] == "ex.org"
+    assert rows[1]["url_port"] == "" and rows[1]["url_path"] == ""
+    assert rows[2]["url_host"] == ""  # no scheme -> no authority match
+    assert rows[3]["url_host"] is None  # null input stays null
+
+
 def test_dx_extract_matches_duckdb():
     from go_datax_ray.stages.transforms import dx_extract
 
