@@ -183,6 +183,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ])
         return out.select_columns(["doc_id", "second_word"])
 
+    def q_unpivot_lineitem(sf_dir: str):
+        """UNPIVOT (melt) of lineitem's four measures into (metric,
+        value) long form — pure per-batch Arrow column copies, zero
+        shuffle (stages/analytic.unpivot)."""
+        from go_datax_ray.stages.analytic import unpivot
+
+        rd = rd_lazy()
+        li = _rp(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_linenumber", "l_quantity",
+                          "l_extendedprice", "l_discount", "l_tax"])
+        return unpivot(
+            li, id_cols=["l_orderkey", "l_linenumber"],
+            value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        )
+
     def q_url_parse(sf_dir: str):
         """dx_url through the transformer chain: scheme/host/port/path/
         query-param extraction with RE2 patterns shared verbatim with
@@ -1011,6 +1026,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
         agg = partial_agg_sum(joined, key="l_orderkey", value_expr=cents, out_col="revenue_cents")
         return agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
 
+    def q_tpch_q5_composed(sf_dir: str):
+        """TPC-H Q5-shaped composition: a 6-table join expressed with the
+        engine's own scale idioms — tiny dims (region x nation) resolved
+        driver-side, small sides (customer, supplier) BROADCAST, the one
+        genuinely big x big pair (lineitem x orders) through the bucketed
+        hash join, then exact-cents partial aggregation by nation. The
+        co-located-nation predicate (c_nationkey = s_nationkey) filters
+        AFTER the joins, map-side."""
+        import pyarrow.parquet as pq
+
+        from go_datax_ray.stages.joins import broadcast_join, bucket_hash_join
+        from go_datax_ray.stages.partition import bounded_groupby
+        from ray.data.aggregate import Sum
+
+        rd = rd_lazy()
+        region = pq.read_table(f"{sf_dir}/region.parquet")
+        nation = pq.read_table(f"{sf_dir}/nation.parquet")
+        asia = region.filter(pc.equal(region.column("r_name"), pa.scalar("ASIA")))
+        nat = nation.filter(
+            pc.is_in(nation.column("n_regionkey"),
+                     value_set=asia.column("r_regionkey").combine_chunks())
+        )
+        asia_keys = nat.column("n_nationkey").combine_chunks()
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        cust = cust.filter(pc.is_in(cust.column("c_nationkey"), value_set=asia_keys))
+        cust = cust.rename_columns(["o_custkey", "c_nationkey"])
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+        supp = supp.filter(pc.is_in(supp.column("s_nationkey"), value_set=asia_keys))
+        supp = supp.rename_columns(["l_suppkey", "s_nationkey"])
+
+        lo, hi = pa.scalar(pd_ts("1996-01-01")), pa.scalar(pd_ts("1997-01-01"))
+        orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        orders = orders.map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.greater_equal(t.column("o_orderdate"), lo),
+                        pc.less(t.column("o_orderdate"), hi))
+            ).select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow",
+        )
+        orders = broadcast_join(orders, cust, on="o_custkey")
+        orders = orders.map_batches(
+            lambda t: t.select(["o_orderkey", "c_nationkey"]).rename_columns(
+                ["l_orderkey", "c_nationkey"]),
+            batch_format="pyarrow",
+        )
+        li = _rp(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        joined = bucket_hash_join(li, orders, on="l_orderkey", n_buckets=16)
+        joined = broadcast_join(joined, supp, on="l_suppkey")
+        names = dict(zip(nat.column("n_nationkey").to_pylist(),
+                         nat.column("n_name").to_pylist()))
+        nk = pa.array(sorted(names), pa.int64())
+        nv = pa.array([names[k] for k in sorted(names)], pa.string())
+
+        def cents_by_nation(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("c_nationkey"), t.column("s_nationkey")))
+            rev = pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+            cents = pc.cast(
+                pc.round(pc.multiply(rev, pa.scalar(100.0)),
+                         options=pc.RoundOptions(round_mode="half_towards_infinity")),
+                pa.int64(),
+            )
+            idx = pc.index_in(t.column("s_nationkey").cast(pa.int64()), value_set=nk)
+            return pa.table({"n_name": nv.take(idx), "revenue_cents": cents})
+
+        per_nation = joined.map_batches(cents_by_nation, batch_format="pyarrow")
+        out = bounded_groupby(per_nation, "n_name").aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents")
+        )
+        return out.map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("revenue_cents"), "revenue_cents",
+                t.column("revenue_cents").cast(pa.int64())),
+            batch_format="pyarrow",
+        )
+
     def q_lineage(sf_dir: str):
         """Per-partition lineage of a multi-epoch replay: source offsets ->
         partition -> committed file + rows — now FULLY SQL-oracle-checked:
@@ -1594,6 +1690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile": q_ntile,
         "regex_extract": q_regex_extract,
         "url_parse": q_url_parse,
+        "unpivot_lineitem": q_unpivot_lineitem,
         "windowed_topk": q_windowed_topk,
         "tpch_q1_composed": q_tpch_q1_composed,
         "group_sample": q_group_sample,
@@ -1644,6 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q_approx_distinct,
         "lineage": q_lineage,
         "tpch_q3_composed": q_tpch_q3_composed,
+        "tpch_q5_composed": q_tpch_q5_composed,
     }
 
 
@@ -1916,6 +2014,20 @@ def oracle_sql() -> dict[str, str]:
               FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
             ) WHERE op IS NOT NULL
         """,
+        "tpch_q5_composed": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(
+                        l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
         "tpch_q3_composed": """
             SELECT l_orderkey,
                    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
@@ -2139,6 +2251,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "url_parse": _url_parse_oracle(),
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS metric, l_quantity AS value FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber,
+                   'l_discount', l_discount FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber,
+                   'l_tax', l_tax FROM lineitem
+        """,
         "windowed_topk": """
             SELECT window_start, event_type, n FROM (
               SELECT window_start, event_type, n, ROW_NUMBER() OVER (

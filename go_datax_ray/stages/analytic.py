@@ -272,6 +272,34 @@ def cube_aggregate(ds, *, keys: list[str], value_col: str = "value"):
     return out
 
 
+def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
+            name_col: str = "metric", value_col: str = "value"):
+    """UNPIVOT / melt — the inverse of pivot_aggregate: one output row
+    per (input row, value column), all inside the batch. Pure Arrow
+    column copies, NO shuffle and no row-wise Python; output rows =
+    input rows x len(value_cols), streamed block by block (ANSI
+    equivalent: UNION ALL of per-column SELECTs / DuckDB UNPIVOT)."""
+    vtype = pa.float64()
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = []
+        for c in value_cols:
+            cols = {k: t.column(k) for k in id_cols}
+            cols[name_col] = pa.array([c] * n, pa.string())
+            cols[value_col] = t.column(c).cast(vtype)
+            parts.append(pa.table(cols))
+        if not parts:
+            return pa.table(
+                {**{k: t.column(k) for k in id_cols},
+                 name_col: pa.nulls(n, pa.string()),
+                 value_col: pa.nulls(n, vtype)}
+            ).slice(0, 0)
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _safe_name(v: str) -> str:
     return "".join(c if c.isalnum() else "_" for c in str(v))
 
