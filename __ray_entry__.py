@@ -183,6 +183,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ])
         return out.select_columns(["doc_id", "second_word"])
 
+    def q_mongo_query(sf_dir: str):
+        """mongoreader over a JSONL collection dump with the reference's
+        `query` filter grammar ({$in, $gte} here) evaluated as Arrow
+        kernels (sources/mongo.py; mongo_reader.go:42-121). The dump is
+        a deterministic re-serialisation of the documents table; the
+        oracle expresses the same predicate in SQL."""
+        import json as _json
+        import os
+
+        from go_datax_ray.registry import SOURCES
+
+        rd = rd_lazy()
+        coll = "/tmp/gdr_mongo_coll"
+        marker = os.path.join(coll, f"_src_{os.path.basename(sf_dir)}")
+        if not os.path.exists(marker):
+            import shutil
+
+            import pyarrow.parquet as pq
+
+            shutil.rmtree(coll, ignore_errors=True)
+            os.makedirs(coll)
+            t = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang", "source", "n_chars"])
+            with open(os.path.join(coll, "documents_00000.jsonl"), "w") as f:
+                for r in t.to_pylist():
+                    f.write(_json.dumps(r) + "\n")
+            open(marker, "w").close()
+        ds = SOURCES["mongoreader"](
+            {
+                "path": f"{coll}/*.jsonl",
+                "column": [
+                    {"name": "doc_id", "type": "long"},
+                    {"name": "lang", "type": "string"},
+                    {"name": "source", "type": "string"},
+                    {"name": "n_chars", "type": "long"},
+                ],
+                "query": _json.dumps(
+                    {"lang": {"$in": ["en", "fr"]}, "n_chars": {"$gte": 200}}
+                ),
+            }
+        )
+        return ds
+
     def q_unpivot_lineitem(sf_dir: str):
         """UNPIVOT (melt) of lineitem's four measures into (metric,
         value) long form — pure per-batch Arrow column copies, zero
@@ -1691,6 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract": q_regex_extract,
         "url_parse": q_url_parse,
         "unpivot_lineitem": q_unpivot_lineitem,
+        "mongo_query": q_mongo_query,
         "windowed_topk": q_windowed_topk,
         "tpch_q1_composed": q_tpch_q1_composed,
         "group_sample": q_group_sample,
@@ -2251,6 +2295,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "url_parse": _url_parse_oracle(),
+        "mongo_query": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE lang IN ('en', 'fr') AND n_chars >= 200
+        """,
         "unpivot_lineitem": """
             SELECT l_orderkey, l_linenumber,
                    'l_quantity' AS metric, l_quantity AS value FROM lineitem

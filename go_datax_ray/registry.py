@@ -75,24 +75,13 @@ SOURCES.setdefault("hdfsreader", txtfile_src.read)
 SOURCES.setdefault("ossreader", txtfile_src.read)
 
 
-def _mongo_reader(param, *, channel: int = 1):
-    """mongoreader: document-store source. No live MongoDB client exists
-    in this environment; the faithful DOCUMENT-model collapse is the
-    JSON reader (nested documents, dotted column paths, sampled schema
-    inference — mongo_reader.go:42-121 reads BSON documents with the
-    same column addressing). Opt-in via allowCollapse; point 'path' at a
-    JSONL export (mongoexport's default output format)."""
-    if not param.get("allowCollapse"):
-        raise ValueError(
-            "mongoreader has no live MongoDB connectivity in this engine; "
-            "it collapses to the jsonfilereader document model (point "
-            "'path' at a mongoexport JSONL dump) only if you opt in with "
-            "reader.parameter.allowCollapse = true."
-        )
-    return jsonfile_src.read(param, channel=channel)
+# mongoreader/mongowriter: REAL document-store plugins over JSONL
+# collection dumps — the reference's `query` filter grammar evaluated as
+# Arrow kernels and ReplaceOne-upsert merge-apply (sources/mongo.py);
+# live addresses fail loudly inside the plugin.
+from .sources import mongo as mongo_plugin  # noqa: E402
 
-
-SOURCES["mongoreader"] = _mongo_reader
+SOURCES["mongoreader"] = mongo_plugin.read
 
 # The reference's network RDBMS/warehouse readers map onto the parquet
 # source (their SELECT/WHERE/split semantics — SURVEY.md §2.3), gated
@@ -153,7 +142,9 @@ for _name in (
     "mysqlwriter", "postgresqlwriter", "oraclewriter", "sqlserverwriter",
     "sybasewriter", "gaussdbwriter", "oceanbasewriter",
     "clickhousewriter", "databendwriter",
-    "mongowriter", "cassandrawriter", "neo4jwriter",
+    "cassandrawriter", "neo4jwriter",
     "tdenginewriter",
 ):
     SINKS.setdefault(_name, _collapsed_sink(_name, parquet_sink.write))
+
+SINKS["mongowriter"] = mongo_plugin.write

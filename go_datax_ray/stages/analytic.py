@@ -39,17 +39,22 @@ from .windows import _to_cents
 
 
 def _np_sort_key(col: pa.ChunkedArray) -> np.ndarray:
-    """Numpy view of a column usable as a lexsort key (timestamps → int64)."""
+    """Numpy view of a column usable as a lexsort key (timestamps → int64).
+
+    String columns factorize via dictionary encoding: the codes are
+    APPEARANCE-ordered, so they are valid for segmentation/identity but
+    NOT for magnitude comparisons — use a real unicode array when the
+    order itself matters."""
+    def _one(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
     if pa.types.is_timestamp(col.type) or pa.types.is_integer(col.type):
-        return col.cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        return _one(col.cast(pa.int64())).to_numpy(zero_copy_only=False)
     if pa.types.is_floating(col.type):
-        return col.combine_chunks().to_numpy(zero_copy_only=False)
+        return _one(col).to_numpy(zero_copy_only=False)
     # strings: factorize via arrow dictionary encoding (C, not Python)
-    return (
-        pc.dictionary_encode(col.combine_chunks())
-        .combine_chunks()
-        .indices.to_numpy(zero_copy_only=False)
-    )
+    enc = _one(pc.dictionary_encode(_one(col)))
+    return enc.indices.to_numpy(zero_copy_only=False)
 
 
 def ranked_window(
