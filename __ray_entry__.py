@@ -183,6 +183,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ])
         return out.select_columns(["doc_id", "second_word"])
 
+    def q_global_quantiles(sf_dir: str):
+        """Exact global QUANTILE_DISC over documents.n_chars via the
+        distinct-value histogram (no global sort; shuffle is one row per
+        distinct value)."""
+        from go_datax_ray.stages.sampling import exact_quantiles_disc
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["n_chars"])
+        return exact_quantiles_disc(docs, col="n_chars",
+                                    qs=(0.25, 0.5, 0.75, 0.9))
+
+    def q_length_filter(sf_dir: str):
+        """Percentile-gated corpus filter (the FineWeb-style curation
+        step): keep documents whose n_chars clears the corpus p25,
+        computed exactly in-cluster and broadcast as ONE integer."""
+        from go_datax_ray.stages.sampling import exact_quantiles_disc
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+        thr_tbl = exact_quantiles_disc(
+            docs.select_columns(["n_chars"]), col="n_chars", qs=(0.25,)
+        ).take_all()
+        thr = pa.scalar(thr_tbl[0]["value"], pa.int64())
+        return docs.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n_chars"), thr)),
+            batch_format="pyarrow",
+        )
+
     def q_mongo_query(sf_dir: str):
         """mongoreader over a JSONL collection dump with the reference's
         `query` filter grammar ({$in, $gte} here) evaluated as Arrow
@@ -1735,6 +1763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parse": q_url_parse,
         "unpivot_lineitem": q_unpivot_lineitem,
         "mongo_query": q_mongo_query,
+        "global_quantiles": q_global_quantiles,
+        "length_filter": q_length_filter,
         "windowed_topk": q_windowed_topk,
         "tpch_q1_composed": q_tpch_q1_composed,
         "group_sample": q_group_sample,
@@ -2298,6 +2328,16 @@ def oracle_sql() -> dict[str, str]:
         "mongo_query": """
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE lang IN ('en', 'fr') AND n_chars >= 200
+        """,
+        "global_quantiles": """
+            SELECT 0.25 AS q, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS value FROM documents
+            UNION ALL SELECT 0.5, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) FROM documents
+            UNION ALL SELECT 0.75, CAST(quantile_disc(n_chars, 0.75) AS BIGINT) FROM documents
+            UNION ALL SELECT 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM documents
+        """,
+        "length_filter": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.25) FROM documents)
         """,
         "unpivot_lineitem": """
             SELECT l_orderkey, l_linenumber,

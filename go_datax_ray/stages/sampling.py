@@ -456,6 +456,64 @@ def grouped_quantiles(ds, *, group: str, value_col: str,
     return cohash_map_groups(hist, ["g"], quant)
 
 
+def exact_quantiles_disc(ds, *, col: str, qs: tuple[float, ...]):
+    """EXACT global QUANTILE_DISC over an integer-valued column, without
+    a global sort: per-batch value_counts combiners -> one bounded
+    groupby over DISTINCT values -> a single in-cluster selection task
+    reads every quantile off the sorted cumulative histogram.
+
+    DuckDB/ANSI discrete-quantile semantics: the element at 0-based
+    index ceil(n*q) - 1 of the ascending sort (pinned empirically
+    against quantile_disc). The shuffle carries one row per distinct
+    value — the same bounded-domain assumption global_ntile documents;
+    unbounded/continuous domains belong to approx_quantiles."""
+    import ray.data as rdm
+
+    from ray.data.aggregate import Sum
+
+    from .partition import bounded_groupby
+
+    def vc(t: pa.Table) -> pa.Table:
+        v = pc.value_counts(t.column(col).combine_chunks())
+        return pa.table(
+            {"v": v.field("values").cast(pa.int64()),
+             "_c": v.field("counts").cast(pa.int64())}
+        )
+
+    hist = (
+        bounded_groupby(ds.map_batches(vc, batch_format="pyarrow"), "v")
+        .aggregate(Sum("_c", alias_name="c"))
+        .materialize()  # distinct-value-sized
+    )
+    refs = tuple(hist.to_arrow_refs())
+    qlist = [float(q) for q in qs]
+
+    def pick(_: pa.Table) -> pa.Table:
+        import ray
+
+        tables = [
+            t for t in ray.get(list(refs))
+            if t.num_rows and "v" in t.column_names
+        ]
+        t = pa.concat_tables(tables)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        vals = []
+        for q in qlist:
+            idx = max(int(np.ceil(n * q)) - 1, 0)  # 0-based disc rank
+            vals.append(int(v[np.searchsorted(cum, idx, side="right")]))
+        return pa.table(
+            {"q": pa.array(qlist, pa.float64()),
+             "value": pa.array(vals, pa.int64())}
+        )
+
+    return rdm.from_items([{"_": 0}]).map_batches(pick, batch_format="pyarrow")
+
+
 def group_sample(ds, *, group: str, key: str, k: int):
     """Deterministic fixed-k sample PER GROUP: keep each group's k rows
     with the smallest md5_number_lower(key) — a reservoir whose

@@ -170,3 +170,23 @@ def test_grouped_outliers_flags_extreme_value():
     out = grouped_outliers(rd.from_arrow(t)).to_pandas()
     flagged = set(out.loc[out.is_outlier, "event_id"])
     assert flagged == {20}  # only the 1000.0 spike
+
+
+def test_exact_quantiles_disc_matches_duckdb():
+    """Random integers with heavy duplication: the histogram path must
+    reproduce quantile_disc exactly (index = ceil(n*q)-1, 0-based)."""
+    import numpy as np
+
+    from go_datax_ray.stages.sampling import exact_quantiles_disc
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 50, size=2_003)  # dup-heavy, odd n
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    qs = (0.01, 0.25, 0.5, 0.55, 0.75, 0.99, 1.0)
+    got = exact_quantiles_disc(rd.from_arrow(t), col="x", qs=qs).to_pandas()
+    got = dict(zip(got["q"], got["value"]))
+    for q in qs:
+        want = duckdb.query_df(
+            t.to_pandas(), "t", f"SELECT quantile_disc(x, {q}) v FROM t"
+        ).fetchone()[0]
+        assert got[q] == want, (q, got[q], want)
