@@ -183,6 +183,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ])
         return out.select_columns(["doc_id", "second_word"])
 
+    def q_url_canonicalize(sf_dir: str):
+        """URL canonicalization (the webtext dedup pre-pass): lowercase
+        scheme/host, strip default ports + fragments + tracking params,
+        sort surviving query params. Engine rules are pure RE2 + binary
+        collation, replayed exactly by the DuckDB oracle."""
+        from go_datax_ray.stages.curation import canonicalize_urls_ds
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+        def build_url(t):
+            import numpy as np
+
+            ids = t.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+            n = t.num_rows
+            src_up = pc.utf8_upper(t.column("source").cast(pa.string()))
+            scheme = pc.if_else(pa.array(ids % 2 == 0),
+                                pa.scalar("HTTPS"), pa.scalar("http"))
+            port = pc.if_else(
+                pa.array(ids % 4 == 0), pa.scalar(":443"),
+                pc.if_else(pa.array(ids % 4 == 1), pa.scalar(":8443"),
+                           pa.scalar("")),
+            )
+            q = pc.if_else(
+                pa.array(ids % 3 == 0),
+                pc.binary_join_element_wise(
+                    pa.array(["?utm_source=mail&z="] * n),
+                    pa.array((ids % 7).astype(str)),
+                    pa.array(["&lang="] * n),
+                    t.column("lang").cast(pa.string()), "",
+                ),
+                pa.scalar(""),
+            )
+            frag = pc.if_else(pa.array(ids % 5 == 0), pa.scalar("#Top"),
+                              pa.scalar(""))
+            url = pc.binary_join_element_wise(
+                scheme, pa.array(["://"] * n), src_up,
+                pa.array([".Example.COM"] * n), port,
+                pc.if_else(pa.array(ids % 7 == 0), pa.scalar(""),
+                           pc.binary_join_element_wise(
+                               pa.array(["/Docs/"] * n),
+                               t.column("doc_id").cast(pa.string()), "")),
+                q, frag, "",
+            )
+            return pa.table({"doc_id": t.column("doc_id"), "url": url})
+
+        built = docs.map_batches(build_url, batch_format="pyarrow")
+        return canonicalize_urls_ds(built).select_columns(
+            ["doc_id", "url", "canon_url"]
+        )
+
     def q_global_quantiles(sf_dir: str):
         """Exact global QUANTILE_DISC over documents.n_chars via the
         distinct-value histogram (no global sort; shuffle is one row per
@@ -1764,6 +1815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": q_unpivot_lineitem,
         "mongo_query": q_mongo_query,
         "global_quantiles": q_global_quantiles,
+        "url_canonicalize": q_url_canonicalize,
         "length_filter": q_length_filter,
         "windowed_topk": q_windowed_topk,
         "tpch_q1_composed": q_tpch_q1_composed,
@@ -1830,6 +1882,54 @@ def _stopword_patterns():
     return pat(set().union(*_STOPWORDS.values())), {
         lang: pat(s) for lang, s in _STOPWORDS.items() if lang != "ru"
     }
+
+
+def _url_canonicalize_oracle() -> str:
+    """url_canonicalize oracle: same construction as the query, then the
+    canonicalization rules replayed with the engine's own RE2 patterns
+    (transforms.url_pattern) + list_filter/list_sort."""
+    from go_datax_ray.stages.curation import _TRACKING_PARAM_RE
+    from go_datax_ray.stages.transforms import url_pattern
+
+    sch, host = url_pattern("scheme"), url_pattern("host")
+    port, path, qpat = url_pattern("port"), url_pattern("path"), url_pattern("query")
+    return f"""
+        WITH b AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+                 || '://' || upper(source) || '.Example.COM'
+                 || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+                          WHEN doc_id % 4 = 1 THEN ':8443' ELSE '' END)
+                 || (CASE WHEN doc_id % 7 = 0 THEN ''
+                          ELSE '/Docs/' || doc_id END)
+                 || (CASE WHEN doc_id % 3 = 0
+                          THEN '?utm_source=mail&z=' || (doc_id % 7)
+                               || '&lang=' || lang
+                          ELSE '' END)
+                 || (CASE WHEN doc_id % 5 = 0 THEN '#Top' ELSE '' END) AS url
+          FROM documents),
+        p AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url, '{sch}', 1)) AS s,
+                 lower(regexp_extract(url, '{host}', 1)) AS h,
+                 regexp_extract(url, '{port}', 1) AS pt,
+                 regexp_extract(url, '{path}', 1) AS pa,
+                 COALESCE(array_to_string(list_sort(list_filter(
+                     string_split(regexp_extract(url, '{qpat}', 1), '&'),
+                     x -> x <> '' AND NOT regexp_matches(x, '{_TRACKING_PARAM_RE}')
+                 )), '&'), '') AS ql
+          FROM b)
+        SELECT doc_id, url,
+               CASE WHEN h = '' THEN url ELSE
+                 s || '://' || h
+                 || CASE WHEN pt = '' OR (s = 'http' AND pt = '80')
+                              OR (s = 'https' AND pt = '443')
+                         THEN '' ELSE ':' || pt END
+                 || CASE WHEN pa = '' THEN '/' ELSE pa END
+                 || CASE WHEN ql = '' THEN '' ELSE '?' || ql END
+               END AS canon_url
+        FROM p
+    """
 
 
 def _url_parse_oracle() -> str:
@@ -2325,6 +2425,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "url_parse": _url_parse_oracle(),
+        "url_canonicalize": _url_canonicalize_oracle(),
         "mongo_query": """
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE lang IN ('en', 'fr') AND n_chars >= 200

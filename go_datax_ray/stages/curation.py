@@ -511,3 +511,97 @@ def normalize_text_ds(ds, *, text_col: str = "text", out_col: str = "norm"):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (webtext dedup pre-pass)
+
+#: query parameters dropped during canonicalization (tracking noise) —
+#: matched against the full "k=v" pair string, anchored at the key
+_TRACKING_PARAM_RE = r"^(utm_|fbclid=|gclid=|ref=)"
+
+
+def canonicalize_urls(t: pa.Table, *, column: str = "url",
+                      out_col: str = "canon_url") -> pa.Table:
+    """Canonical URL form for webtext dedup/grouping:
+
+    - scheme and host lowercased (path/query stay case-sensitive)
+    - default ports stripped (http:80, https:443); others kept
+    - fragment dropped
+    - tracking query params dropped (``_TRACKING_PARAM_RE``), the rest
+      SORTED lexicographically (binary collation, = DuckDB list_sort)
+    - empty path -> '/'
+    - non-absolute urls (no scheme://host) pass through unchanged
+
+    Every rule is RE2 + deterministic string ops, so a DuckDB oracle
+    replays it exactly (regexp_extract + list_filter + list_sort). All
+    vectorized: one extract_regex per part, numpy offset surgery for the
+    per-url param filter+sort — no per-row Python.
+    """
+    from .transforms import dx_extract
+    from .transforms import url_pattern
+
+    n = t.num_rows
+    work = pa.table({"_u": t.column(column).cast(pa.string())})
+    for part in ("scheme", "host", "port", "path", "query"):
+        work = dx_extract(work, "_u", url_pattern(part), 1, f"_{part}")
+    url = work.column("_u").combine_chunks()
+    scheme = pc.utf8_lower(work.column("_scheme").combine_chunks())
+    host = pc.utf8_lower(work.column("_host").combine_chunks())
+    port = work.column("_port").combine_chunks()
+    path = work.column("_path").combine_chunks()
+    query = work.column("_query").combine_chunks()
+
+    # ---- query params: split, drop tracking + empties, sort, rejoin
+    parts = pc.split_pattern(pc.fill_null(query, ""), pattern="&")
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    keep = pc.and_(
+        pc.not_equal(flat, pa.scalar("")),
+        pc.invert(pc.match_substring_regex(flat, _TRACKING_PARAM_RE)),
+    )
+    keep_np = pc.fill_null(keep, False).to_numpy(zero_copy_only=False)
+    kept_parent = parent[keep_np]
+    kept_vals = np.asarray(flat.filter(keep).to_pylist(), dtype=object)
+    # sort within each url: lexsort by (parent, value) — binary collation
+    if len(kept_vals):
+        order = np.lexsort((kept_vals.astype(str), kept_parent))
+        kept_parent = kept_parent[order]
+        kept_vals = kept_vals[order]
+    counts = np.bincount(kept_parent, minlength=n)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    lst = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(kept_vals, pa.string())
+    )
+    joined = pc.binary_join(lst, pa.scalar("&"))
+
+    # ---- reassemble
+    is_http_80 = pc.and_(pc.equal(scheme, pa.scalar("http")),
+                         pc.equal(port, pa.scalar("80")))
+    is_https_443 = pc.and_(pc.equal(scheme, pa.scalar("https")),
+                           pc.equal(port, pa.scalar("443")))
+    drop_port = pc.or_(pc.equal(port, pa.scalar("")),
+                       pc.or_(is_http_80, is_https_443))
+    port_str = pc.if_else(
+        drop_port, pa.scalar(""),
+        pc.binary_join_element_wise(pa.array([":"] * n), port, ""),
+    )
+    path_str = pc.if_else(pc.equal(path, pa.scalar("")), pa.scalar("/"), path)
+    q_str = pc.if_else(
+        pc.equal(joined, pa.scalar("")), pa.scalar(""),
+        pc.binary_join_element_wise(pa.array(["?"] * n), joined, ""),
+    )
+    canon = pc.binary_join_element_wise(
+        scheme, pa.array(["://"] * n), host, port_str, path_str, q_str, ""
+    )
+    # non-absolute urls pass through; null input stays null
+    canon = pc.if_else(pc.equal(host, pa.scalar("")), url, canon)
+    canon = pc.if_else(pc.is_valid(url), canon, pa.nulls(n, pa.string()))
+    return t.append_column(out_col, canon)
+
+
+def canonicalize_urls_ds(ds, *, column: str = "url", out_col: str = "canon_url"):
+    return ds.map_batches(
+        canonicalize_urls, fn_kwargs=dict(column=column, out_col=out_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

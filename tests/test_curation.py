@@ -245,3 +245,27 @@ def test_cluster_size_histogram():
     out = cluster_size_histogram(ds).to_pandas()
     got = dict(zip(out["cluster_size"], out["n_clusters"]))
     assert got == {5: 1, 3: 1, 1: 3}
+
+
+def test_canonicalize_urls_rules():
+    from go_datax_ray.stages.curation import canonicalize_urls
+
+    t = pa.table({"url": pa.array([
+        "HTTPS://WWW.Ex.COM:443/A/b?utm_source=x&z=1&a=2#frag",
+        "http://ex.org:8080?b=2&a=1&fbclid=abc",
+        "http://ex.org:80",
+        "https://ex.org:443",
+        "ftp://Files.Ex.org:21/pub",
+        "not-a-url",
+        None,
+    ], pa.string())})
+    got = canonicalize_urls(t).column("canon_url").to_pylist()
+    assert got == [
+        "https://www.ex.com/A/b?a=2&z=1",   # default https port, utm gone, sorted
+        "http://ex.org:8080/?a=1&b=2",       # non-default port kept, '/' added
+        "http://ex.org/",                    # default http port stripped
+        "https://ex.org/",
+        "ftp://files.ex.org:21/pub",         # non-http scheme: port kept
+        "not-a-url",                          # passthrough
+        None,                                 # null stays null
+    ]
