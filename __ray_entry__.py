@@ -234,6 +234,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "url", "canon_url"]
         )
 
+    def q_url_dedup(sf_dir: str):
+        """URL-keyed exact dedup: canonicalize_urls -> payload-free
+        exact_dedup keyed on the canonical form (keep min doc_id per
+        canonical url) — the first dedup pass of every web-corpus
+        pipeline, as a pure composition of two existing stages."""
+        from go_datax_ray.stages.dedup import exact_dedup
+
+        deduped = exact_dedup(
+            q_url_canonicalize(sf_dir), text_col="canon_url", key_col="doc_id"
+        )
+        return deduped.select_columns(["doc_id", "canon_url"])
+
     def q_global_quantiles(sf_dir: str):
         """Exact global QUANTILE_DISC over documents.n_chars via the
         distinct-value histogram (no global sort; shuffle is one row per
@@ -1816,6 +1828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mongo_query": q_mongo_query,
         "global_quantiles": q_global_quantiles,
         "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
         "length_filter": q_length_filter,
         "windowed_topk": q_windowed_topk,
         "tpch_q1_composed": q_tpch_q1_composed,
@@ -2426,6 +2439,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_parse": _url_parse_oracle(),
         "url_canonicalize": _url_canonicalize_oracle(),
+        "url_dedup": f"""
+            WITH c AS ({_url_canonicalize_oracle()})
+            SELECT doc_id, canon_url FROM c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY canon_url ORDER BY doc_id) = 1
+        """,
         "mongo_query": """
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE lang IN ('en', 'fr') AND n_chars >= 200
