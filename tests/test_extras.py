@@ -349,8 +349,9 @@ def test_lake_cli(tmp_path):
 
 
 def test_mongoreader_document_collapse(tmp_path):
-    """mongoreader -> jsonfilereader document model (nested docs, dotted
-    paths), explicit opt-in required."""
+    """mongoreader is a REAL document-store plugin over JSONL dumps
+    (nested docs, dotted paths) — no opt-in needed for file paths; only
+    live addresses fail."""
     import json
 
     import pytest
@@ -374,10 +375,10 @@ def test_mongoreader_document_collapse(tmp_path):
             }]
         }
     }
-    with pytest.raises(ValueError, match="allowCollapse"):
-        run_job(job)
-    job["job"]["content"][0]["reader"]["parameter"]["allowCollapse"] = True
     assert run_job(job).records == 2
+    job["job"]["content"][0]["reader"]["parameter"]["address"] = ["mongodb://x"]
+    with pytest.raises(ValueError, match="no live MongoDB"):
+        run_job(job)
 
 
 def test_cohash_map_groups_equals_per_group_map():
