@@ -286,22 +286,50 @@ def _split_lines(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return flat, doc_idx, n_lines
 
 
+@lru_cache(maxsize=2)
+def _line_winner_lookup(refs: tuple):
+    """(sorted line-hash array, min-pos array) from broadcast winner
+    block refs — built once per worker process."""
+    import ray
+
+    tables = [
+        t for t in ray.get(list(refs))
+        if t.num_rows and "lh" in t.column_names
+    ]
+    lh = np.concatenate(
+        [t.column("lh").to_numpy(zero_copy_only=False) for t in tables]
+    )
+    mp = np.concatenate(
+        [t.column("min(pos)").to_numpy(zero_copy_only=False) for t in tables]
+    )
+    order = np.argsort(lh, kind="stable")
+    return lh[order], mp[order]
+
+
 def line_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
-               n_buckets: int | None = None):
+               n_buckets: int | None = None,
+               broadcast_limit: int = 2_000_000):
     """Corpus-global duplicate-line removal (the C4 pipeline's exact
     line dedup): a line survives only at its FIRST occurrence in the
     global ``(doc_id, line_idx)`` order; later identical lines are
     dropped; documents are reassembled from their surviving lines and
     documents left with zero lines disappear from the output.
 
-    Scale shape: line TEXT never enters a shuffle. The exchange plan is
-    (1) ``(line_hash, pos)`` pairs -> bounded groupby min(pos) winners,
-    (2) pairs x winners bucket join on the int64 hash -> surviving
-    ``(doc_id, line_idx)`` ids, (3) survivors co-hash-grouped per doc
-    into a packed int32 index blob, (4) blobs bucket-joined back onto
-    the original documents (the ONE exchange that moves document text)
-    and lines re-split + filtered map-side. Hash = md5_lower64 of the
-    line (collision odds ~n^2/2^65).
+    Scale shape, adaptive: line TEXT never enters a shuffle. The
+    winners (one ``(line_hash, min_pos)`` row per DISTINCT line) come
+    from (1) ``(line_hash, pos)`` pairs -> bounded groupby min(pos).
+    Then:
+    - distinct-line counts <= ``broadcast_limit``: winners broadcast as
+      object-store block refs (worker-cached searchsorted lookup) and
+      documents filter + reassemble their lines in ONE map pass — zero
+      further exchanges (document text never shuffles AT ALL).
+    - web-scale line vocabularies: (2) pairs x winners bucket join on
+      the int64 hash -> surviving ``(doc_id, line_idx)`` ids, (3)
+      survivors co-hash-grouped per doc into a packed int32 index blob,
+      (4) blobs bucket-joined back onto the documents (the one exchange
+      that moves text) and lines re-split + filtered map-side.
+    Hash = md5_lower64 of the line (collision odds ~n^2/2^65); both
+    paths are property-tested equal.
     """
     from .partition import bounded_groupby, cohash_map_groups
     from .joins import bucket_hash_join
@@ -327,11 +355,44 @@ def line_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     pairs = ds.map_batches(pairs_fn, batch_format="pyarrow", zero_copy_batch=True)
     winners = bounded_groupby(pairs, ["lh"]).min("pos")  # (lh, min(pos))
 
+    winners_mat = winners.materialize()  # distinct-line-sized, ids only
+    if winners_mat.count() <= broadcast_limit:
+        refs = tuple(winners_mat.to_arrow_refs())
+
+        def assemble_broadcast(t: pa.Table) -> pa.Table:
+            lh_sorted, mp = _line_winner_lookup(refs)
+            ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            flat, doc_idx, n_lines = _split_lines(t.column(text_col))
+            starts = np.zeros(len(n_lines) + 1, dtype=np.int64)
+            np.cumsum(n_lines, out=starts[1:])
+            line_idx = np.arange(len(flat), dtype=np.int64) - starts[doc_idx]
+            lh = md5_lower64_array(flat).view(np.int64)
+            pos = ids[doc_idx] * _MAX_LINES + line_idx
+            loc = np.searchsorted(lh_sorted, lh)
+            keep = mp[np.minimum(loc, len(mp) - 1)] == pos
+            kept_parent = doc_idx[keep]
+            counts = np.bincount(kept_parent, minlength=t.num_rows)
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            lst = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(flat[keep], pa.string()),
+            )
+            texts = pc.binary_join(lst, pa.scalar("\n"))
+            out = t.set_column(
+                t.column_names.index(text_col), text_col, texts
+            )
+            # docs with zero surviving lines disappear (join-path parity)
+            return out.filter(pa.array(counts > 0))
+
+        return ds.map_batches(
+            assemble_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     pair_schema = pa.schema([("lh", pa.int64()), ("pos", pa.int64())])
     win_schema = pa.schema([("lh", pa.int64()), ("min(pos)", pa.int64())])
     jkw = dict(n_buckets=n_buckets) if n_buckets else {}
     joined = bucket_hash_join(
-        pairs, winners, on="lh", how="inner",
+        pairs, winners_mat, on="lh", how="inner",
         schemas=(pair_schema, win_schema), **jkw,
     )
 

@@ -141,6 +141,12 @@ def test_line_dedup_matches_reference():
         .to_pandas().set_index("doc_id")["text"].to_dict()
     )
     assert got == _ref_line_dedup(docs)
+    # broadcast_limit=0 forces the bucketed-join scale path — identical
+    got_join = (
+        line_dedup(rd.from_arrow(t), broadcast_limit=0)
+        .to_pandas().set_index("doc_id")["text"].to_dict()
+    )
+    assert got_join == got
 
 
 def test_line_dedup_keeps_extra_columns():
