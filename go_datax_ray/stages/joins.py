@@ -71,18 +71,37 @@ class _BroadcastProbe:
         )
 
 
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=8)
+def _broadcast_probe(small_ref, on_key, how: str, suffix: str) -> _BroadcastProbe:
+    """Probe built once per WORKER PROCESS (lru-cached on the broadcast
+    ref): the task-pool replacement for the former actor pool, whose
+    ~2 s autoscaling startup exceeded the whole join on small inputs
+    (the same trade measured for the quality/lang-id stages)."""
+    on = list(on_key) if isinstance(on_key, tuple) else on_key
+    return _BroadcastProbe(small_ref, on, how, suffix)
+
+
+def _broadcast_probe_batch(batch: pa.Table, *, small_ref, on_key, how, suffix):
+    return _broadcast_probe(small_ref, on_key, how, suffix)(batch)
+
+
 def broadcast_join(ds, small: pd.DataFrame | pa.Table, *, on: str | list[str],
                    how: Literal["inner", "left"] = "inner", suffix: str = "_r"):
     """Join a Dataset against a small in-memory table (broadcast).
-    ``on`` may be a list of columns for composite keys."""
+    ``on`` may be a list of columns for composite keys. Tasks pull the
+    small side from the object store once per worker (never from the
+    task closure)."""
     if isinstance(small, pd.DataFrame):
         small = pa.Table.from_pandas(small, preserve_index=False)
     ref = ray.put(small)
+    on_key = tuple(on) if isinstance(on, list) else on
     return ds.map_batches(
-        _BroadcastProbe,
-        fn_constructor_args=(ref, on, how, suffix),
+        _broadcast_probe_batch,
+        fn_kwargs=dict(small_ref=ref, on_key=on_key, how=how, suffix=suffix),
         batch_format="pyarrow",
-        concurrency=_actor_pool(),
     )
 
 
