@@ -99,13 +99,86 @@ def sliding_explode(batch: pa.Table, *, ts_col: str = "ts", size_s: int, slide_s
 
 
 def sliding_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: int,
-                      slide_s: int, value_col: str = "value"):
-    ds = ds.map_batches(
-        sliding_explode, fn_kwargs={"ts_col": ts_col, "size_s": size_s, "slide_s": slide_s},
+                      slide_s: int, value_col: str = "value",
+                      plan: str = "explode"):
+    """Sliding count + sum (exact cents) per (key, window).
+
+    Two physical plans, selected by the caller's knowledge of the
+    stream's density (both bit-exact; property-tested equal):
+
+    - ``plan="explode"`` (default): each event fans out to its
+      k = size/slide windows BEFORE one groupby. The replication is
+      k x events of three narrow columns (cents and the projection are
+      computed pre-fan, so the wide row is never copied k times).
+      Right when events are SPARSE per (key, slide-bucket) — a fine
+      pre-aggregation would reduce nothing and a second shuffle is
+      pure loss (the driver's synthetic events: 100k events -> 98.9k
+      distinct fine buckets).
+    - ``plan="dense"``: aggregate at SLIDE granularity first (one
+      groupby over UNEXPLODED events with map-side combining), then fan
+      each fine-bucket AGGREGATE into its k covering windows and
+      re-sum. The k-fold replication applies to (key, bucket, n, cents)
+      int rows, never to events: with many events per bucket (real
+      click/telemetry streams at 100 TB) the big shuffle shrinks by the
+      per-bucket event multiplicity. Requires slide | size.
+    """
+    if plan not in ("explode", "dense"):
+        raise ValueError(f"sliding_aggregate: unknown plan {plan!r}")
+    if plan == "explode" or size_s % slide_s != 0:
+        proj = ds.map_batches(
+            lambda t: _to_cents(t, value_col).select([key, ts_col, "_cents"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        exploded = proj.map_batches(
+            lambda t: sliding_explode(
+                t, ts_col=ts_col, size_s=size_s, slide_s=slide_s
+            ).select([key, "window_start", "_cents"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        return _window_reduce(exploded, key)
+
+    from ray.data.aggregate import Sum
+
+    from .partition import bounded_groupby
+
+    fine = ds.map_batches(
+        add_tumbling_window, fn_kwargs={"ts_col": ts_col, "size_s": slide_s},
         batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(_to_cents, fn_kwargs={"value_col": value_col},
+                  batch_format="pyarrow")
+    agg1 = _window_reduce(fine, key)  # (key, fine window, n, cents)
+
+    k = size_s // slide_s
+    slide_us = slide_s * 1_000_000
+
+    def fan(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        f_us = t.column("window_start").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.repeat(np.arange(n), k)
+        starts = np.repeat(f_us, k) - np.tile(
+            np.arange(k, dtype=np.int64) * slide_us, n
+        )
+        # a window [s, s+size) covers a fine bucket [f, f+slide) for all
+        # k offsets s = f - i*slide, i in 0..k-1 — no filter needed
+        out = t.select([key, "n", "sum_value_cents"]).take(pa.array(idx))
+        return out.append_column(
+            "window_start", pa.array(starts, pa.timestamp("us"))
+        )
+
+    fanned = agg1.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+    out = bounded_groupby(fanned, [key, "window_start"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value_cents", alias_name="sum_value_cents")
     )
-    ds = ds.map_batches(_to_cents, fn_kwargs={"value_col": value_col}, batch_format="pyarrow")
-    return _window_reduce(ds, key)
+
+    def conform(t: pa.Table) -> pa.Table:
+        for c in ("n", "sum_value_cents"):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, t.column(c).cast(pa.int64()))
+        return _pin_ts_us(["window_start"])(t)
+
+    return out.map_batches(conform, batch_format="pyarrow")
 
 
 def _sessionize_sorted(ts: np.ndarray, heads: np.ndarray, cents: np.ndarray,
