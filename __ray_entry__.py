@@ -183,6 +183,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ])
         return out.select_columns(["doc_id", "second_word"])
 
+    def q_session_ids(sf_dir: str):
+        """Event-level sessionization: per-user 1-based session index
+        (30-min inactivity gap), the gaps-and-islands label — oracle is
+        the ANSI SUM(CASE WHEN gap) OVER (...) form."""
+        from go_datax_ray.stages.windows import assign_session_ids
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+        return assign_session_ids(ev, gap_s=1800)
+
     def q_url_canonicalize(sf_dir: str):
         """URL canonicalization (the webtext dedup pre-pass): lowercase
         scheme/host, strip default ports + fragments + tracking params,
@@ -1829,6 +1839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_quantiles": q_global_quantiles,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
+        "session_ids": q_session_ids,
         "length_filter": q_length_filter,
         "windowed_topk": q_windowed_topk,
         "tpch_q1_composed": q_tpch_q1_composed,
@@ -2439,6 +2450,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_parse": _url_parse_oracle(),
         "url_canonicalize": _url_canonicalize_oracle(),
+        "session_ids": """
+            SELECT event_id, user_id, ts,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
+                                 OR epoch_us(ts) - epoch_us(prev_ts)
+                                    > 1800 * 1000000
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS BIGINT) AS session_idx
+            FROM (
+              SELECT event_id, user_id, ts,
+                     LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events)
+        """,
         "url_dedup": f"""
             WITH c AS ({_url_canonicalize_oracle()})
             SELECT doc_id, canon_url FROM c

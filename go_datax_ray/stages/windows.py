@@ -332,3 +332,46 @@ def windowed_count_distinct(ds, *, ts_col: str = "ts", key_col: str = "user_id",
         )
 
     return out.map_batches(conform, batch_format="pyarrow")
+
+
+def assign_session_ids(ds, *, key: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id", gap_s: int = 1800):
+    """EVENT-LEVEL sessionization: every event gets its key's 1-based
+    session index (ordered by (ts, id); a gap > gap_s starts a new
+    session) — the label funnels/attribution joins need, where
+    ``session_windows`` only emits per-session summaries.
+
+    ANSI-equivalent (the oracle): SUM(CASE WHEN ts - LAG(ts) > gap)
+    OVER (PARTITION BY key ORDER BY ts, id). One co-hash shuffle, one
+    lexsort per coarse block, cumulative-sum segment arithmetic — no
+    per-key Python. Unlike the two-phase summary stitcher this is
+    inherently event-sized per key (the output IS the events), so one
+    key's events share a group; a pathological single hot key is the
+    documented limit."""
+    from .dedup import _col_np
+    from .partition import cohash_map_groups
+
+    gap_us = gap_s * 1_000_000
+
+    def label(g: pa.Table) -> pa.Table:
+        k = _col_np(g, key)
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ident = _col_np(g, id_col)
+        perm = np.lexsort((ident, ts, k))
+        ks, tss = k[perm], ts[perm]
+        n = len(perm)
+        heads = np.empty(n, dtype=bool)
+        if n:
+            heads[0] = True
+            heads[1:] = ks[1:] != ks[:-1]
+        new = heads.copy()
+        if n > 1:
+            new[1:] |= (tss[1:] - tss[:-1]) > gap_us
+        csum = np.cumsum(new)
+        base = np.maximum.accumulate(np.where(heads, csum - 1, 0))
+        sid = csum - base
+        return g.take(pa.array(perm)).append_column(
+            "session_idx", pa.array(sid, pa.int64())
+        )
+
+    return cohash_map_groups(ds, [key], label)

