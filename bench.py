@@ -232,6 +232,8 @@ def main() -> dict:
         "ngram_commonness",
         "lake_view",
         "ntile",
+        "tpch_q5_composed",
+        "url_dedup",
     ):
         fn = qs[name]
 
