@@ -65,14 +65,52 @@ def _driver(param: dict[str, Any]) -> str:
     return "sqlite"
 
 
+TOKEN_SPACE = 1 << 32  # gdr_token range: CRC32 -> [0, 2^32)
+
+
+def _token_py(v) -> int:
+    """CRC32 token of the key's canonical string rendering — the same
+    function as the engine's hash split (hashing.crc32_array /
+    mysql_reader.go:432-444), exposed to SQL as ``gdr_token(pk)`` for
+    the Cassandra-style token-range split (cassandra_reader.go:155-258:
+    contiguous ranges over the partitioner's token space, one range per
+    read task)."""
+    import zlib
+
+    if v is None:
+        return 0
+    if isinstance(v, (bytes, bytearray)):
+        return zlib.crc32(bytes(v)) & 0xFFFFFFFF
+    if isinstance(v, float) and float(v).is_integer():
+        v = int(v)
+    return zlib.crc32(str(v).encode("utf-8")) & 0xFFFFFFFF
+
+
+def _register_token(driver: str, con):
+    """Register gdr_token as a connection-scoped scalar UDF."""
+    if driver == "duckdb":
+        try:
+            # VARCHAR parameter: DuckDB implicitly casts numeric keys to
+            # their text rendering, which matches _token_py's str(v)
+            con.create_function("gdr_token", _token_py, ["VARCHAR"], "BIGINT")
+        except Exception as exc:  # double registration on a reused con
+            if "already" not in str(exc).lower():
+                raise
+    else:
+        con.create_function("gdr_token", 1, _token_py, deterministic=True)
+
+
 def _connect(driver: str, path: str, *, read_only: bool = False):
     if driver == "duckdb":
         import duckdb
 
         # DuckDB takes an exclusive write lock; parallel read tasks must
         # open read_only connections
-        return duckdb.connect(path, read_only=read_only)
-    return sqlite3.connect(path)
+        con = duckdb.connect(path, read_only=read_only)
+    else:
+        con = sqlite3.connect(path)
+    _register_token(driver, con)
+    return con
 
 
 def _table(param: dict[str, Any]) -> str | None:
@@ -89,15 +127,29 @@ def _sql_str(v: str) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+def token_ranges(channel: int) -> list[tuple[int, int]]:
+    """Contiguous equal-width ranges covering the gdr_token space — the
+    Cassandra token-ring split (cassandra_reader.go:155-258: the ring
+    [min_token, max_token] is cut into one contiguous slice per task;
+    RandomPartitioner's [-1, 2^127] becomes CRC32's [0, 2^32) here)."""
+    n = max(int(channel), 1)
+    step = math.ceil(TOKEN_SPACE / n)
+    return [(i * step, min((i + 1) * step, TOKEN_SPACE)) for i in range(n)
+            if i * step < TOKEN_SPACE]
+
+
 def build_queries(param: dict[str, Any], *, channel: int = 1,
                   min_max: tuple[int, int] | None = None,
-                  boundaries: list | None = None) -> list[str]:
+                  boundaries: list | None = None,
+                  tokens: list[tuple[int, int]] | None = None) -> list[str]:
     """The reference's query builder: querySql wins verbatim; otherwise
     SELECT <columns> FROM <table> [WHERE ...], split into ``channel``
     half-open splitPk ranges when a split key and bounds are given
     (mysql_reader.go:214-268 buildRangeSQLs). ``boundaries`` carries the
     TEXT-splitPk dictionary split (sampled NTILE boundaries over a
-    string key — the reference's text splitPk strategy, SURVEY §2.2)."""
+    string key — the reference's text splitPk strategy, SURVEY §2.2);
+    ``tokens`` carries the Cassandra-style token-range split (half-open
+    gdr_token(pk) slices, cassandra_reader.go:155-258)."""
     qsql = param.get("querySql")
     if qsql:
         return [qsql[0] if isinstance(qsql, list) else qsql]
@@ -113,6 +165,12 @@ def build_queries(param: dict[str, Any], *, channel: int = 1,
     def with_range(rng: str) -> str:
         return base + " WHERE " + (f"({where}) AND " if where else "") + rng
 
+    if pk and tokens:
+        out = []
+        for a, b in tokens:
+            hi = f" AND gdr_token({pk}) < {b}" if b < TOKEN_SPACE else ""
+            out.append(with_range(f"gdr_token({pk}) >= {a}{hi}"))
+        return out
     if pk and channel > 1 and boundaries:
         out = []
         for i, b in enumerate(boundaries):
@@ -158,6 +216,30 @@ def read(param: dict[str, Any], *, channel: int = 1):
     pk = param.get("splitPk")
     min_max = None
     boundaries = None
+
+    # Cassandra-style token-range split (cassandra_reader.go:155-258):
+    # contiguous gdr_token(pk) slices, one per channel. Works for ANY
+    # key type (the token is a hash) and needs no MIN/MAX pre-query.
+    # Mirrors the reference's skip rule: a user WHERE that already
+    # constrains the token keeps its own slicing (:204-211 there).
+    if mode == "token":
+        if not pk:
+            raise ValueError("splitMode=token requires splitPk "
+                             "(cassandra_reader.go:155-258)")
+        toks = None
+        if channel > 1 and "gdr_token(" not in str(param.get("where") or ""):
+            toks = token_ranges(channel)
+        queries = build_queries(param, channel=channel, tokens=toks)
+
+        def tok_factory(path=path, driver=driver):
+            return _connect(driver, path, read_only=(driver == "duckdb"))
+
+        parts = [rd.read_sql(q, tok_factory) for q in queries]
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        return ds
+
     if pk and channel > 1 and not param.get("querySql"):
         con = _connect(driver, path, read_only=(driver == "duckdb"))
         try:

@@ -438,6 +438,73 @@ def test_sqlite_split_queries():
     assert qs[-1].endswith("id >= 200 AND id <= 299")
 
 
+def test_token_range_split_queries():
+    """Cassandra-style token-range split (cassandra_reader.go:155-258):
+    contiguous gdr_token(pk) slices, one per channel, covering [0, 2^32)
+    exactly once."""
+    from go_datax_ray.sources.sqldb import TOKEN_SPACE, build_queries, token_ranges
+
+    toks = token_ranges(4)
+    assert toks[0][0] == 0 and toks[-1][1] == TOKEN_SPACE
+    for (a, b), (c, _) in zip(toks, toks[1:]):
+        assert b == c  # contiguous, no gap/overlap
+    qs = build_queries(
+        {"table": "t", "column": ["a"], "splitPk": "k", "where": "a > 0"},
+        channel=4, tokens=toks,
+    )
+    assert len(qs) == 4
+    assert qs[0] == (
+        "SELECT a FROM t WHERE (a > 0) AND gdr_token(k) >= 0 "
+        f"AND gdr_token(k) < {TOKEN_SPACE // 4}"
+    )
+    assert qs[-1].endswith(f"gdr_token(k) >= {3 * (TOKEN_SPACE // 4)}")
+
+
+def test_token_range_split_end_to_end(tmp_path, ray_session):
+    """splitMode=token reads every row exactly once across tasks, on a
+    TEXT key (no MIN/MAX pre-query needed — the token is a hash), for
+    both DB drivers; the split is roughly balanced."""
+    import sqlite3
+
+    from go_datax_ray.sources.sqldb import build_queries, read, token_ranges
+
+    db = str(tmp_path / "tok.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE t (k TEXT PRIMARY KEY, v INTEGER)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)",
+            [(f"user-{i}", i) for i in range(500)],
+        )
+        con.commit()
+    param = {"path": db, "table": "t", "column": ["k", "v"],
+             "splitPk": "k", "splitMode": "token"}
+    ds = read(param, channel=4)
+    rows = ds.take_all()
+    assert sorted(r["v"] for r in rows) == list(range(500))
+    # per-slice counts: disjoint cover, no slice empty at 500 keys / 4
+    import duckdb
+
+    ddb = str(tmp_path / "tok.duckdb")
+    con = duckdb.connect(ddb)
+    con.execute("CREATE TABLE t AS SELECT 'user-' || i::VARCHAR AS k, i AS v "
+                "FROM range(500) tbl(i)")
+    con.close()
+    ds2 = read({"path": ddb, "driver": "duckdb", "table": "t",
+                "column": ["k", "v"], "splitPk": "k", "splitMode": "token"},
+               channel=4)
+    assert sorted(r["v"] for r in ds2.take_all()) == list(range(500))
+    # balance: every slice sees some rows (hash spreads 500 keys)
+    from go_datax_ray.sources.sqldb import _connect
+
+    con = _connect("sqlite", db)
+    counts = []
+    for q in build_queries(param, channel=4, tokens=token_ranges(4)):
+        cq = q.replace("SELECT k, v", "SELECT count(*)")
+        counts.append(con.execute(cq).fetchone()[0])
+    con.close()
+    assert sum(counts) == 500 and min(counts) > 0
+
+
 def test_orc_round_trip(tmp_path):
     """orcfilewriter -> orcfilereader round trip with column pruning and
     a where filter (the reference's hdfs ORC path, implemented for real)."""
