@@ -158,6 +158,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return read_lake(lake).map_batches(_cdc_out, batch_format="pyarrow")
 
+    def q_lake_point_lookup(sf_dir: str):
+        """Data-skipping point lookup: replay the CDC log into a lake,
+        then read ONLY the hash partitions five keys map to (the
+        manifest records key column + hash_fn, so the reader prunes to
+        k of P files instead of scanning the lake). Oracle = LWW final
+        state filtered to the same keys."""
+        import shutil
+
+        from go_datax_ray.pipelines.cdc_replay import (
+            DatasetEventSource,
+            ReplayConfig,
+            replay,
+        )
+        from go_datax_ray.sinks.lake import read_lake
+
+        lake = "/tmp/gdr_q_lake_pt"
+        shutil.rmtree(lake, ignore_errors=True)
+        ev = _events_as_cdc(sf_dir)
+        n = ev.count()
+        replay(
+            DatasetEventSource(ev, 0, n),
+            ReplayConfig(lake_dir=lake, num_partitions=8, epoch_size=max(n // 2, 1)),
+        )
+        keys = [str(k) for k in (1, 7, 23, 42, 99)]
+        return read_lake(lake, keys=keys).map_batches(_cdc_out, batch_format="pyarrow")
+
     def q_ntile(sf_dir: str):
         """Exact NTILE(4) over (value, event_id) with NO global sort:
         domain-bounded value histogram broadcast once per worker +
@@ -1806,6 +1832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_final_state": q_cdc_final_state,
         "lww_latest_event": q_lww_latest_event,
         "cdc_lake_replay": q_cdc_lake_replay,
+        "lake_point_lookup": q_lake_point_lookup,
         "flagship_final_state": q_flagship_final_state,
         "partition_histogram": q_partition_histogram,
         "dx_filter": q_dx_filter,
@@ -2008,6 +2035,9 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "cdc_lake_replay": cdc_final,
+        "lake_point_lookup": f"""
+            SELECT * FROM ({cdc_final}) WHERE user_id IN (1, 7, 23, 42, 99)
+        """,
         "lake_view": f"""
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)

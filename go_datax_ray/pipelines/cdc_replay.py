@@ -417,7 +417,13 @@ def _replay_locked(source: EventSource, cfg: ReplayConfig, metrics) -> ReplayRes
         raise ValueError(
             f"lake has {man.num_partitions} partitions; config says {cfg.num_partitions}"
         )
+    if man.num_partitions and (man.key, man.hash_fn) != (cfg.key, cfg.hash_fn):
+        raise ValueError(
+            f"lake is keyed/placed by ({man.key}, {man.hash_fn}); "
+            f"config says ({cfg.key}, {cfg.hash_fn})"
+        )
     man.num_partitions = cfg.num_partitions
+    man.key, man.hash_fn = cfg.key, cfg.hash_fn
 
     src_lo, src_hi = source.lsn_bounds()
     start = max(src_lo, man.watermark_lsn + 1)

@@ -256,18 +256,28 @@ def make_delta_merger(
 
 
 def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: bool = True,
-              asof_epoch: int | None = None):
+              asof_epoch: int | None = None, keys: list | None = None):
     """Read the committed lake as a Dataset (manifest-listed files only —
     uncommitted tmp/garbage files are invisible). ``final_state`` filters
     delete tombstones, yielding the upsert-resolved table state.
     ``asof_epoch`` reads the state as of an earlier committed epoch
-    (requires a lake written with retain_history=True)."""
+    (requires a lake written with retain_history=True).
+
+    ``keys``: point-lookup values of the lake's key column. The lake is
+    hash-placed (part_id = hash(key) % P, recorded in the manifest), so
+    the read PRUNES to the partitions those keys map to — k lookups
+    touch at most k of P files instead of scanning the lake (the
+    data-skipping read; at 100 TB / 64k partitions a key lookup is one
+    file). An exact is_in filter then drops same-partition cohabitants."""
     import ray.data as rd
 
     from ..state.manifest import Manifest
 
     man = Manifest.load(lake_dir)
     files = man.files_asof(asof_epoch) if asof_epoch is not None else man.committed_files()
+    key_col = man.key
+    if keys is not None and asof_epoch is None:
+        files = man.files_for_keys(keys)
     if not files:
         schema = schema_from_json(man.schema_json) if man.schema_json else pa.schema([])
         return rd.from_arrow(schema.empty_table())
@@ -276,9 +286,21 @@ def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: b
     if final_state and columns is not None and "op" not in columns:
         read_cols = list(columns) + ["op"]  # needed for the tombstone filter
         drop_op = True
+    if keys is not None and read_cols is not None and key_col not in read_cols:
+        read_cols = list(read_cols) + [key_col]
     pafs = man.fsh.pa_filesystem()
     ds = rd.read_parquet(files, columns=read_cols,
                          **({"filesystem": pafs} if pafs is not None else {}))
+    if keys is not None:
+        key_set = pa.array(list(keys))
+
+        def _lookup(t: pa.Table) -> pa.Table:
+            t = t.filter(pa.compute.is_in(t.column(key_col), value_set=key_set))
+            if columns is not None and key_col not in columns:
+                t = t.drop_columns([key_col])
+            return t
+
+        ds = ds.map_batches(_lookup, batch_format="pyarrow", zero_copy_batch=True)
     if final_state:
         def _final(t: pa.Table) -> pa.Table:
             t = t.filter(pa.compute.not_equal(t.column("op"), pa.scalar("D")))

@@ -66,6 +66,12 @@ class Manifest:
     schema_json: str | None = None  # committed Arrow schema (serialized)
     # pid(str) -> {"file": rel, "rows": int, "max_lsn": int, "epoch": int}
     partitions: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # placement metadata: which column keys the lake and how it hashes —
+    # recorded so READERS can prune to hash partitions (point lookups
+    # touch 1 of P files instead of scanning the lake). Defaults match
+    # pre-existing lakes (ReplayConfig defaults).
+    key: str = "url"
+    hash_fn: str = "crc32"
 
     @cached_property
     def fsh(self) -> LakeFS:
@@ -87,6 +93,8 @@ class Manifest:
             epoch=d["epoch"],
             schema_json=d.get("schema_json"),
             partitions=d["partitions"],
+            key=d.get("key", "url"),
+            hash_fn=d.get("hash_fn", "crc32"),
         )
 
     def _save_atomic(self) -> None:
@@ -98,6 +106,8 @@ class Manifest:
                 "epoch": self.epoch,
                 "schema_json": self.schema_json,
                 "partitions": self.partitions,
+                "key": self.key,
+                "hash_fn": self.hash_fn,
             }
         )
         self.fsh.write_json_atomic(self.fsh.join(MANIFEST_NAME), payload)
@@ -108,6 +118,20 @@ class Manifest:
         if ent is None:
             return None
         return self.fsh.join(ent["file"])
+
+    def files_for_keys(self, keys: list) -> list[str]:
+        """Data-skipping file selection: the partition files the given
+        key values hash-place into (part_id = hash_fn(key) % P). k keys
+        touch at most k of P files — the point-lookup read path."""
+        from ..hashing import partition_ids
+
+        if not self.num_partitions:
+            return self.committed_files()
+        pids = set(partition_ids(
+            [str(k) for k in keys], self.num_partitions, self.hash_fn
+        ).tolist())
+        return [f for pid in sorted(pids)
+                for f in [self.partition_file(pid)] if f is not None]
 
     def committed_files(self) -> list[str]:
         return [self.fsh.join(e["file"]) for e in self.partitions.values()]

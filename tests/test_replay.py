@@ -8,6 +8,7 @@ import os
 import duckdb
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 from go_datax_ray.pipelines.cdc_replay import (
@@ -293,6 +294,37 @@ def test_read_lake_streaming_matches_table(tmp_path):
     pruned = read_lake(lake, columns=["url", "lsn"])
     assert pruned.count() == t.num_rows
     assert [f.name for f in pruned.schema().base_schema] == ["url", "lsn"]
+
+
+def test_read_lake_point_lookup_prunes_partitions(tmp_path):
+    """keys= point lookup: the reader prunes to the hash partitions the
+    keys map to (manifest-recorded key column + hash_fn) and returns
+    exactly the full-scan rows for those keys."""
+    from go_datax_ray.hashing import partition_ids
+
+    lake = str(tmp_path / "lake")
+    _run(tmp_path / "lake", num_partitions=8)
+    full = read_lake_table(lake)
+    keys = sorted(set(full.column("url").to_pylist()))[:3]
+    want = full.filter(pc.is_in(full.column("url"), value_set=pa.array(keys)))
+    ds = read_lake(lake, keys=keys)
+    got = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    ).sort_by("url")
+    assert got.sort_by("url").column("url").to_pylist() == \
+        want.sort_by("url").column("url").to_pylist()
+    assert got.num_rows == want.num_rows
+    # pruning: only the keys' partitions are read, not all 8 files
+    n_pids = len(set(partition_ids(keys, 8).tolist()))
+    man = Manifest.load(lake)
+    assert len(man.files_for_keys(keys)) == n_pids < len(man.committed_files())
+    # column pruning composes with the lookup (key col requested
+    # internally for the filter, then dropped from the output)
+    narrow = read_lake(lake, keys=keys, columns=["lsn"])
+    assert narrow.count() == want.num_rows
+    assert [f.name for f in narrow.schema().base_schema] == ["lsn"]
+    # a key the lake never saw returns 0 rows via 1 file
+    assert read_lake(lake, keys=["https://nope.example/x"]).count() == 0
 
 
 def test_streaming_read_across_partial_evolution(tmp_path):
