@@ -164,11 +164,13 @@ def main() -> dict:
         return out
 
     # ---- headline: full WAL replay into a fresh lake -------------------
-    # best of 2 trials (fresh lake each): the co-tenant's minute-scale
-    # bandwidth storms swing a single trial 2x; the best trial is the
-    # engine's number, the per-trial list documents the weather
+    # best of 3 trials (fresh lake each): the co-tenant's minute-scale
+    # bandwidth storms swing a single trial 2-3x (observed trials
+    # [20.0 s, 13.7 s] in the same run that idle windows complete in
+    # 5-7 s); the best trial is the engine's number, the per-trial list
+    # documents the weather
     trials = []
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(LAKE, ignore_errors=True)
         t0 = time.perf_counter()
         res = replay(

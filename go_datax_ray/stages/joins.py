@@ -193,6 +193,63 @@ def _conform_merged(t: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=schema)
 
 
+def _raw_key_hash(t: pa.Table, key: str | list[str]) -> np.ndarray:
+    """Full-width uint64 identity hash of the join key columns — the
+    hot-key membership function. Independent of the bucket hash (it only
+    has to agree between detection and prep; a collision mis-places one
+    cold key into the salted path, never changes join output)."""
+    from .partition import _cohash_raw
+
+    return _cohash_raw(t, key if isinstance(key, list) else [key])
+
+
+@_ft.lru_cache(maxsize=8)
+def _cached_hot(ref) -> np.ndarray:
+    """Hot-key hash set pulled from the object store once per worker."""
+    return ray.get(ref)
+
+
+def detect_hot_keys(ds, on: str | list[str], *, threshold: int,
+                    top_per_block: int = 16) -> np.ndarray:
+    """One-pass skew sketch: per-block top-``top_per_block`` key-hash
+    candidates by count, summed across blocks in a (tiny) groupby; keys
+    whose summed candidate count reaches ``threshold`` are hot. A key
+    that is hot overall is a top candidate in most blocks, so its sum
+    approaches its true count; a borderline key missed in some blocks
+    undercounts — acceptable, the hot set tunes PLACEMENT only.
+    Returns the uint64 raw key hashes of the hot keys (ids never
+    accumulate on the driver beyond the hot set itself)."""
+    on_key = on if isinstance(on, list) else on
+
+    def cands(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"_h": pa.array([], pa.int64()),
+                             "_n": pa.array([], pa.int64())})
+        h = _raw_key_hash(t, on_key)
+        vals, counts = np.unique(h, return_counts=True)
+        if len(vals) > top_per_block:
+            idx = np.argpartition(counts, -top_per_block)[-top_per_block:]
+            vals, counts = vals[idx], counts[idx]
+        return pa.table({"_h": pa.array(vals.view(np.int64), pa.int64()),
+                         "_n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    agg = (
+        ds.map_batches(cands, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_h")
+        .sum("_n")
+    )
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(_n)" not in t.column_names:
+            return pa.table({"_h": pa.array([], pa.int64())})
+        return t.filter(
+            pc.greater_equal(t.column("sum(_n)"), pa.scalar(int(threshold)))
+        ).select(["_h"])
+
+    hot_rows = agg.map_batches(keep_hot, batch_format="pyarrow").take_all()
+    return np.array([r["_h"] for r in hot_rows], dtype=np.int64).view(np.uint64)
+
+
 def _add_bucket(t: pa.Table, key: str | list[str], n_buckets: int,
                 side: str) -> pa.Table:
     if isinstance(key, list):
@@ -213,6 +270,7 @@ def bucket_hash_join(left, right, *, on: str | list[str], n_buckets: int = 32,
                      how: Literal["inner", "left", "right", "full",
                                   "semi", "anti"] = "inner",
                      suffix: str = "_r", n_salts: int = 1,
+                     salt_keys=None, hot_threshold: int = 100_000,
                      schemas: tuple[pa.Schema, pa.Schema] | None = None):
     """Partitioned hash join of two Datasets on ``on`` (a column name or
     a LIST of names for composite keys — both sides bucket on the
@@ -229,6 +287,14 @@ def bucket_hash_join(left, right, *, on: str | list[str], n_buckets: int = 32,
     REPLICATED to all salts, so a hot key's probe work fans out over
     n_salts reducers at the cost of right-side duplication (the standard
     salted-join tradeoff; use when the left side carries the hot keys).
+    ``salt_keys`` restricts the fan-out to the HOT keys only: pass a
+    list of key values (tuples for composite keys), or ``"auto"`` to
+    detect them with a one-extra-pass skew sketch over the LEFT side
+    (per-block top candidates + in-cluster candidate sum; keys with
+    ≥ ``hot_threshold`` rows are hot — tune it to ~2x the expected
+    rows-per-reducer). Cold rows keep salt 0 on both sides, so the
+    right-side duplication cost is proportional to the hot keys' right
+    rows, not the whole right side.
     Outer variants (``right``/``full``) keep unmatched rows of the
     respective side null-filled; they require ``n_salts == 1`` (salting
     replicates the right side, which would duplicate its unmatched
@@ -295,19 +361,54 @@ def bucket_hash_join(left, right, *, on: str | list[str], n_buckets: int = 32,
                 cols.append(pa.nulls(rg.num_rows, f.type))
         return pa.Table.from_arrays(cols, schema=out_schema)
 
+    # hot-key-only salting: resolve the hot set once (driver), ship it as
+    # ONE object-store ref pulled per worker (_cached_hot) — never in the
+    # task closure
+    selective = salt_keys is not None
+    hot_ref = None
+    if n_salts > 1 and selective:
+        if isinstance(salt_keys, str):
+            if salt_keys != "auto":
+                raise ValueError(f"salt_keys={salt_keys!r}: pass a key list or 'auto'")
+            hot = detect_hot_keys(left, on_cols if len(on_cols) > 1 else on_cols[0],
+                                  threshold=hot_threshold)
+        else:
+            vals = list(salt_keys)
+            cols = {}
+            for i, c in enumerate(on_cols):
+                raw = [v[i] for v in vals] if len(on_cols) > 1 else vals
+                cols[c] = pa.array(raw).cast(union_schema.field(c).type) if raw \
+                    else pa.array([], union_schema.field(c).type)
+            hot = _raw_key_hash(pa.table(cols), on_key)
+        if len(hot):
+            hot_ref = ray.put(np.unique(hot))
+
     def prep(side: str):
         def fn(t: pa.Table) -> pa.Table:
             t = _add_bucket(conform(t, union_schema), on_key, n_buckets, side)
-            if n_salts <= 1:
+            n = t.num_rows
+            if n_salts <= 1 or (selective and hot_ref is None):
                 return t.append_column(
-                    "_salt", pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64())
+                    "_salt", pa.array(np.zeros(n, dtype=np.int64), pa.int64())
                 )
+            if selective:
+                is_hot = np.isin(_raw_key_hash(t, on_key), _cached_hot(hot_ref))
+                if side == "l":
+                    # spread HOT left rows across salts; cold rows stay 0
+                    salt = np.where(is_hot, np.arange(n, dtype=np.int64) % n_salts, 0)
+                    return t.append_column("_salt", pa.array(salt, pa.int64()))
+                # replicate only HOT right rows to every salt
+                reps = np.where(is_hot, n_salts, 1)
+                idx = np.repeat(np.arange(n), reps)
+                t = t.take(pa.array(idx))
+                starts = np.repeat(np.cumsum(reps) - reps, reps)
+                salt = (np.arange(len(idx)) - starts).astype(np.int64)
+                return t.append_column("_salt", pa.array(salt, pa.int64()))
             if side == "l":
                 # spread left rows across salts (round-robin within batch)
-                salt = np.arange(t.num_rows, dtype=np.int64) % n_salts
+                salt = np.arange(n, dtype=np.int64) % n_salts
                 return t.append_column("_salt", pa.array(salt, pa.int64()))
             # replicate right rows to every salt
-            n = t.num_rows
             idx = np.repeat(np.arange(n), n_salts)
             t = t.take(pa.array(idx))
             salt = np.tile(np.arange(n_salts, dtype=np.int64), n)

@@ -119,8 +119,11 @@ def bounded_groupby(ds, keys):
     return maybe_repartition(ds).groupby(keys)
 
 
-def _cohash(t: pa.Table, keys: list[str], n_groups: int) -> np.ndarray:
-    """Combined hash of the key columns, mod n_groups (uint64 mixing)."""
+def _cohash_raw(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Combined uint64 hash of the key columns (splitmix64 mixing) —
+    the full-width identity hash behind _cohash; also used for hot-key
+    membership tests (a collision only mis-places a cold key, never
+    changes join/group results)."""
     from ..hashing import crc32_array, splitmix64
 
     acc = np.zeros(t.num_rows, dtype=np.uint64)
@@ -134,7 +137,12 @@ def _cohash(t: pa.Table, keys: list[str], n_groups: int) -> np.ndarray:
             else:
                 v = crc32_array(col)
             acc = splitmix64(acc * np.uint64(0x9E3779B97F4A7C15) + v)
-    return (acc % np.uint64(n_groups)).astype(np.int64)
+    return acc
+
+
+def _cohash(t: pa.Table, keys: list[str], n_groups: int) -> np.ndarray:
+    """Combined hash of the key columns, mod n_groups (uint64 mixing)."""
+    return (_cohash_raw(t, keys) % np.uint64(n_groups)).astype(np.int64)
 
 
 def cohash_map_groups(ds, keys: list[str], fn, *, n_groups: int | None = None):

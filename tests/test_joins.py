@@ -105,6 +105,45 @@ def test_salted_join_equals_unsalted():
     assert len(lj_salt) == 2000
 
 
+def test_hot_key_salted_join_equals_unsalted():
+    """salt_keys: fan out ONLY the hot keys — explicit list and 'auto'
+    detection both produce exactly the unsalted result, including left
+    joins with unmatched rows and semi/anti."""
+    from go_datax_ray.stages.joins import bucket_hash_join, detect_hot_keys
+
+    rng = np.random.default_rng(9)
+    # key 7 carries ~60% of 3000 left rows; keys 0..49 exist on the right
+    lk = np.where(rng.random(3000) < 0.6, 7, rng.integers(0, 60, 3000))
+    left = rd.from_arrow(pa.table({"k": pa.array(lk, pa.int64()),
+                                   "n": pa.array(np.arange(3000), pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array(np.arange(50), pa.int64()),
+                                    "m": pa.array(np.arange(50) * 10, pa.int64())}))
+    hot = detect_hot_keys(left, "k", threshold=500)
+    assert len(hot) == 1  # only key 7 crosses the threshold
+    plain = bucket_hash_join(left, right, on="k", n_buckets=8).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["k", "n", "m"]].values.tolist()))
+    for sk in ([7], "auto"):
+        salted = bucket_hash_join(left, right, on="k", n_buckets=8,
+                                  n_salts=4, salt_keys=sk,
+                                  hot_threshold=500).to_pandas()
+        assert key(salted) == key(plain)
+    # left join: unmatched keys (50..59) survive exactly once
+    lj = bucket_hash_join(left, right, on="k", n_buckets=8, n_salts=4,
+                          salt_keys=[7], how="left").to_pandas()
+    assert len(lj) == 3000
+    # semi/anti under selective salting
+    semi = bucket_hash_join(left, right, on="k", n_buckets=8, n_salts=4,
+                            salt_keys=[7], how="semi").to_pandas()
+    assert len(semi) == int((lk < 50).sum())
+    anti = bucket_hash_join(left, right, on="k", n_buckets=8, n_salts=4,
+                            salt_keys=[7], how="anti").to_pandas()
+    assert len(anti) == int((lk >= 50).sum())
+    # empty hot set degrades to the unsalted plan, same output
+    none_hot = bucket_hash_join(left, right, on="k", n_buckets=8, n_salts=4,
+                                salt_keys=[], how="inner").to_pandas()
+    assert key(none_hot) == key(plain)
+
+
 def test_bucket_hash_join_preserves_int_dtypes():
     """VERDICT r1 #1: union null-fill must not leak float64 into int columns,
     and int64 values > 2^53 must survive a left join exactly."""
