@@ -1791,6 +1791,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _rp(sf_dir, "documents", columns=["text"])
         return heavy_hitters_bigrams(docs, k=20)
 
+    def q_para_dedup(sf_dir: str):
+        """INTRA-document repeated-line removal (C4/Gopher in-doc
+        repetition step; zero shuffle — a doc never leaves its batch).
+        Lines are synthesised as 6-word windows with the first line
+        re-appended (a guaranteed in-doc duplicate); the construction
+        and the first-occurrence dedup are replayed verbatim in SQL."""
+        from go_datax_ray.stages.curation import dedup_lines_in_doc
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def to_paras(t: pa.Table) -> pa.Table:
+            new, keep = [], []
+            for x in t.column("text").to_pylist():
+                ws = (x or "").split()
+                lines = [" ".join(ws[j * 6:j * 6 + 6])
+                         for j in range((len(ws) + 5) // 6)]
+                if lines:
+                    lines.append(lines[0])
+                    new.append("\n".join(lines))
+                    keep.append(True)
+                else:
+                    keep.append(False)
+            t = t.filter(pa.array(keep))
+            return t.drop_columns(["text"]).append_column(
+                "text", pa.array(new, pa.string())
+            )
+
+        ds = docs.map_batches(to_paras, batch_format="pyarrow")
+        ds = ds.map_batches(dedup_lines_in_doc, batch_format="pyarrow")
+        return ds.select_columns(["doc_id", "text_dedup", "n_removed"])
+
     def q_line_dedup(sf_dir: str):
         """C4-style corpus-global duplicate-line removal. Lines are
         synthesised deterministically (8-word windows joined with \\n)
@@ -1847,6 +1879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q_gopher_quality,
         "pii_mask": q_pii_mask,
         "line_dedup": q_line_dedup,
+        "para_dedup": q_para_dedup,
         "token_count_bpe": q_token_count_bpe,
         "inverted_index": q_inverted_index,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2765,6 +2798,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         # line_dedup: keep-first by packed (doc_id * 2^20 + line_idx);
         # docs rebuilt with string_agg ordered by line_idx; empty docs drop
+        "para_dedup": """
+            WITH base AS (
+              SELECT doc_id,
+                     array_to_string(list_concat(lines, [lines[1]]), chr(10))
+                       AS text
+              FROM (SELECT doc_id,
+                           list_transform(range(0, (len(ws) + 5) // 6),
+                             j -> array_to_string(ws[j*6+1 : j*6+6], ' '))
+                             AS lines
+                    FROM (SELECT doc_id,
+                                 list_filter(string_split_regex(text, '\\s+'),
+                                             x -> x != '') AS ws
+                          FROM documents))
+              WHERE len(lines) >= 1
+            ),
+            lns AS (
+              SELECT doc_id, u.i - 1 AS idx, ls[u.i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM base),
+                   unnest(range(1, len(ls) + 1)) AS u(i)
+            ),
+            firsts AS (
+              SELECT doc_id, idx, line,
+                     row_number() OVER (PARTITION BY doc_id, line
+                                        ORDER BY idx) AS rn,
+                     count(*) OVER (PARTITION BY doc_id) AS total
+              FROM lns
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY idx)
+                     FILTER (WHERE rn = 1) AS text_dedup,
+                   CAST(any_value(total) - count(*) FILTER (WHERE rn = 1)
+                        AS BIGINT) AS n_removed
+            FROM firsts GROUP BY doc_id
+        """,
         "line_dedup": """
             WITH base AS (
               SELECT doc_id, array_to_string(

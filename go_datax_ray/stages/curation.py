@@ -462,6 +462,35 @@ def line_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 # ------------------------------------------------------------ gopher_quality
 
+def dedup_lines_in_doc(t: pa.Table, *, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       out_col: str = "text_dedup") -> pa.Table:
+    """INTRA-document repeated-line removal (the C4/Gopher in-document
+    repetition step — distinct from the corpus-global ``line_dedup``):
+    keep the FIRST occurrence of each exact line within a document,
+    preserving line order; append the deduped text and the removed-line
+    count. Pure per-batch kernel — a document never leaves its batch,
+    so the stage is shuffle-free at any corpus size."""
+    import pandas as pd
+
+    if t.num_rows == 0:
+        return (t.append_column(out_col, pa.array([], pa.string()))
+                 .append_column("n_removed", pa.array([], pa.int64())))
+    texts = t.column(text_col)
+    flat, doc_idx, n_lines = _split_lines(texts)
+    # first-occurrence mask per (doc, line): pandas duplicated is a C
+    # hash pass over the flat (doc_idx, line) pairs
+    keep = ~pd.DataFrame({"d": doc_idx, "l": flat}).duplicated().to_numpy()
+    out, removed, pos = [], np.zeros(len(n_lines), dtype=np.int64), 0
+    for i, nl in enumerate(n_lines):
+        seg_keep = keep[pos:pos + nl]
+        out.append("\n".join(flat[pos:pos + nl][seg_keep]))
+        removed[i] = nl - int(seg_keep.sum())
+        pos += nl
+    return (t.append_column(out_col, pa.array(out, pa.string()))
+             .append_column("n_removed", pa.array(removed, pa.int64())))
+
+
 def gopher_quality(t: pa.Table, *, text_col: str = "text", id_col: str = "doc_id",
                    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
                    min_words: int = 50, max_words: int = 100_000,

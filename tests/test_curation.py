@@ -161,6 +161,29 @@ def test_line_dedup_keeps_extra_columns():
     assert got["text"].tolist() == ["a\nb", "c"]
 
 
+def test_dedup_lines_in_doc_kernel():
+    """First-occurrence intra-doc line dedup: order preserved, blank
+    lines dedup like any line, other docs' identical lines unaffected,
+    empty text stays one (empty) line."""
+    from go_datax_ray.stages.curation import dedup_lines_in_doc
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a\nb\na\nc\nb",        # in-doc dups a,b
+            "a\n\nx\n\na",          # blank lines dedup too
+            "",                       # empty text = one empty line
+        ]),
+    })
+    out = dedup_lines_in_doc(t)
+    assert out.column("text_dedup").to_pylist() == ["a\nb\nc", "a\n\nx", ""]
+    assert out.column("n_removed").to_pylist() == [2, 2, 0]
+    # doc 1 and doc 2 both keep their own 'a' — dedup is per-document
+    empty = dedup_lines_in_doc(t.slice(0, 0))
+    assert empty.num_rows == 0
+    assert empty.column_names[-2:] == ["text_dedup", "n_removed"]
+
+
 def test_dx_mask_golden():
     from go_datax_ray.stages.transforms import dx_mask
 
