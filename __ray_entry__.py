@@ -1041,6 +1041,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_skew_join(sf_dir: str):
+        """Skewed join through the auto-salted path: ~60% of events
+        collapse onto key 0 (a planted hot key), the rest spread over
+        500 cold keys. salt_keys="auto" detects the hot key with the
+        one-pass skew sketch and fans ONLY it across 8 salts; output is
+        byte-identical to the plain SQL join (at sf0.001 the hot key
+        stays under the threshold and the unsalted plan runs — both
+        paths are exercised across scale factors)."""
+        import numpy as np
+
+        from go_datax_ray.stages.joins import bucket_hash_join
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events", columns=["event_id", "user_id"])
+
+        def skew(t: pa.Table) -> pa.Table:
+            u = t.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            k = np.where(u % 10 < 6, 0, u % 500)
+            return pa.table({"event_id": t.column("event_id"),
+                             "k": pa.array(k, pa.int64())})
+
+        left = ev.map_batches(skew, batch_format="pyarrow")
+        dim = pa.table({"k": pa.array(np.arange(500), pa.int64()),
+                        "v": pa.array(np.arange(500) * 3, pa.int64())})
+        out = bucket_hash_join(left, rd.from_arrow(dim), on="k", n_buckets=16,
+                               n_salts=8, salt_keys="auto", hot_threshold=5000)
+        return out.map_batches(
+            lambda t: t.select(["event_id", "k", "v"]), batch_format="pyarrow"
+        )
+
     def q_semi_join(sf_dir: str):
         import pyarrow.parquet as pq
 
@@ -1940,6 +1970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "broadcast_join": q_broadcast_join,
         "bucket_hash_join": q_bucket_hash_join,
+        "skew_join": q_skew_join,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "asof_join": q_asof_join,
@@ -2220,6 +2251,17 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_join": """
             SELECT o_orderkey, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "skew_join": """
+            WITH l AS (
+              SELECT event_id,
+                     CASE WHEN user_id % 10 < 6 THEN 0
+                          ELSE user_id % 500 END AS k
+              FROM events
+            ),
+            r AS (SELECT CAST(r AS BIGINT) AS k, CAST(r * 3 AS BIGINT) AS v
+                  FROM range(0, 500) t(r))
+            SELECT l.event_id, l.k, r.v FROM l JOIN r USING (k)
         """,
         "bucket_hash_join": """
             SELECT l_orderkey, l_linenumber, o_orderstatus
