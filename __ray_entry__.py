@@ -1821,6 +1821,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _rp(sf_dir, "documents", columns=["text"])
         return heavy_hitters_bigrams(docs, k=20)
 
+    def q_incremental_dedup(sf_dir: str):
+        """Incremental dedup of a crawl increment against a PERSISTED
+        signature index over the committed corpus (stages/dedup_index):
+        exact copies (+100000) die at the anti-join against the index's
+        content hashes, near copies (+200000: one out-of-vocabulary word
+        appended) die at the exact-Jaccard verify against the committed
+        doc their LSH bucket pairs them with, fresh docs (+300000:
+        per-doc unique vocabulary) survive. Deterministic because every
+        corpus doc has >= 8 distinct trigrams (verified at all sfs), so
+        a near copy's J = n3/(n3+1) >= 8/9 >= the 0.8 threshold, and
+        the one-appended-word signature shares an LSH band with its
+        original except with probability < 1e-15. Oracle = the fresh
+        ids."""
+        import shutil
+
+        from go_datax_ray.stages.dedup_index import (
+            build_dedup_index,
+            incremental_dedup,
+        )
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+        idx = "/tmp/gdr_q_dedup_idx"
+        shutil.rmtree(idx, ignore_errors=True)
+        build_dedup_index(docs, idx)
+
+        def increment(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            txt = t.column("text").to_pylist()
+            out_i, out_t = [], []
+            for i, x in zip(ids, txt):
+                out_i.append(i + 100000)
+                out_t.append(x)                       # exact copy
+                out_i.append(i + 200000)
+                out_t.append((x or "") + " zzqq")     # near copy
+                out_i.append(i + 300000)
+                out_t.append(" ".join(f"u{i}w{j}" for j in range(20)))  # fresh
+            return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                             "text": pa.array(out_t, pa.string())})
+
+        inc = docs.map_batches(increment, batch_format="pyarrow")
+        surv, _stats = incremental_dedup(inc, idx, docs, threshold=0.8,
+                                         update_index=False)
+        return surv.select_columns(["doc_id"])
+
     def q_para_dedup(sf_dir: str):
         """INTRA-document repeated-line removal (C4/Gopher in-doc
         repetition step; zero shuffle — a doc never leaves its batch).
@@ -1910,6 +1955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_mask": q_pii_mask,
         "line_dedup": q_line_dedup,
         "para_dedup": q_para_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "token_count_bpe": q_token_count_bpe,
         "inverted_index": q_inverted_index,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2840,6 +2886,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # line_dedup: keep-first by packed (doc_id * 2^20 + line_idx);
         # docs rebuilt with string_agg ordered by line_idx; empty docs drop
+        "incremental_dedup": """
+            SELECT doc_id + 300000 AS doc_id FROM documents
+        """,
         "para_dedup": """
             WITH base AS (
               SELECT doc_id,
