@@ -1226,6 +1226,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         agg = partial_agg_sum(joined, key="l_orderkey", value_expr=cents, out_col="revenue_cents")
         return agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
 
+    def q_tpch_q18(sf_dir: str):
+        """TPC-H Q18-shaped composition (large-volume customers): the
+        HAVING gate is a map-side-combining groupby over lineitem (only
+        (orderkey, qty) pairs cross the shuffle), the few qualifying
+        orders join the orders table through the bucketed hash join,
+        the customer dim broadcasts, and the top-100 sort runs over the
+        already-HAVING-pruned rows. A deterministic o_orderkey tiebreak
+        pins the limit."""
+        import pyarrow.parquet as pq
+
+        from go_datax_ray.stages.joins import broadcast_join, bucket_hash_join
+
+        rd = rd_lazy()
+        li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+        qual = li.groupby("l_orderkey").sum("l_quantity")
+
+        def gate(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "sum(l_quantity)" not in t.column_names:
+                return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                                 "total_qty": pa.array([], pa.int64())})
+            s = t.column("sum(l_quantity)")
+            t = t.filter(pc.greater(s, pa.scalar(212.0)))
+            return pa.table({
+                "o_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "total_qty": pc.round(t.column("sum(l_quantity)")).cast(pa.int64()),
+            })
+
+        qual = qual.map_batches(gate, batch_format="pyarrow")
+        orders = _rp(sf_dir, "orders",
+                     columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        big = bucket_hash_join(qual, orders, on="o_orderkey", n_buckets=16)
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_name"])
+        cust = pa.table({"o_custkey": cust.column("c_custkey"),
+                         "c_custkey": cust.column("c_custkey"),
+                         "c_name": cust.column("c_name")})
+        out = broadcast_join(big, cust, on="o_custkey")
+        out = out.map_batches(
+            lambda t: t.select(["c_name", "c_custkey", "o_orderkey",
+                                "o_orderdate", "o_totalprice", "total_qty"]),
+            batch_format="pyarrow",
+        )
+        return out.sort(key=["o_totalprice", "o_orderdate", "o_orderkey"],
+                        descending=[True, False, False]).limit(100)
+
     def q_tpch_q5_composed(sf_dir: str):
         """TPC-H Q5-shaped composition: a 6-table join expressed with the
         engine's own scale idioms — tiny dims (region x nation) resolved
@@ -1584,6 +1629,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rd = rd_lazy()
         ds = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
         return ranked_window(ds)
+
+    def q_rolling_frame(sf_dir: str):
+        """Moving SUM/COUNT/AVG over a 4-row ROWS frame per user —
+        segment-clamped cumsum, one lexsort per co-hash block; exact
+        integer cents so the average is an IEEE division of the same
+        two integers DuckDB divides."""
+        from go_datax_ray.stages.analytic import rolling_frame
+
+        rd = rd_lazy()
+        ds = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+        def to_cents(t: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(t.column("value"), pa.scalar(100.0)),
+                         options=pc.RoundOptions(round_mode="half_towards_infinity")),
+                pa.int64(),
+            )  # DuckDB ROUND is half-away-from-zero
+            return t.drop_columns(["value"]).append_column("cents", cents)
+
+        out = rolling_frame(ds.map_batches(to_cents, batch_format="pyarrow"),
+                            window=4)
+        return out.select_columns(
+            ["event_id", "user_id", "roll_sum_cents", "roll_n", "roll_avg_cents"]
+        )
 
     def q_rollup_revenue(sf_dir: str):
         """GROUP BY ROLLUP(l_returnflag, l_linestatus): finest level is
@@ -1962,6 +2031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "grouped_quantiles": q_grouped_quantiles,
         "window_rank": q_window_rank,
+        "rolling_frame": q_rolling_frame,
         "rollup_revenue": q_rollup_revenue,
         "cube_revenue": q_cube_revenue,
         "pivot_events": q_pivot_events,
@@ -2029,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineage": q_lineage,
         "tpch_q3_composed": q_tpch_q3_composed,
         "tpch_q5_composed": q_tpch_q5_composed,
+        "tpch_q18_composed": q_tpch_q18,
     }
 
 
@@ -2363,6 +2434,16 @@ def oracle_sql() -> dict[str, str]:
               FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
             ) WHERE op IS NOT NULL
         """,
+        "tpch_q18_composed": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+            FROM customer, orders, lineitem
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 GROUP BY 1 HAVING SUM(l_quantity) > 212)
+              AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+            GROUP BY 1, 2, 3, 4, 5
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
+        """,
         "tpch_q5_composed": """
             SELECT n_name,
                    CAST(SUM(CAST(ROUND(
@@ -2543,6 +2624,21 @@ def oracle_sql() -> dict[str, str]:
         # window_rank: rn/lag/lead use the unique event_id tiebreak;
         # rank/dense_rank order by ts alone so ties share a rank —
         # deterministic either way
+        "rolling_frame": """
+            WITH b AS (
+              SELECT event_id, user_id, ts,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum_cents,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+                   CAST(SUM(cents) OVER w AS BIGINT)
+                     / CAST(COUNT(*) OVER w AS DOUBLE) AS roll_avg_cents
+            FROM b
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
         "window_rank": """
             SELECT event_id, user_id, ts, value,
                    CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS rn,

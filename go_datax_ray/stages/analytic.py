@@ -149,6 +149,57 @@ def ranked_window(
     return cohash_map_groups(ds, [by], rank_block)
 
 
+def rolling_frame(ds, *, by: str = "user_id", order: str = "ts",
+                  tiebreak: str = "event_id", cents_col: str = "cents",
+                  window: int = 4):
+    """Per-key ROWS-frame moving aggregates — the ANSI
+    ``SUM/COUNT/AVG(x) OVER (PARTITION BY by ORDER BY order, tiebreak
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    Fully vectorised per co-hash block: one lexsort, a cumulative sum,
+    and a segment-clamped window-start index (max(i-window+1,
+    segment_start)) — no per-key Python calls, no per-row loops.
+    ``cents_col`` must be int64 (exact integer sums; the caller converts
+    money via ROUND(value*100)); the moving average is emitted as the
+    IEEE division of the two exact integers, so it is bit-identical to
+    a SQL engine dividing the same pair.
+
+    Appends: roll_sum_cents (int64), roll_n (int64), roll_avg_cents
+    (float64). Scale shape: the shuffle carries only the projected
+    columns; each key lands in one co-hash block (documented
+    single-block-per-key assumption shared with ranked_window)."""
+    from .partition import cohash_map_groups
+
+    def frame_block(g: pa.Table) -> pa.Table:
+        key = _np_sort_key(g.column(by))
+        ts = _np_sort_key(g.column(order))
+        tb = _np_sort_key(g.column(tiebreak))
+        perm = np.lexsort((tb, ts, key))
+        n = len(perm)
+        key_s = key[perm]
+        seg_start = np.empty(n, dtype=bool)
+        if n:
+            seg_start[0] = True
+            seg_start[1:] = key_s[1:] != key_s[:-1]
+        seg_of = np.maximum.accumulate(np.where(seg_start, np.arange(n), 0))
+        sorted_tbl = g.take(pa.array(perm))
+        v = sorted_tbl.column(cents_col).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(v)])  # csum[i+1] = sum v[:i+1]
+        start = np.maximum(np.arange(n) - (window - 1), seg_of)
+        roll_sum = csum[np.arange(n) + 1] - csum[start]
+        roll_n = np.arange(n) - start + 1
+        roll_avg = roll_sum.astype(np.float64) / roll_n.astype(np.float64)
+        return (
+            sorted_tbl.append_column("roll_sum_cents", pa.array(roll_sum, pa.int64()))
+            .append_column("roll_n", pa.array(roll_n, pa.int64()))
+            .append_column("roll_avg_cents", pa.array(roll_avg, pa.float64()))
+        )
+
+    return cohash_map_groups(ds, [by], frame_block)
+
+
 def rollup_aggregate(ds, *, keys: list[str], value_col: str = "value"):
     """GROUP BY ROLLUP(keys...): one row set per prefix level, coarser
     levels null-filled — count + exact-cents sum per group.

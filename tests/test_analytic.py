@@ -306,3 +306,29 @@ def test_global_ntile_heavy_ties():
         FROM tp ORDER BY event_id
     """).df()
     assert mine["bucket"].tolist() == want["bucket"].tolist()
+
+
+def test_rolling_frame_matches_pandas():
+    """Segment-clamped moving SUM/COUNT/AVG == pandas groupby.rolling
+    on the same (key, order, tiebreak) sort — including windows shorter
+    than the frame at each key's head."""
+    from go_datax_ray.stages.analytic import rolling_frame
+
+    rng = np.random.default_rng(4)
+    n = 5000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 500, n), pa.int64()),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "cents": pa.array(rng.integers(-1000, 1000, n), pa.int64()),
+    })
+    out = rolling_frame(rd.from_arrow(t), window=4).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    pdf = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    roll = pdf.groupby("user_id")["cents"].rolling(4, min_periods=1)
+    pdf["want_sum"] = roll.sum().reset_index(level=0, drop=True)
+    pdf["want_n"] = roll.count().reset_index(level=0, drop=True)
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    assert out["roll_sum_cents"].tolist() == pdf["want_sum"].astype(int).tolist()
+    assert out["roll_n"].tolist() == pdf["want_n"].astype(int).tolist()
+    assert np.allclose(out["roll_avg_cents"], pdf["want_sum"] / pdf["want_n"])
