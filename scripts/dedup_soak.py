@@ -128,6 +128,80 @@ def exact_loser_soak(n_docs: int, n_uniq: int) -> None:
     )
 
 
+def incremental_soak(mult: int, sf_dir: str) -> None:
+    """Incremental-dedup scale probe: index a mult-x committed corpus
+    once, then dedup a base-sized increment (half near-dups of committed
+    docs, half fresh) against it, and compare against the full
+    recompute over committed ∪ increment. The incremental path must (a)
+    not re-hash the committed corpus (wall ≪ full recompute) and (b)
+    keep driver RSS in the ids/edges class."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from go_datax_ray.stages.dedup import minhash_dedup_corpus
+    from go_datax_ray.stages.dedup_index import build_dedup_index, incremental_dedup
+
+    committed, n_base = scaled_docs(sf_dir, mult)
+    n_committed = n_base * mult
+
+    def make_inc(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        out_i, out_t = [], []
+        for d, x in zip(ids, texts):
+            if d % 2 == 0:  # near-dup of a committed doc: drop one word
+                w = (x or "").split()
+                if len(w) > 3:
+                    w.pop((int(d) // 2) % len(w))
+                out_i.append(int(d) + 10_000_000)
+                out_t.append(" ".join(w))
+            else:  # fresh: per-doc unique vocabulary
+                out_i.append(int(d) + 20_000_000)
+                out_t.append(" ".join(f"inc{d}w{j}" for j in range(40)))
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    inc = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"]).map_batches(
+        make_inc, batch_format="pyarrow"
+    ).materialize()
+
+    idx = "/dev/shm/gdr_dedup_soak/idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    t0 = time.perf_counter()
+    build_dedup_index(committed, idx)
+    t_index = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    surv, stats = incremental_dedup(inc, idx, committed, threshold=0.7,
+                                    update_index=False)
+    t_inc = time.perf_counter() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
+    t0 = time.perf_counter()
+    _full, full_stats = minhash_dedup_corpus(committed.union(inc), threshold=0.7)
+    n_full = _full.count()
+    t_full = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "incremental_dedup_soak",
+        "committed_docs": n_committed,
+        "increment_docs": inc.count(),
+        "index_build_sec": round(t_index, 2),
+        "incremental_sec": round(t_inc, 2),
+        "full_recompute_sec": round(t_full, 2),
+        "speedup_vs_full": round(t_full / t_inc, 2),
+        "survivors": stats.get("survivors"),
+        "full_survivors": n_full,
+        "driver_rss_growth_mb": round((rss1 - rss0) / 1024, 1),
+        **{f"inc_{k}": v for k, v in stats.items() if k != "survivors"},
+    }))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--exact-losers":
         import ray
@@ -140,6 +214,19 @@ def main() -> None:
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_200_000
         n_uniq = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
         exact_loser_soak(n_docs, n_uniq)
+        ray.shutdown()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
+        import ray
+
+        ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        incremental_soak(mult, sf_dir)
         ray.shutdown()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
