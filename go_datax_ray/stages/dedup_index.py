@@ -198,7 +198,13 @@ def incremental_dedup(new_ds, index_dir: str, old_docs, *,
     old_exact = rd.read_parquet(os.path.join(index_dir, "exact"))
     new_ds = bucket_hash_join(
         hashed, old_exact, on="content_hash", how="anti"
-    ).drop_columns(["content_hash"])
+    ).drop_columns(["content_hash"]).materialize()
+    # ^ materialized: four downstream consumers (new-new pairs, new LSH
+    # rows, candidate-doc fetch, loser removal) would otherwise each
+    # RE-EXECUTE the exact-dedup cohash shuffle + the anti-join against
+    # the index (measured: the re-execution alone erased the whole
+    # incremental speedup at the 10x soak). The increment is the small
+    # side by definition; blocks live in the object store and spill.
 
     # -- 3. near-dup candidates ------------------------------------------
     # new-new pairs (both ids new)
@@ -211,8 +217,20 @@ def incremental_dedup(new_ds, index_dir: str, old_docs, *,
         minhash_batch,
         fn_kwargs=dict(text_col=text_col, id_col=id_col, **mh_kw),
         batch_format="pyarrow",
+    ).materialize()  # consumed twice: band-hash set + cross exchange
+    # prune old rows MAP-SIDE against the increment's band-hash set
+    # (bands x increment_docs hashes, broadcast as refs): only old rows
+    # that could collide enter the cross exchange, so the exchange is
+    # sized by the collision set, not by 16 rows per committed doc
+    new_bh = (
+        new_lsh.groupby("band_hash").count()
+        .select_columns(["band_hash"]).materialize()
     )
-    old_lsh = rd.read_parquet(os.path.join(index_dir, "lsh"))
+    bh_refs = tuple(new_bh.to_arrow_refs())
+    old_lsh = rd.read_parquet(os.path.join(index_dir, "lsh")).map_batches(
+        _filter_by_refs, fn_kwargs=dict(on="band_hash", refs=bh_refs, anti=False),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
     def tag(gen: int):
         def fn(t: pa.Table) -> pa.Table:

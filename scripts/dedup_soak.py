@@ -145,7 +145,39 @@ def incremental_soak(mult: int, sf_dir: str) -> None:
     from go_datax_ray.stages.dedup import minhash_dedup_corpus
     from go_datax_ray.stages.dedup_index import build_dedup_index, incremental_dedup
 
-    committed, n_base = scaled_docs(sf_dir, mult)
+    # committed corpus = mult-x tiles made UNIQUE (every 3rd word
+    # replaced with a copy-unique token -> trigram Jaccard between
+    # copies ~0.2, far under threshold): a real committed corpus is
+    # already deduped; the near-dup tiling of the main soak would make
+    # every increment doc collide with ~mult committed tiles and
+    # measure the generator's pathology, not the engine
+    base_docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["doc_id", "text"])
+    n_base = base_docs.count()
+
+    def uniq_copy(i: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy() + i * n_base
+            out = []
+            for d, x in zip(ids, t.column("text").to_pylist()):
+                w = (x or "").split()
+                if i > 0:
+                    for p in range(0, len(w), 3):
+                        w[p] = f"c{i}p{p}"
+                out.append(" ".join(w))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(out, pa.string())})
+        return base_docs.map_batches(fn, batch_format="pyarrow")
+
+    scratch = f"/dev/shm/gdr_dedup_soak/uniq_{os.path.basename(sf_dir.rstrip('/'))}_{mult}x"
+    if not os.path.exists(scratch + "/_DONE"):
+        ds = uniq_copy(0)
+        for i in range(1, mult):
+            ds = ds.union(uniq_copy(i))
+        shutil.rmtree(scratch, ignore_errors=True)
+        ds.write_parquet(scratch)
+        open(scratch + "/_DONE", "w").write("ok")
+    committed = rd.read_parquet(scratch)
     n_committed = n_base * mult
 
     def make_inc(t: pa.Table) -> pa.Table:
