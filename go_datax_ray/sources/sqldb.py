@@ -331,7 +331,10 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
     with _connect(driver, path) as con:
         pre = param.get("preSql")
         for stmt in (pre if isinstance(pre, list) else [pre]) if pre else []:
-            con.execute(stmt)
+            # @table placeholder rendering, as the reference's
+            # renderSqlsWithTable (common.go:187-203): one preSql/postSql
+            # template applies to whichever table the job targets
+            con.execute(stmt.replace("@table", table))
         # Commit preSql/DDL so a later per-batch rollback never undoes it.
         _commit(con)
         first = True
@@ -381,7 +384,7 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
                 _commit(con)
         post = param.get("postSql")
         for stmt in (post if isinstance(post, list) else [post]) if post else []:
-            con.execute(stmt)
+            con.execute(stmt.replace("@table", table))
         _commit(con)
     return {"records": records, "bytes": 0, "path": path, "table": table,
             "error_records": errors}

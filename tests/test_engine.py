@@ -723,3 +723,29 @@ def test_sqlite_writer_poison_row_degraded_retry(tmp_path):
     ]
     with pytest.raises(ErrorLimitExceeded):
         run_job(job)
+
+
+def test_presql_table_placeholder(tmp_path, ray_session):
+    """@table in preSql/postSql renders to the target table — the
+    reference's renderSqlsWithTable (common.go:187-203)."""
+    import sqlite3
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_datax_ray.sources.sqldb import write
+
+    db = str(tmp_path / "w.db")
+    ds = rd.from_arrow(pa.table({"id": pa.array([1, 2], pa.int64()),
+                                 "v": pa.array([10, 20], pa.int64())}))
+    res = write(ds, {
+        "path": db, "table": "t",
+        "preSql": ["CREATE TABLE IF NOT EXISTS @table (id INTEGER PRIMARY KEY, v INTEGER)",
+                   "DELETE FROM @table"],
+        "postSql": "CREATE INDEX IF NOT EXISTS ix ON @table (v)",
+    })
+    assert res["records"] == 2
+    with sqlite3.connect(db) as con:
+        assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 2
+        names = [r[1] for r in con.execute("PRAGMA index_list('t')").fetchall()]
+    assert "ix" in names
