@@ -863,6 +863,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
         )
 
+    def q_lang_balanced_sample(sf_dir: str):
+        """Language-balanced corpus sampling (the training-data mix
+        step): lang-ID every doc, then take a DETERMINISTIC per-language
+        sample of 5 docs — smallest md5(doc_id) first, so the sample is
+        stable across runs, partitionings and engines. One lexsort per
+        co-hash block picks every language's head at once."""
+        import hashlib
+
+        from go_datax_ray.stages.dedup import _segments
+        from go_datax_ray.stages.partition import cohash_map_groups
+        from go_datax_ray.stages.text import lang_id
+
+        rd = rd_lazy()
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+        ds = ds.map_batches(lang_id, batch_format="pandas").map_batches(
+            lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+        )
+
+        def add_h(t: pa.Table) -> pa.Table:
+            h = [hashlib.md5(str(i).encode()).hexdigest()
+                 for i in t.column("doc_id").to_pylist()]
+            return t.append_column("_h", pa.array(h, pa.string()))
+
+        ds = ds.map_batches(add_h, batch_format="pyarrow")
+
+        def head_k(g: pa.Table) -> pa.Table:
+            import numpy as np
+
+            from go_datax_ray.stages.dedup import _col_np
+
+            if g.num_rows == 0 or "lang_pred" not in g.column_names:
+                return pa.table({"lang_pred": pa.array([], pa.string()),
+                                 "doc_id": pa.array([], pa.int64())})
+            order, bounds = _segments(g, ["lang_pred"], extra=_col_np(g, "_h"))
+            keep = np.zeros(len(order), dtype=bool)
+            for si in range(len(bounds) - 1):
+                s = int(bounds[si])
+                keep[s:min(s + 5, int(bounds[si + 1]))] = True
+            return g.take(pa.array(order[keep])).select(["lang_pred", "doc_id"])
+
+        return cohash_map_groups(ds, ["lang_pred"], head_k)
+
     def q_fingerprint(sf_dir: str):
         from go_datax_ray.stages.text import fingerprint_md5
 
@@ -2072,6 +2114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_classes": q_char_classes,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "lang_balanced_sample": q_lang_balanced_sample,
         "fingerprint": q_fingerprint,
         "token_freq": q_token_freq,
         "full_outer_join": q_full_outer_join,
@@ -2526,6 +2569,38 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'unk'
                    END AS lang_pred
             FROM t
+        """,
+        # same lang_id CASE, then a deterministic per-language head-5 by
+        # md5(doc_id) — DuckDB md5() emits the same lowercase hex the
+        # engine hashes
+        "lang_balanced_sample": f"""
+            WITH t AS (
+              SELECT doc_id, substr(coalesce(text,''),1,2000) AS smp,
+                   {lang_scores}
+              FROM documents),
+            lp AS (
+              SELECT doc_id,
+                   CASE
+                     WHEN length(smp) = 0 THEN 'unk'
+                     WHEN regexp_matches(smp, '[぀-ヿ]') THEN 'ja'
+                     WHEN regexp_matches(smp, '[一-鿿]') THEN 'zh'
+                     WHEN regexp_matches(smp, '[Ѐ-ӿ]') THEN 'ru'
+                     WHEN {best} >= 2 THEN
+                       CASE WHEN s_en = {best} THEN 'en'
+                            WHEN s_de = {best} THEN 'de'
+                            WHEN s_fr = {best} THEN 'fr'
+                            WHEN s_es = {best} THEN 'es'
+                            ELSE 'pt' END
+                     WHEN {best} = 1 AND s_en = 1 THEN 'en'
+                     ELSE 'unk'
+                   END AS lang_pred
+              FROM t),
+            ranked AS (
+              SELECT lang_pred, doc_id,
+                     row_number() OVER (PARTITION BY lang_pred
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM lp)
+            SELECT lang_pred, doc_id FROM ranked WHERE rn <= 5
         """,
         # exact half is a true SQL oracle; the boolean is the HLL 5%
         # tolerance property (engine-computed, driver-hashed)
