@@ -53,22 +53,77 @@ def _pin_ts_us(ts_cols: list[str]):
 
 
 def _window_reduce(ds, key: str):
-    """Grouped count+sum per (key, window).
+    """Grouped count+sum per (key, window): per-BATCH partial aggregation
+    (one lexsort + reduceat, keeps the exchange bounded by distinct
+    windows per batch on dense streams), then a co-hash final reduce —
+    every (key, window) lands in one coarse bucket and one lexsort per
+    bucket sums all its windows at once.
 
-    NO explicit combiner stage: Ray's sort-based aggregate already
-    partial-aggregates per block on the map side before the shuffle, so
-    a user-level pre-aggregation is redundant — measured 2.4 s direct
-    vs 11-19 s with an explicit combiner at sf0.1 (the combiner's
-    coalesced single-block output starves the sort of parallelism, and
-    window cardinality ~ event count gives it nothing to reduce)."""
-    from ray.data.aggregate import Count, Sum
+    This replaced Ray's native sort-based aggregate: measured 4.9-8.1 s
+    native vs 1.2 s co-hash on the sf0.1 sliding query (382k output
+    windows), identical results — the native aggregate's sort machinery
+    (pandas block conversions + full sort shuffle) dominated the
+    window queries' wall time. (The round-2 lesson about explicit
+    combiners FEEDING the native aggregate still holds; this removes
+    the native aggregate itself.)"""
+    from .dedup import _col_np, _segments
+    from .partition import cohash_map_groups
 
-    from .partition import bounded_groupby
+    empty = pa.table({
+        key: pa.array([], pa.int64()),
+        "window_start": pa.array([], pa.timestamp("us")),
+        "n": pa.array([], pa.int64()),
+        "sum_value_cents": pa.array([], pa.int64()),
+    })
 
-    out = bounded_groupby(ds, [key, "window_start"]).aggregate(
-        Count(alias_name="n"), Sum("_cents", alias_name="sum_value_cents")
-    )
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key not in t.column_names:
+            return empty
+        t = t.select([key, "window_start", "_cents"])
+        order, bounds = _segments(t, [key, "window_start"])
+        cents = _col_np(t, "_cents")[order]
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        sums = csum[bounds[1:]] - csum[bounds[:-1]]
+        out = t.take(pa.array(order[bounds[:-1]])).select([key, "window_start"])
+        return (out.append_column("n", pa.array(np.diff(bounds), pa.int64()))
+                   .append_column("sum_value_cents", pa.array(sums, pa.int64())))
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = cohash_map_groups(part, [key, "window_start"], _final_nk_reduce(key))
     return out.map_batches(_pin_ts_us(["window_start"]), batch_format="pyarrow")
+
+
+def _final_nk_reduce(key: str):
+    """Co-hash block reducer summing (n, sum_value_cents) per
+    (key, window_start) — the final reduce shared by the explode and
+    dense sliding plans."""
+    from .dedup import _col_np, _segments
+
+    empty = pa.table({
+        key: pa.array([], pa.int64()),
+        "window_start": pa.array([], pa.timestamp("us")),
+        "n": pa.array([], pa.int64()),
+        "sum_value_cents": pa.array([], pa.int64()),
+    })
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or key not in g.column_names:
+            return empty
+        order, bounds = _segments(g, [key, "window_start"])
+        ns = _col_np(g, "n")[order]
+        ss = _col_np(g, "sum_value_cents")[order]
+        cn = np.concatenate([[0], np.cumsum(ns)])
+        cs = np.concatenate([[0], np.cumsum(ss)])
+        out = g.take(pa.array(order[bounds[:-1]])).select([key, "window_start"])
+        return (
+            out.append_column(
+                "n", pa.array(cn[bounds[1:]] - cn[bounds[:-1]], pa.int64()))
+            .append_column(
+                "sum_value_cents",
+                pa.array(cs[bounds[1:]] - cs[bounds[:-1]], pa.int64()))
+        )
+
+    return final
 
 
 def tumbling_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: int = 3600,
@@ -137,10 +192,6 @@ def sliding_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: i
         )
         return _window_reduce(exploded, key)
 
-    from ray.data.aggregate import Sum
-
-    from .partition import bounded_groupby
-
     fine = ds.map_batches(
         add_tumbling_window, fn_kwargs={"ts_col": ts_col, "size_s": slide_s},
         batch_format="pyarrow", zero_copy_batch=True,
@@ -168,17 +219,10 @@ def sliding_aggregate(ds, *, key: str = "user_id", ts_col: str = "ts", size_s: i
         )
 
     fanned = agg1.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
-    out = bounded_groupby(fanned, [key, "window_start"]).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value_cents", alias_name="sum_value_cents")
-    )
+    from .partition import cohash_map_groups
 
-    def conform(t: pa.Table) -> pa.Table:
-        for c in ("n", "sum_value_cents"):
-            i = t.column_names.index(c)
-            t = t.set_column(i, c, t.column(c).cast(pa.int64()))
-        return _pin_ts_us(["window_start"])(t)
-
-    return out.map_batches(conform, batch_format="pyarrow")
+    out = cohash_map_groups(fanned, [key, "window_start"], _final_nk_reduce(key))
+    return out.map_batches(_pin_ts_us(["window_start"]), batch_format="pyarrow")
 
 
 def _sessionize_sorted(ts: np.ndarray, heads: np.ndarray, cents: np.ndarray,
