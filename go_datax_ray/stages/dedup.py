@@ -328,9 +328,33 @@ def _bucket_pair_fn(id_col: str, max_bucket: int, what: str, group_cols: list[st
 
 
 def _distinct_pairs(pairs):
-    """Distinct (id_a, id_b) via a count aggregate — a proper shuffle
-    aggregate instead of per-tiny-group map_groups."""
-    return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+    """Distinct (id_a, id_b) — one co-hash exchange + segment heads per
+    coarse bucket (the pattern that replaced the native sort aggregate
+    in the window reduces; the sort-based groupby's pandas conversions
+    dominated at 10^5-10^6 pair scales)."""
+    from .partition import cohash_map_groups
+
+    def heads(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "id_a" not in g.column_names:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        order, bounds = _segments(g, ["id_a", "id_b"])
+        return g.take(pa.array(order[bounds[:-1]])).select(["id_a", "id_b"])
+
+    return cohash_map_groups(pairs, ["id_a", "id_b"], heads)
+
+
+def _distinct_ids(ds, id_col: str):
+    """Distinct single-id column via the same co-hash heads exchange."""
+    from .partition import cohash_map_groups
+
+    def heads(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or id_col not in g.column_names:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        order, bounds = _segments(g, [id_col])
+        return g.take(pa.array(order[bounds[:-1]])).select([id_col])
+
+    return cohash_map_groups(ds, [id_col], heads)
 
 
 @functools.lru_cache(maxsize=4)
@@ -720,10 +744,9 @@ def minhash_dedup_corpus(ds, *, text_col: str = "text", id_col: str = "doc_id",
             }
         )
 
-    ids_ds = (
-        pairs.map_batches(pair_ids, batch_format="pyarrow")
-        .groupby(id_col).count().select_columns([id_col]).materialize()
-    )
+    ids_ds = _distinct_ids(
+        pairs.map_batches(pair_ids, batch_format="pyarrow"), id_col
+    ).materialize()
     stats["candidate_docs"] = ids_ds.count()
     cand_refs = tuple(ids_ds.to_arrow_refs())
     cand_docs = ds.map_batches(

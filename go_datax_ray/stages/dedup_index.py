@@ -222,10 +222,10 @@ def incremental_dedup(new_ds, index_dir: str, old_docs, *,
     # (bands x increment_docs hashes, broadcast as refs): only old rows
     # that could collide enter the cross exchange, so the exchange is
     # sized by the collision set, not by 16 rows per committed doc
-    new_bh = (
-        new_lsh.groupby("band_hash").count()
-        .select_columns(["band_hash"]).materialize()
-    )
+    from .dedup import _distinct_ids
+
+    new_bh = _distinct_ids(new_lsh.select_columns(["band_hash"]),
+                           "band_hash").materialize()
     bh_refs = tuple(new_bh.to_arrow_refs())
     old_lsh = rd.read_parquet(os.path.join(index_dir, "lsh")).map_batches(
         _filter_by_refs, fn_kwargs=dict(on="band_hash", refs=bh_refs, anti=False),
@@ -274,10 +274,11 @@ def incremental_dedup(new_ds, index_dir: str, old_docs, *,
             ])
         })
 
-    ids_ds = (
-        pairs.map_batches(pair_ids, batch_format="pyarrow")
-        .groupby(id_col).count().select_columns([id_col]).materialize()
-    )
+    from .dedup import _distinct_ids
+
+    ids_ds = _distinct_ids(
+        pairs.map_batches(pair_ids, batch_format="pyarrow"), id_col
+    ).materialize()
     stats["candidate_docs"] = ids_ds.count()
     cand_refs = tuple(ids_ds.to_arrow_refs())
     proj = lambda t: t.select([id_col, text_col])  # noqa: E731
@@ -328,12 +329,15 @@ def incremental_dedup(new_ds, index_dir: str, old_docs, *,
         return pa.table({"id_a": pa.array(a, pa.int64()),
                          "id_b": pa.array(b, pa.int64())})
 
-    old_ids_ds = no_pairs.map_batches(
-        lambda t: pa.table({"_oid": t.column("id_a")})
-        if t.num_rows and "id_a" in t.column_names
-        else pa.table({"_oid": pa.array([], pa.int64())}),
-        batch_format="pyarrow",
-    ).groupby("_oid").count().select_columns(["_oid"]).materialize()
+    old_ids_ds = _distinct_ids(
+        no_pairs.map_batches(
+            lambda t: pa.table({"_oid": t.column("id_a")})
+            if t.num_rows and "id_a" in t.column_names
+            else pa.table({"_oid": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        "_oid",
+    ).materialize()
     old_refs = tuple(old_ids_ds.to_arrow_refs())
     ver_oriented = ver.map_batches(
         negate_old, fn_kwargs=dict(refs=old_refs), batch_format="pyarrow"
