@@ -344,12 +344,13 @@ def windowed_count_distinct(ds, *, ts_col: str = "ts", key_col: str = "user_id",
     Scale shape: the only corpus-sized work is the per-batch pair
     projection + within-batch distinct (an Arrow group_by with no
     aggregates — a map-side combiner, so the shuffle carries unique
-    (window, key) pairs per block, not events). The first groupby
-    dedups pairs globally; the second counts rows per window over an
-    input already reduced to |distinct pairs|."""
-    from ray.data.aggregate import Count
-
-    from .partition import bounded_groupby
+    (window, key) pairs per block, not events). ONE co-hash exchange on
+    the window alone then does both reductions per coarse bucket: a
+    (window, key) lexsort dedups pairs globally and the per-window
+    distinct count falls out of the same segment boundaries (replaces
+    two native sort aggregates)."""
+    from .dedup import _col_np, _segments
+    from .partition import cohash_map_groups
 
     def proj(t: pa.Table) -> pa.Table:
         t = add_tumbling_window(t, ts_col=ts_col, size_s=size_s)
@@ -359,23 +360,23 @@ def windowed_count_distinct(ds, *, ts_col: str = "ts", key_col: str = "user_id",
         return pairs.group_by(["window_start", key_col]).aggregate([])
 
     pairs = ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
-    dis = bounded_groupby(pairs, ["window_start", key_col]).aggregate(
-        Count(alias_name="_c")
-    )
-    out = bounded_groupby(
-        dis.select_columns(["window_start"]), "window_start"
-    ).aggregate(Count(alias_name="users"))
 
-    def conform(t: pa.Table) -> pa.Table:
-        i = t.column_names.index("users")
-        t = t.set_column(i, "users", t.column("users").cast(pa.int64()))
-        j = t.column_names.index("window_start")
-        # pandas-block round-trips infer [s] on hour-aligned values
-        return t.set_column(
-            j, "window_start", t.column("window_start").cast(pa.timestamp("us"))
-        )
+    def count_block(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "window_start" not in g.column_names:
+            return pa.table({"window_start": pa.array([], pa.timestamp("us")),
+                             "users": pa.array([], pa.int64())})
+        order, bounds = _segments(g, ["window_start", key_col])
+        pair_heads = order[bounds[:-1]]  # one row per DISTINCT pair
+        hw = g.take(pa.array(pair_heads)).select(["window_start"])
+        w = _col_np(hw, "window_start")
+        wb = np.concatenate(
+            [[0], np.nonzero(w[1:] != w[:-1])[0] + 1, [len(w)]]
+        ).astype(np.int64)
+        out = hw.take(pa.array(wb[:-1]))
+        return out.append_column("users", pa.array(np.diff(wb), pa.int64()))
 
-    return out.map_batches(conform, batch_format="pyarrow")
+    out = cohash_map_groups(pairs, ["window_start"], count_block)
+    return out.map_batches(_pin_ts_us(["window_start"]), batch_format="pyarrow")
 
 
 def assign_session_ids(ds, *, key: str = "user_id", ts_col: str = "ts",
