@@ -256,7 +256,8 @@ def make_delta_merger(
 
 
 def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: bool = True,
-              asof_epoch: int | None = None, keys: list | None = None):
+              asof_epoch: int | None = None, keys: list | None = None,
+              where: list[list] | None = None):
     """Read the committed lake as a Dataset (manifest-listed files only —
     uncommitted tmp/garbage files are invisible). ``final_state`` filters
     delete tombstones, yielding the upsert-resolved table state.
@@ -268,7 +269,13 @@ def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: b
     the read PRUNES to the partitions those keys map to — k lookups
     touch at most k of P files instead of scanning the lake (the
     data-skipping read; at 100 TB / 64k partitions a key lookup is one
-    file). An exact is_in filter then drops same-partition cohabitants."""
+    file). An exact is_in filter then drops same-partition cohabitants.
+
+    ``where``: ``[["col", op, value], ...]`` conjunction pushed into the
+    parquet scan (row-group statistics pruning + scan-level filtering —
+    the same triplet grammar as the parquet reader plugin). Applied
+    BEFORE the tombstone filter, so a filtered read still resolves
+    final state correctly for the rows it returns."""
     import ray.data as rd
 
     from ..state.manifest import Manifest
@@ -289,8 +296,15 @@ def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: b
     if keys is not None and read_cols is not None and key_col not in read_cols:
         read_cols = list(read_cols) + [key_col]
     pafs = man.fsh.pa_filesystem()
-    ds = rd.read_parquet(files, columns=read_cols,
-                         **({"filesystem": pafs} if pafs is not None else {}))
+    kw = {}
+    if pafs is not None:
+        kw["filesystem"] = pafs
+    if where:
+        from ..sources.parquet import build_filter
+
+        schema = schema_from_json(man.schema_json) if man.schema_json else None
+        kw["filter"] = build_filter(where, schema)
+    ds = rd.read_parquet(files, columns=read_cols, **kw)
     if keys is not None:
         key_set = pa.array(list(keys))
 

@@ -327,6 +327,22 @@ def test_read_lake_point_lookup_prunes_partitions(tmp_path):
     assert read_lake(lake, keys=["https://nope.example/x"]).count() == 0
 
 
+def test_read_lake_where_pushdown(tmp_path):
+    """where triplets push into the parquet scan and compose with the
+    tombstone filter; string values against numeric columns coerce via
+    the committed schema (the parquet-reader grammar, shared)."""
+    lake = str(tmp_path / "lake")
+    _run(tmp_path / "lake")
+    full = read_lake_table(lake)
+    want = full.filter(pc.equal(full.column("lang"), pa.scalar("en"))).num_rows
+    got = read_lake(lake, where=[["lang", "==", "en"]]).count()
+    assert got == want and 0 < got < full.num_rows
+    # numeric coercion: lsn bound arrives as a string (job-JSON shape)
+    mid = int(pc.mean(full.column("lsn")).as_py())
+    want2 = full.filter(pc.greater(full.column("lsn"), pa.scalar(mid))).num_rows
+    assert read_lake(lake, where=[["lsn", ">", str(mid)]]).count() == want2
+
+
 def test_streaming_read_across_partial_evolution(tmp_path):
     """After a v2 tail that touches only SOME partitions, the streaming
     read_lake unifies mixed file schemas and v2 values survive when their
