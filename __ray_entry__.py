@@ -1280,25 +1280,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from go_datax_ray.stages.joins import broadcast_join, bucket_hash_join
 
+        import numpy as np
+
+        from go_datax_ray.stages.dedup import _col_np, _segments
+        from go_datax_ray.stages.partition import cohash_map_groups
+
         rd = rd_lazy()
         li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
-        qual = li.groupby("l_orderkey").sum("l_quantity")
 
-        def gate(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or "sum(l_quantity)" not in t.column_names:
+        def qty_empty() -> pa.Table:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "_q": pa.array([], pa.int64())})
+
+        def qty_partial(t: pa.Table) -> pa.Table:
+            # per-batch partial sums (cohash reduce pattern — the native
+            # sort aggregate's pandas conversions cost 5.5 s here)
+            if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+                return qty_empty()
+            t = t.append_column(
+                "_q", t.column("l_quantity").cast(pa.int64())
+            ).select(["l_orderkey", "_q"])
+            order, bounds = _segments(t, ["l_orderkey"])
+            q = _col_np(t, "_q")[order]
+            cq = np.concatenate([[0], np.cumsum(q)])
+            out = t.take(pa.array(order[bounds[:-1]])).select(["l_orderkey"])
+            return out.append_column(
+                "_q", pa.array(cq[bounds[1:]] - cq[bounds[:-1]], pa.int64()))
+
+        def qty_final(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0 or "l_orderkey" not in g.column_names:
                 return pa.table({"o_orderkey": pa.array([], pa.int64()),
                                  "total_qty": pa.array([], pa.int64())})
-            s = t.column("sum(l_quantity)")
-            t = t.filter(pc.greater(s, pa.scalar(212.0)))
+            order, bounds = _segments(g, ["l_orderkey"])
+            q = _col_np(g, "_q")[order]
+            cq = np.concatenate([[0], np.cumsum(q)])
+            sums = cq[bounds[1:]] - cq[bounds[:-1]]
+            keep = sums > 212  # the HAVING gate, applied in the reducer
+            heads = order[bounds[:-1]][keep]
+            out = g.take(pa.array(heads)).select(["l_orderkey"])
             return pa.table({
-                "o_orderkey": t.column("l_orderkey").cast(pa.int64()),
-                "total_qty": pc.round(t.column("sum(l_quantity)")).cast(pa.int64()),
+                "o_orderkey": out.column("l_orderkey").cast(pa.int64()),
+                "total_qty": pa.array(sums[keep], pa.int64()),
             })
 
-        qual = qual.map_batches(gate, batch_format="pyarrow")
+        qual = cohash_map_groups(
+            li.map_batches(qty_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["l_orderkey"], qty_final,
+        ).materialize()
         orders = _rp(sf_dir, "orders",
                      columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
-        big = bucket_hash_join(qual, orders, on="o_orderkey", n_buckets=16)
+        # HAVING survivors are few — broadcast them into orders' map when
+        # small; fall back to the bucketed join at pathological counts
+        n_qual = qual.count()
+        if n_qual <= 200_000:
+            qual_tbl = pa.concat_tables(
+                [pa.table(b) for b in qual.iter_batches(batch_format="pyarrow")]
+            )
+            big = broadcast_join(orders, qual_tbl, on="o_orderkey"
+                                 )  # inner: keeps qualifying orders only
+        else:
+            big = bucket_hash_join(qual, orders, on="o_orderkey", n_buckets=16)
         cust = pq.read_table(f"{sf_dir}/customer.parquet",
                              columns=["c_custkey", "c_name"])
         cust = pa.table({"o_custkey": cust.column("c_custkey"),
@@ -1310,8 +1352,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "o_orderdate", "o_totalprice", "total_qty"]),
             batch_format="pyarrow",
         )
-        return out.sort(key=["o_totalprice", "o_orderdate", "o_orderkey"],
-                        descending=[True, False, False]).limit(100)
+
+        def top100(t: pa.Table) -> pa.Table:
+            # block-local then global top-100 by the deterministic
+            # 3-key order — no global Sort operator
+            if t.num_rows == 0:
+                return t
+            df = t.to_pandas().sort_values(
+                ["o_totalprice", "o_orderdate", "o_orderkey"],
+                ascending=[False, True, True],
+            ).head(100)
+            return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+
+        return (out.map_batches(top100, batch_format="pyarrow")
+                   .repartition(1)
+                   .map_batches(top100, batch_format="pyarrow"))
 
     def q_tpch_q5_composed(sf_dir: str):
         """TPC-H Q5-shaped composition: a 6-table join expressed with the

@@ -236,6 +236,12 @@ def main() -> dict:
         "ntile",
         "tpch_q5_composed",
         "url_dedup",
+        "window_sliding",
+        "rolling_frame",
+        "skew_join",
+        "para_dedup",
+        "lang_balanced_sample",
+        "tpch_q18_composed",
     ):
         fn = qs[name]
 
