@@ -425,6 +425,16 @@ def bucket_hash_join(left, right, *, on: str | list[str], n_buckets: int = 32,
     # reducer beyond that is pure overhead. Coalescing to the group count
     # turned a 331k-ref (~1 GB driver heap) shuffle into a ~1k-ref one on
     # the dedup-verify joins.
+    #
+    # MEASURED dead end (round 3): swapping this exchange for
+    # repartition(keys=["_bucket","_salt"]) under
+    # ShuffleStrategy.HASH_SHUFFLE (the replay's delta-exchange trick)
+    # made composed queries 3-10x SLOWER (tpch_q3 3.7 -> 35 s at sf0.1)
+    # — the strategy flag rides the dataset's context into every
+    # DOWNSTREAM shuffle of the composition, and Ray 2.49's
+    # hash-shuffle aggregator actors pay per-query startup that dwarfs
+    # the sort they replace at these group counts. The sort-groupby
+    # exchange stays.
     from .partition import maybe_repartition
 
     total_groups = n_buckets * max(n_salts, 1)
