@@ -65,6 +65,22 @@ def _driver(param: dict[str, Any]) -> str:
     return "sqlite"
 
 
+def _db_urls(param: dict[str, Any]) -> list[str]:
+    """ALL connection URLs/paths, unstripped — the reference's
+    per-jdbcUrl split source (tdengine_reader.go:196-233: one read task
+    per connection URL, no within-URL slicing)."""
+    conn = param.get("connection")
+    out: list[str] = []
+    if conn:
+        for ent in (conn if isinstance(conn, list) else [conn]):
+            urls = ent.get("jdbcUrl")
+            if urls:
+                out.extend(urls if isinstance(urls, list) else [urls])
+            elif ent.get("path"):
+                out.append(ent["path"])
+    return out
+
+
 TOKEN_SPACE = 1 << 32  # gdr_token range: CRC32 -> [0, 2^32)
 
 
@@ -210,6 +226,28 @@ def read(param: dict[str, Any], *, channel: int = 1):
             "split's offset prefix server-side (O(N^2)). Use splitPk "
             "range/dictionary split instead."
         )
+
+    # per-jdbcUrl split (tdengine_reader.go:196-233): several connection
+    # URLs -> one read task per URL, no within-URL slicing; each URL's
+    # database must hold the same logical table
+    urls = _db_urls(param)
+    if len(urls) > 1:
+        parts = []
+        for u in urls:
+            sub = {k: v for k, v in param.items() if k != "connection"}
+            sub["path"] = _strip_jdbc(str(u))
+            sub["driver"] = param.get("driver") or (
+                "duckdb" if "duckdb" in str(u) else "sqlite"
+            )
+            tbl = _table(param)
+            if tbl and "table" not in sub:
+                sub["table"] = tbl
+            sub.pop("splitPk", None)  # one task per URL, unsliced
+            parts.append(read(sub, channel=1))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
 
     path = _db_path(param)
     driver = _driver(param)

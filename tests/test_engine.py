@@ -749,3 +749,29 @@ def test_presql_table_placeholder(tmp_path, ray_session):
         assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 2
         names = [r[1] for r in con.execute("PRAGMA index_list('t')").fetchall()]
     assert "ix" in names
+
+
+def test_per_jdbcurl_split(tmp_path, ray_session):
+    """Per-jdbcUrl split (tdengine_reader.go:196-233): several
+    connection URLs read as one unsliced task each, unioned."""
+    import sqlite3
+
+    from go_datax_ray.sources.sqldb import read
+
+    paths = []
+    for shard in range(3):
+        db = str(tmp_path / f"s{shard}.db")
+        with sqlite3.connect(db) as con:
+            con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER)")
+            con.executemany(
+                "INSERT INTO t VALUES (?, ?)",
+                [(i, i) for i in range(shard * 100, shard * 100 + 100)],
+            )
+            con.commit()
+        paths.append(db)
+    ds = read({
+        "connection": [{"jdbcUrl": [f"jdbc:sqlite:{p}" for p in paths],
+                        "table": ["t"]}],
+        "column": ["id", "v"],
+    }, channel=4)
+    assert sorted(r["v"] for r in ds.take_all()) == list(range(300))
