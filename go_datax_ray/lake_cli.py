@@ -3,6 +3,7 @@
     python -m go_datax_ray.lake_cli status  LAKE_DIR
     python -m go_datax_ray.lake_cli lineage LAKE_DIR
     python -m go_datax_ray.lake_cli count   LAKE_DIR [--asof-epoch N]
+    python -m go_datax_ray.lake_cli get     LAKE_DIR --keys k1,k2[,...]
     python -m go_datax_ray.lake_cli compact LAKE_DIR [--horizon LSN]
     python -m go_datax_ray.lake_cli gc-orphans LAKE_DIR
     python -m go_datax_ray.lake_cli gc-history LAKE_DIR --keep-after N
@@ -23,10 +24,11 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="go_datax_ray.lake_cli")
-    p.add_argument("cmd", choices=["status", "lineage", "count", "compact",
-                                   "gc-orphans", "gc-history", "delete-where",
-                                   "fold-view"])
+    p.add_argument("cmd", choices=["status", "lineage", "count", "get",
+                                   "compact", "gc-orphans", "gc-history",
+                                   "delete-where", "fold-view"])
     p.add_argument("lake_dir")
+    p.add_argument("--keys", type=str, default=None)
     p.add_argument("--asof-epoch", type=int, default=None)
     p.add_argument("--horizon", type=int, default=None)
     p.add_argument("--keep-after", type=int, default=None)
@@ -69,6 +71,26 @@ def main(argv: list[str] | None = None) -> int:
         n = read_lake(args.lake_dir, asof_epoch=args.asof_epoch).count()
         print(json.dumps({"rows": n, "asof_epoch": args.asof_epoch}))
         ray.shutdown()
+        return 0
+
+    if args.cmd == "get":
+        # point lookup: reads ONLY the partitions the keys hash to
+        # (Manifest.files_for_keys), never the lake — no Ray session
+        # needed, the k files read driver-side
+        if not args.keys:
+            p.error("get requires --keys")
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keys = args.keys.split(",")
+        tables = [man.fsh.read_parquet(f) for f in man.files_for_keys(keys)]
+        for t in tables:
+            t = t.filter(pc.is_in(t.column(man.key), value_set=pa.array(keys)))
+            t = t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
+            for row in t.to_pylist():
+                row = {k: (v if not isinstance(v, bytes) else f"<{len(v)}B>")
+                       for k, v in row.items()}
+                print(json.dumps(row, default=str))
         return 0
 
     # Every mutating command takes the same exclusive flock the replay

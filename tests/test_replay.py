@@ -327,6 +327,23 @@ def test_read_lake_point_lookup_prunes_partitions(tmp_path):
     assert read_lake(lake, keys=["https://nope.example/x"]).count() == 0
 
 
+def test_lake_cli_get_point_lookup(tmp_path, capsys):
+    """lake_cli get: manifest-pruned point lookup, no Ray session,
+    tombstones filtered, binary columns summarised."""
+    import json as _json
+
+    from go_datax_ray.lake_cli import main as cli_main
+
+    lake = str(tmp_path / "lake")
+    _run(tmp_path / "lake")
+    key = read_lake_table(lake).column("url")[0].as_py()
+    rc = cli_main(["get", lake, "--keys", key])
+    assert rc == 0
+    rows = [_json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 1 and rows[0]["url"] == key
+    assert rows[0]["html"].startswith("<")  # binary summarised, not dumped
+
+
 def test_read_lake_where_pushdown(tmp_path):
     """where triplets push into the parquet scan and compose with the
     tombstone filter; string values against numeric columns coerce via
