@@ -79,6 +79,16 @@ def _write_generation(ds, index_dir: str, meta: dict, *, gen: int) -> dict:
     text_col, id_col = meta["text_col"], meta["id_col"]
     mh_kw = {k: meta[k] for k in _PARAM_KEYS if k not in ("text_col", "id_col")}
 
+    import shutil
+
+    # write_parquet APPENDS files — clear the generation dirs first so a
+    # crashed-then-retried append really overwrites instead of doubling
+    # the generation's rows (benign for dedup correctness — pairs and
+    # hash membership dedup — but it would double the index size)
+    for sub in ("exact", "lsh"):
+        shutil.rmtree(os.path.join(index_dir, sub, f"gen-{gen}"),
+                      ignore_errors=True)
+
     exact = ds.map_batches(
         add_content_hash, fn_kwargs={"text_col": text_col},
         batch_format="pyarrow", zero_copy_batch=True,
