@@ -2032,6 +2032,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          update_index=False)
         return surv.select_columns(["doc_id"])
 
+    def q_token_pack(sf_dir: str):
+        """GPT-style sequence packing over the corpus: concat docs in
+        doc_id order, cut every 512 tokens; each doc reports its first
+        and last training sequence. The distributed ordered prefix sum
+        runs range-partitioned (contiguous doc_id ranges, per-range
+        totals scanned once, offsets broadcast) — no global sort."""
+        from go_datax_ray.stages.curation import token_pack
+        from go_datax_ray.stages.text import token_stats
+
+        rd = rd_lazy()
+        docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def lens(t: pa.Table) -> pa.Table:
+            n = pc.list_value_length(pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(pc.fill_null(t.column("text"), "")),
+                pattern=r"\s+"))
+            n = pc.if_else(
+                pc.equal(pc.utf8_length(
+                    pc.utf8_trim_whitespace(pc.fill_null(t.column("text"), ""))
+                ), pa.scalar(0)),
+                pa.scalar(0), n)
+            return pa.table({
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_tokens": n.cast(pa.int64()),
+            })
+
+        ds = docs.map_batches(lens, batch_format="pyarrow")
+        return token_pack(ds, seq_len=512, range_size=128)
+
     def q_para_dedup(sf_dir: str):
         """INTRA-document repeated-line removal (C4/Gopher in-doc
         repetition step; zero shuffle — a doc never leaves its batch).
@@ -2121,6 +2150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_mask": q_pii_mask,
         "line_dedup": q_line_dedup,
         "para_dedup": q_para_dedup,
+        "token_pack": q_token_pack,
         "incremental_dedup": q_incremental_dedup,
         "token_count_bpe": q_token_count_bpe,
         "inverted_index": q_inverted_index,
@@ -3114,6 +3144,27 @@ def oracle_sql() -> dict[str, str]:
         # docs rebuilt with string_agg ordered by line_idx; empty docs drop
         "incremental_dedup": """
             SELECT doc_id + 300000 AS doc_id FROM documents
+        """,
+        "token_pack": """
+            WITH l AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(
+                       trim(coalesce(text, '')), '\\s+'), x -> x <> ''))
+                       AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cp
+              FROM l
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(cp // 512 AS BIGINT) AS first_seq,
+                   CAST(CASE WHEN n_tokens > 0 THEN (cp + n_tokens - 1) // 512
+                        ELSE cp // 512 END AS BIGINT) AS last_seq
+            FROM c
         """,
         "para_dedup": """
             WITH base AS (

@@ -491,6 +491,87 @@ def dedup_lines_in_doc(t: pa.Table, *, text_col: str = "text",
              .append_column("n_removed", pa.array(removed, pa.int64())))
 
 
+def token_pack(ds, *, id_col: str = "doc_id", len_col: str = "n_tokens",
+               seq_len: int = 2048, range_size: int = 1024):
+    """GPT-style sequence packing (concat-and-chunk): documents are
+    concatenated in ``id_col`` order and cut every ``seq_len`` tokens;
+    each doc learns which training sequences it lands in —
+    ``first_seq = floor(prefix_tokens / seq_len)``,
+    ``last_seq = floor((prefix_tokens + n - 1) / seq_len)``
+    (zero-token docs: last_seq = first_seq).
+
+    The distributed ordered PREFIX SUM behind it, without a global sort:
+    docs range-partition by ``id // range_size`` (contiguous id ranges),
+    per-range token totals reduce to one tiny table whose exclusive
+    scan — the only sequential step, O(ids / range_size) values —
+    broadcasts back as range offsets; each range then resolves its
+    rows' prefixes with one in-block lexsort + cumsum. At 100 TB pick
+    range_size so ids/range_size stays ~10^5-10^6 (the scan table is
+    16 B per range).
+
+    Input needs (id_col, len_col int64). Appends first_seq/last_seq."""
+    import ray
+
+    from .dedup import _col_np, _segments
+    from .partition import cohash_map_groups
+
+    rs = np.int64(range_size)
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             len_col: pa.array([], pa.int64()),
+                             "_rng": pa.array([], pa.int64())})
+        ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return (t.select([id_col, len_col])
+                 .append_column("_rng", pa.array(ids // rs, pa.int64())))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def range_total(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "_rng" not in g.column_names:
+            return pa.table({"_rng": pa.array([], pa.int64()),
+                             "_tot": pa.array([], pa.int64())})
+        order, bounds = _segments(g, ["_rng"])
+        n = _col_np(g, len_col)[order]
+        cn = np.concatenate([[0], np.cumsum(n)])
+        heads = g.take(pa.array(order[bounds[:-1]])).select(["_rng"])
+        return heads.append_column(
+            "_tot", pa.array(cn[bounds[1:]] - cn[bounds[:-1]], pa.int64()))
+
+    totals = cohash_map_groups(tagged, ["_rng"], range_total).take_all()
+    # exclusive scan over range order — the tiny sequential step
+    totals.sort(key=lambda r: r["_rng"])
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_rng"]] = acc
+        acc += r["_tot"]
+    off_ref = ray.put(offsets)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or id_col not in g.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             len_col: pa.array([], pa.int64()),
+                             "first_seq": pa.array([], pa.int64()),
+                             "last_seq": pa.array([], pa.int64())})
+        off = ray.get(off_ref)
+        order, bounds = _segments(g, ["_rng"], extra=_col_np(g, id_col))
+        n = _col_np(g, len_col)[order]
+        rng = _col_np(g, "_rng")[order]
+        # within-range exclusive prefix + the range's global offset
+        cp = np.concatenate([[0], np.cumsum(n)[:-1]])
+        for si in range(len(bounds) - 1):
+            s, e = bounds[si], bounds[si + 1]
+            cp[s:e] += np.int64(off[int(rng[s])]) - cp[s]
+        first = cp // seq_len
+        last = np.where(n > 0, (cp + n - 1) // seq_len, first)
+        out = g.take(pa.array(order)).drop_columns(["_rng"])
+        return (out.append_column("first_seq", pa.array(first, pa.int64()))
+                   .append_column("last_seq", pa.array(last, pa.int64())))
+
+    return cohash_map_groups(tagged, ["_rng"], resolve)
+
+
 def gopher_quality(t: pa.Table, *, text_col: str = "text", id_col: str = "doc_id",
                    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
                    min_words: int = 50, max_words: int = 100_000,

@@ -298,3 +298,31 @@ def test_canonicalize_urls_rules():
         "not-a-url",                          # passthrough
         None,                                 # null stays null
     ]
+
+
+def test_token_pack_prefix_sum():
+    """Distributed concat-and-chunk packing == a serial prefix sum:
+    docs spanning several sequences, exact boundaries, zero-token docs."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from go_datax_ray.stages.curation import token_pack
+
+    rng = np.random.default_rng(6)
+    n = 3000
+    lens = rng.integers(0, 300, n).astype(np.int64)
+    lens[5] = 0  # zero-token doc
+    lens[7] = 5000  # spans many 512-token sequences
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "n_tokens": pa.array(lens, pa.int64()),
+    }))
+    out = token_pack(ds, seq_len=512, range_size=100).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    cp = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    first = cp // 512
+    last = np.where(lens > 0, (cp + lens - 1) // 512, first)
+    assert out["first_seq"].tolist() == first.tolist()
+    assert out["last_seq"].tolist() == last.tolist()
+    assert out.loc[7, "last_seq"] - out.loc[7, "first_seq"] >= 9
