@@ -1012,6 +1012,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
+    def q_sample_k(sf_dir: str):
+        """Fixed-SIZE deterministic uniform sample (vs hash_sample's
+        fixed-RATE Bernoulli): the k docs with the smallest md5(doc_id)
+        — every block keeps its local k candidates (select_k per batch),
+        so only k rows per block reach the final cut; the sample is
+        stable across runs, partitionings and engines."""
+        import hashlib
+
+        rd = rd_lazy()
+        k = 25
+        docs = _rp(sf_dir, "documents", columns=["doc_id", "lang"])
+
+        def local_k(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "doc_id" not in t.column_names:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "lang": pa.array([], pa.string()),
+                                 "_h": pa.array([], pa.string())})
+            if "_h" not in t.column_names:  # final pass re-enters with _h
+                h = pa.array([hashlib.md5(str(i).encode()).hexdigest()
+                              for i in t.column("doc_id").to_pylist()])
+                t = t.append_column("_h", h)
+            idx = pc.select_k_unstable(t, k=min(k, t.num_rows),
+                                       sort_keys=[("_h", "ascending")])
+            return t.take(idx)
+
+        cand = docs.map_batches(local_k, batch_format="pyarrow")
+        final = local_k(pa.concat_tables(
+            [pa.table(b) for b in cand.iter_batches(batch_format="pyarrow")]
+        ))
+        return final.select(["doc_id", "lang"])
+
     def q_distinct_event_types(sf_dir: str):
         rd = rd_lazy()
         ds = _rp(sf_dir, "events", columns=["event_type"])
@@ -2210,6 +2241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
         "topk_orders": q_topk_orders,
+        "sample_k": q_sample_k,
         "distinct_event_types": q_distinct_event_types,
         "media_features": q_media_features,
         "broadcast_join": q_broadcast_join,
@@ -2487,6 +2519,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
                      AS sum_value_cents
             FROM s GROUP BY user_id, sess
+        """,
+        "sample_k": """
+            SELECT doc_id, lang FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25
         """,
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
