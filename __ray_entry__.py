@@ -1721,6 +1721,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
         return tfidf_top_terms(ds, k=3)
 
+    def q_bm25_top_terms(sf_dir: str):
+        """Per-document top-3 Okapi BM25 terms (k1=1.2, b=0.75): tf-idf
+        extended with document-length normalisation; integer-only
+        output, float score ranks with the literal expression the SQL
+        oracle evaluates."""
+        from go_datax_ray.stages.text import bm25_top_terms
+
+        rd = rd_lazy()
+        ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+        return bm25_top_terms(ds, k=3)
+
     def q_stratified_sample(sf_dir: str):
         """Per-stratum hash sampling: heavy event types sampled down
         hard, rare types kept whole — the deterministic
@@ -2186,6 +2197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": q_token_count_bpe,
         "inverted_index": q_inverted_index,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_top_terms": q_bm25_top_terms,
         "stratified_sample": q_stratified_sample,
         "grouped_quantiles": q_grouped_quantiles,
         "window_rank": q_window_rank,
@@ -3168,6 +3180,34 @@ def oracle_sql() -> dict[str, str]:
                                 p.token ASC) AS rn
               FROM pairs p JOIN dfs d USING (token))
             SELECT doc_id, token, tf, df FROM scored WHERE rn <= 3
+        """,
+        # same integer-output discipline as tfidf: the BM25 score ranks
+        # (identical literal expression both sides) but never lands in a
+        # column
+        "bm25_top_terms": """
+            WITH pairs AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\\W+')) AS token
+                FROM documents)
+              WHERE token <> '' GROUP BY doc_id, token),
+            dls AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+                    FROM pairs GROUP BY doc_id),
+            dfs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                    FROM pairs GROUP BY token),
+            consts AS (SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+                              (SELECT SUM(tf) FROM pairs)::DOUBLE AS ntok),
+            scored AS (
+              SELECT p.doc_id, p.token, p.tf, d.df, l.dl,
+                     ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                       ORDER BY ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                                  * (p.tf * 2.2)
+                                  / (p.tf + 1.2 * (0.25 + 0.75 * l.dl * c.n / c.ntok))
+                                DESC,
+                                p.token ASC) AS rn
+              FROM pairs p JOIN dfs d USING (token)
+                           JOIN dls l USING (doc_id), consts c)
+            SELECT doc_id, token, tf, df, dl FROM scored WHERE rn <= 3
         """,
         "token_count_bpe": """
             SELECT doc_id,

@@ -410,6 +410,82 @@ def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return cohash_map_groups(with_df, ["doc"], topk)
 
 
+def bm25_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   k: int = 3, n_docs: int | None = None,
+                   n_tokens: int | None = None):
+    """Per-document top-k terms by Okapi BM25 (k1=1.2, b=0.75), the
+    tf-idf pattern extended with document-length normalisation. Same
+    two-exchange shape as tfidf_top_terms (token co-hash attaches df,
+    doc co-hash ranks) and the same float discipline: the OUTPUT is
+    integer-only (doc_id, token, tf, df, dl) — the float score ranks
+    rows, computed from exact integer inputs with the LITERAL
+    expression the SQL oracle uses, so rank flips require a sub-ulp
+    score tie between distinct (tf, df, dl) triples; exact ties
+    (equal triple) break on token ASC bit-identically."""
+    import pandas as pd
+
+    from .dedup import _col_np, _segments
+    from .partition import cohash_map_groups
+
+    n = int(n_docs if n_docs is not None else ds.count())
+
+    def tf_dl_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        e = batch[[id_col, text_col]].copy()
+        e[text_col] = e[text_col].fillna("").str.lower().str.split(r"\W+")
+        e = e.explode(text_col)
+        e = e[(e[text_col] != "") & e[text_col].notna()]
+        g = e.groupby([id_col, text_col], sort=False).size().reset_index(name="tf")
+        dl = g.groupby(id_col, sort=False)["tf"].transform("sum")
+        return pd.DataFrame({
+            "doc": g[id_col].to_numpy(),
+            "token": g[text_col].to_numpy(),
+            "tf": g["tf"].to_numpy().astype("int64"),
+            "dl": dl.to_numpy().astype("int64"),
+        })
+
+    pairs = ds.map_batches(tf_dl_pairs, batch_format="pandas")
+    if n_tokens is None:
+        # exact corpus token count — one tiny aggregate over the pairs
+        n_tokens = int(pairs.sum("tf"))
+    ntok = int(n_tokens)
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        order, bounds = _segments(t, ["token"])
+        df = np.empty(t.num_rows, dtype=np.int64)
+        widths = (bounds[1:] - bounds[:-1]).astype(np.int64)
+        df[order] = np.repeat(widths, widths)
+        return t.append_column("df", pa.array(df, pa.int64()))
+
+    def topk(t: pa.Table) -> pa.Table:
+        doc = t.column("doc").to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        df = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        # the EXACT expression the oracle evaluates, same literal order
+        score = np.log((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / (
+            tf + 1.2 * (0.25 + 0.75 * dl * n / ntok)
+        )
+        tok_rank = _col_np(t, "token")
+        order = np.lexsort((tok_rank, -score, doc))
+        d = doc[order]
+        seg_start = np.concatenate([[0], np.nonzero(d[1:] != d[:-1])[0] + 1])
+        rank = np.arange(len(d)) - np.repeat(
+            seg_start, np.diff(np.concatenate([seg_start, [len(d)]]))
+        )
+        keep = order[rank < k]
+        out = t.take(pa.array(keep, pa.int64()))
+        return pa.table({
+            "doc_id": out.column("doc"),
+            "token": out.column("token"),
+            "tf": out.column("tf"),
+            "df": out.column("df"),
+            "dl": out.column("dl"),
+        })
+
+    with_df = cohash_map_groups(pairs, ["token"], attach_df)
+    return cohash_map_groups(with_df, ["doc"], topk)
+
+
 @functools.lru_cache(maxsize=2)
 def _bigram_count_lookup(refs: tuple):
     """(vocab StringArray, int64 counts) from broadcast count-block refs —
