@@ -1769,6 +1769,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
         return ranked_window(ds)
 
+    def q_first_last(sf_dir: str):
+        """Per-key FIRST_VALUE / LAST_VALUE over (ts, event_id) order —
+        one lexsort per co-hash block, segment heads and tails; values
+        pass through untouched so doubles hash bit-exactly."""
+        import numpy as np
+
+        from go_datax_ray.stages.dedup import _col_np, _segments
+        from go_datax_ray.stages.partition import cohash_map_groups
+
+        rd = rd_lazy()
+        ev = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+        def fl_block(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0 or "user_id" not in g.column_names:
+                return pa.table({"user_id": pa.array([], pa.int64()),
+                                 "first_value": pa.array([], pa.float64()),
+                                 "last_value": pa.array([], pa.float64()),
+                                 "n": pa.array([], pa.int64())})
+            k = _col_np(g, "user_id")
+            order = np.lexsort((_col_np(g, "event_id"), _col_np(g, "ts"), k))
+            ks = k[order]
+            bounds = np.concatenate(
+                [[0], np.nonzero(ks[1:] != ks[:-1])[0] + 1, [len(ks)]]
+            ).astype(np.int64)
+            heads, tails = order[bounds[:-1]], order[bounds[1:] - 1]
+            vals = g.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+            out = g.take(pa.array(heads)).select(["user_id"])
+            return (out.append_column("first_value",
+                                      pa.array(vals[heads], pa.float64()))
+                       .append_column("last_value",
+                                      pa.array(vals[tails], pa.float64()))
+                       .append_column("n", pa.array(np.diff(bounds), pa.int64())))
+
+        return cohash_map_groups(ev, ["user_id"], fl_block)
+
     def q_rolling_frame(sf_dir: str):
         """Moving SUM/COUNT/AVG over a 4-row ROWS frame per user —
         segment-clamped cumsum, one lexsort per co-hash block; exact
@@ -2202,6 +2237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": q_grouped_quantiles,
         "window_rank": q_window_rank,
         "rolling_frame": q_rolling_frame,
+        "first_last": q_first_last,
         "rollup_revenue": q_rollup_revenue,
         "cube_revenue": q_cube_revenue,
         "pivot_events": q_pivot_events,
@@ -2832,6 +2868,14 @@ def oracle_sql() -> dict[str, str]:
         # window_rank: rn/lag/lead use the unique event_id tiebreak;
         # rank/dense_rank order by ts alone so ties share a rank —
         # deterministic either way
+        "first_last": """
+            SELECT user_id,
+                   (ARRAY_AGG(value ORDER BY ts, event_id))[1] AS first_value,
+                   (ARRAY_AGG(value ORDER BY ts, event_id))
+                     [CAST(COUNT(*) AS INTEGER)] AS last_value,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+        """,
         "rolling_frame": """
             WITH b AS (
               SELECT event_id, user_id, ts,
