@@ -83,9 +83,15 @@ def main(argv: list[str] | None = None) -> int:
         import pyarrow.compute as pc
 
         keys = args.keys.split(",")
+        if man.key is None:
+            p.error("lake manifest predates key metadata; 'get' cannot "
+                    "determine the key column (re-commit once to backfill)")
         tables = [man.fsh.read_parquet(f) for f in man.files_for_keys(keys)]
         for t in tables:
-            t = t.filter(pc.is_in(t.column(man.key), value_set=pa.array(keys)))
+            vs = pa.array(keys)
+            if vs.type != t.column(man.key).type:
+                vs = vs.cast(t.column(man.key).type)  # int keys (ADVICE r3)
+            t = t.filter(pc.is_in(t.column(man.key), value_set=vs))
             t = t.filter(pc.not_equal(t.column("op"), pa.scalar("D")))
             for row in t.to_pylist():
                 row = {k: (v if not isinstance(v, bytes) else f"<{len(v)}B>")

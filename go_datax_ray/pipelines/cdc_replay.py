@@ -417,7 +417,11 @@ def _replay_locked(source: EventSource, cfg: ReplayConfig, metrics) -> ReplayRes
         raise ValueError(
             f"lake has {man.num_partitions} partitions; config says {cfg.num_partitions}"
         )
-    if man.num_partitions and (man.key, man.hash_fn) != (cfg.key, cfg.hash_fn):
+    # key/hash_fn None = pre-metadata manifest: placement unknown, so don't
+    # reject the very config the lake may have been built with — backfill
+    # below and let the next commit record it (ADVICE r3)
+    if (man.num_partitions and man.key is not None and man.hash_fn is not None
+            and (man.key, man.hash_fn) != (cfg.key, cfg.hash_fn)):
         raise ValueError(
             f"lake is keyed/placed by ({man.key}, {man.hash_fn}); "
             f"config says ({cfg.key}, {cfg.hash_fn})"

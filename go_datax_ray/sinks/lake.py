@@ -283,6 +283,12 @@ def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: b
     man = Manifest.load(lake_dir)
     files = man.files_asof(asof_epoch) if asof_epoch is not None else man.committed_files()
     key_col = man.key
+    if keys is not None and key_col is None:
+        raise ValueError(
+            "read_lake(keys=...): this lake's manifest predates key "
+            "metadata (key column unknown); re-commit once to backfill, "
+            "or filter with where=[[col, '=', v]] instead"
+        )
     if keys is not None and asof_epoch is None:
         files = man.files_for_keys(keys)
     if not files:
@@ -309,7 +315,13 @@ def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: b
         key_set = pa.array(list(keys))
 
         def _lookup(t: pa.Table) -> pa.Table:
-            t = t.filter(pa.compute.is_in(t.column(key_col), value_set=key_set))
+            # cast the value set to the key column's type: files_for_keys
+            # hashes str(k), but is_in is type-strict — int keys against a
+            # string key column would raise after pruning correctly (ADVICE r3)
+            vs = key_set
+            if vs.type != t.column(key_col).type:
+                vs = vs.cast(t.column(key_col).type)
+            t = t.filter(pa.compute.is_in(t.column(key_col), value_set=vs))
             if columns is not None and key_col not in columns:
                 t = t.drop_columns([key_col])
             return t

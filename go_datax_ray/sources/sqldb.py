@@ -242,7 +242,8 @@ def read(param: dict[str, Any], *, channel: int = 1):
             tbl = _table(param)
             if tbl and "table" not in sub:
                 sub["table"] = tbl
-            sub.pop("splitPk", None)  # one task per URL, unsliced
+            sub.pop("splitPk", None)   # one task per URL, unsliced
+            sub.pop("splitMode", None)  # token mode needs splitPk (ADVICE r3)
             parts.append(read(sub, channel=1))
         out = parts[0]
         for p in parts[1:]:

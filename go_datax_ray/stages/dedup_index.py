@@ -268,6 +268,7 @@ def incremental_dedup(new_ds, index_dir: str, old_docs, *,
     if stats["candidate_pairs"] == 0:
         stats.update(candidate_docs=0, verified_pairs=0, removed_docs=0)
         survivors = new_ds.materialize()
+        stats["survivors"] = survivors.count()  # uniform stats contract (ADVICE r3)
         if update_index:
             _write_generation(survivors, index_dir, meta,
                               gen=meta["generation"] + 1)

@@ -68,10 +68,13 @@ class Manifest:
     partitions: dict[str, dict[str, Any]] = field(default_factory=dict)
     # placement metadata: which column keys the lake and how it hashes —
     # recorded so READERS can prune to hash partitions (point lookups
-    # touch 1 of P files instead of scanning the lake). Defaults match
-    # pre-existing lakes (ReplayConfig defaults).
-    key: str = "url"
-    hash_fn: str = "crc32"
+    # touch 1 of P files instead of scanning the lake). ``None`` means
+    # UNKNOWN (a manifest written before these fields existed): readers
+    # must fall back to scanning every committed file rather than prune
+    # with a guessed hash, and the replay placement guard must not
+    # reject — the fields are backfilled on the next commit (ADVICE r3).
+    key: str | None = "url"
+    hash_fn: str | None = "crc32"
 
     @cached_property
     def fsh(self) -> LakeFS:
@@ -93,8 +96,8 @@ class Manifest:
             epoch=d["epoch"],
             schema_json=d.get("schema_json"),
             partitions=d["partitions"],
-            key=d.get("key", "url"),
-            hash_fn=d.get("hash_fn", "crc32"),
+            key=d.get("key"),        # None = pre-metadata manifest: unknown,
+            hash_fn=d.get("hash_fn"),  # never assume defaults (ADVICE r3)
         )
 
     def _save_atomic(self) -> None:
@@ -125,7 +128,9 @@ class Manifest:
         touch at most k of P files — the point-lookup read path."""
         from ..hashing import partition_ids
 
-        if not self.num_partitions:
+        if not self.num_partitions or self.key is None or self.hash_fn is None:
+            # placement unknown (pre-metadata manifest): pruning with a
+            # guessed hash silently drops rows — scan everything instead
             return self.committed_files()
         pids = set(partition_ids(
             [str(k) for k in keys], self.num_partitions, self.hash_fn

@@ -113,3 +113,6 @@ def test_no_candidates_short_circuit(tmp_path):
     surv, stats = incremental_dedup(new, idx, old, threshold=0.6)
     assert [r["doc_id"] for r in surv.take_all()] == [100]
     assert stats["candidate_pairs"] == 0 or stats["removed_docs"] == 0
+    # ADVICE r3: the early-exit path must keep the stats contract uniform
+    # (dedup_soak.py reads stats["survivors"])
+    assert stats["survivors"] == 1
