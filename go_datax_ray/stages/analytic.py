@@ -35,6 +35,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..state.refcache import ref_cached
 from .windows import _to_cents
 
 
@@ -414,7 +415,7 @@ def pivot_aggregate(
 import functools as _functools
 
 
-@_functools.lru_cache(maxsize=4)
+@ref_cached(4)
 def _frontier_lookup(refs: tuple):
     """(sorted users, firsts) arrays from broadcast frontier block refs —
     cached per WORKER PROCESS (same contract as joins._ref_value_set):
@@ -575,25 +576,10 @@ def grouped_outliers(ds, *, group: str = "user_id", value_col: str = "value",
         Sum("_sq", alias_name="_q"),
     ).materialize()  # one row per group
 
-    import ray as _ray
-
     refs = tuple(stats.to_arrow_refs())
 
     def flag(t: pa.Table) -> pa.Table:
-        import functools
-
-        @functools.lru_cache(maxsize=2)
-        def lookup(rs):
-            tables = [x for x in _ray.get(list(rs)) if x.num_rows]
-            st = pa.concat_tables(tables)
-            g = st.column(group).to_numpy(zero_copy_only=False)
-            order = np.argsort(g, kind="stable")
-            return (g[order],
-                    st.column("_n").to_numpy(zero_copy_only=False)[order].astype(np.int64),
-                    st.column("_s").to_numpy(zero_copy_only=False)[order].astype(np.int64),
-                    st.column("_q").to_numpy(zero_copy_only=False)[order].astype(np.int64))
-
-        gs, n, s, q = lookup(refs)
+        gs, n, s, q = _moment_lookup(refs, group)
         gv = t.column(group).to_numpy(zero_copy_only=False)
         pos = np.searchsorted(gs, gv)
         pos = np.minimum(pos, len(gs) - 1)
@@ -611,10 +597,28 @@ def grouped_outliers(ds, *, group: str = "user_id", value_col: str = "value",
     return ev.map_batches(flag, batch_format="pyarrow")
 
 
+@ref_cached(2)
+def _moment_lookup(refs: tuple, group: str):
+    """(sorted groups, n, sum, sumsq) int64 arrays from the broadcast
+    per-group moment refs — worker-cached, hex-keyed (a closure-local
+    lru_cache here outlived executions inside Ray's deserialized-function
+    cache and pinned the refs — the VERDICT r3 #2 teardown crash)."""
+    import ray as _ray
+
+    tables = [x for x in _ray.get(list(refs)) if x.num_rows]
+    st = pa.concat_tables(tables)
+    g = st.column(group).to_numpy(zero_copy_only=False)
+    order = np.argsort(g, kind="stable")
+    return (g[order],
+            st.column("_n").to_numpy(zero_copy_only=False)[order].astype(np.int64),
+            st.column("_s").to_numpy(zero_copy_only=False)[order].astype(np.int64),
+            st.column("_q").to_numpy(zero_copy_only=False)[order].astype(np.int64))
+
+
 import functools as _ft
 
 
-@_ft.lru_cache(maxsize=4)
+@ref_cached(4)
 def _ntile_lookup(refs: tuple):
     """(sorted distinct values, exclusive prefix counts, total n) from the
     broadcast per-value histogram refs — worker-cached (joins'

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -176,6 +177,19 @@ def kmeans_fit(ds, *, n_clusters: int = 16, n_iters: int = 3, seed: int = 42,
     rng = np.random.default_rng(seed)
     centroids = pool[rng.choice(len(pool), size=min(n_clusters, len(pool)), replace=False)]
 
+    def _combine(g: pa.Table) -> pa.Table:
+        # all rows of one cluster: vector-sum the partial sums, sum counts
+        s = _to_matrix(g.column("sum")).sum(axis=0)
+        return pa.table(
+            {
+                "cluster": g.column("cluster").slice(0, 1),
+                "sum": pa.array([s.tolist()], pa.list_(pa.float64())),
+                "count": pa.array(
+                    [int(pc.sum(g.column("count")).as_py())], pa.int64()
+                ),
+            }
+        )
+
     for _ in range(n_iters):
         cref = ray.put(centroids)
 
@@ -183,18 +197,29 @@ def kmeans_fit(ds, *, n_clusters: int = 16, n_iters: int = 3, seed: int = 42,
             c = ray.get(cref)
             m = _normalize(_to_matrix(batch.column(vec_col)))
             assign = np.argmax(m @ c.T, axis=1)
+            counts = np.bincount(assign, minlength=c.shape[0])
+            nz = np.flatnonzero(counts)  # only clusters this batch touched
             sums = np.zeros_like(c)
             np.add.at(sums, assign, m)
-            counts = np.bincount(assign, minlength=c.shape[0])
             return pa.table(
                 {
-                    "cluster": pa.array(np.arange(c.shape[0]), pa.int64()),
-                    "sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
-                    "count": pa.array(counts, pa.int64()),
+                    "cluster": pa.array(nz.astype(np.int64), pa.int64()),
+                    "sum": pa.array(sums[nz].tolist(), pa.list_(pa.float64())),
+                    "count": pa.array(counts[nz], pa.int64()),
                 }
             )
 
-        parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).take_all()
+        # in-cluster reduce (VERDICT r3 #1): the per-(batch, cluster)
+        # partial rows groupby-sum down to ONE row per cluster before the
+        # driver sees them — at 10^6 batches the former take_all folded
+        # 10^7 list-of-float rows in driver Python per iteration; now the
+        # driver folds <= n_clusters rows.
+        parts = (
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+            .groupby("cluster")
+            .map_groups(_combine, batch_format="pyarrow")
+            .take_all()
+        )
         sums = np.zeros_like(centroids)
         counts = np.zeros(centroids.shape[0], dtype=np.int64)
         for row in parts:

@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..hashing import md5_lower64_array, splitmix64
+from ..state.refcache import ref_cached
 
 
 def _key_hashes(col) -> np.ndarray:
@@ -88,10 +89,11 @@ class BloomFilter:
         return f
 
 
-@functools.lru_cache(maxsize=2)
+@ref_cached(2)
 def _cached_bloom(refs: tuple) -> BloomFilter:
     """OR-merge the partial blooms once per WORKER PROCESS (ids stay in
-    the object store; tasks carry only refs)."""
+    the object store; tasks carry only refs — hex-keyed so the worker
+    pins no ObjectRefs between executions, VERDICT r3 #2)."""
     acc: BloomFilter | None = None
     for t in ray.get(list(refs)):
         # zero-row map outputs can surface as empty-schema blocks

@@ -33,13 +33,12 @@ escape hatch and is property-tested equal to the broadcast path.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..hashing import md5_lower64_array
+from ..state.refcache import ref_cached
 
 # Classic English stopword probe (Gopher uses a similar small list).
 # The list is a parameter: corpora with domain-specific vocabularies
@@ -147,7 +146,7 @@ def shingle_hash_ds(ds, *, text_col: str = "text", id_col: str = "doc_id", k: in
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-@lru_cache(maxsize=4)
+@ref_cached(4)
 def _eval_shingle_set(refs: tuple) -> np.ndarray:
     """Pull the eval shingle blocks once per worker process and keep a
     sorted unique uint64 array for searchsorted membership tests."""
@@ -286,7 +285,7 @@ def _split_lines(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return flat, doc_idx, n_lines
 
 
-@lru_cache(maxsize=2)
+@ref_cached(2)
 def _line_winner_lookup(refs: tuple):
     """(sorted line-hash array, min-pos array) from broadcast winner
     block refs — built once per worker process."""

@@ -37,6 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..hashing import splitmix64
+from ..state.refcache import ref_cached
 
 
 def _actor_pool():
@@ -466,7 +467,7 @@ class _BroadcastPairVerifier:
         )
 
 
-@functools.lru_cache(maxsize=2)
+@ref_cached(2)
 def _pair_verifier(doc_refs: tuple, text_col: str, id_col: str, k: int,
                    threshold: float) -> "_BroadcastPairVerifier":
     return _BroadcastPairVerifier(list(doc_refs), text_col, id_col, k, threshold)

@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..state.refcache import ref_cached
 from ..synth import extract_text
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
@@ -486,7 +487,7 @@ def bm25_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return cohash_map_groups(with_df, ["doc"], topk)
 
 
-@functools.lru_cache(maxsize=2)
+@ref_cached(2)
 def _bigram_count_lookup(refs: tuple):
     """(vocab StringArray, int64 counts) from broadcast count-block refs —
     built once per WORKER PROCESS (joins._ref_value_set contract)."""
