@@ -254,7 +254,7 @@ def detect_hot_keys(ds, on: str | list[str], *, threshold: int,
 
 
 def _add_bucket(t: pa.Table, key: str | list[str], n_buckets: int,
-                side: str) -> pa.Table:
+                side: int) -> pa.Table:
     if isinstance(key, list):
         from .partition import _cohash
 
@@ -266,7 +266,11 @@ def _add_bucket(t: pa.Table, key: str | list[str], n_buckets: int,
         else:
             h = crc32_array(col) % np.uint64(n_buckets)
     t = t.append_column("_bucket", pa.array(h.astype(np.int64), pa.int64()))
-    return t.append_column("_side", pa.array([side] * t.num_rows, pa.string()))
+    # side tag as int8 (0=left, 1=right): a numpy fill, not an n-element
+    # Python string list, and the group-side split filters on int equality
+    return t.append_column(
+        "_side", pa.array(np.full(t.num_rows, side, dtype=np.int8), pa.int8())
+    )
 
 
 def bucket_hash_join(left, right, *, on: str | list[str], n_buckets: int = 32,
@@ -386,17 +390,20 @@ def bucket_hash_join(left, right, *, on: str | list[str], n_buckets: int = 32,
         if len(hot):
             hot_ref = ray.put(np.unique(hot))
 
-    def prep(side: str):
+    # unsalted joins carry no _salt column at all and group on _bucket
+    # alone — one fewer int64 column through the exchange and a
+    # single-key sort (the n_salts=1 fast path is the common case)
+    salted = n_salts > 1 and not (selective and hot_ref is None)
+
+    def prep(side: int):
         def fn(t: pa.Table) -> pa.Table:
             t = _add_bucket(conform(t, union_schema), on_key, n_buckets, side)
             n = t.num_rows
-            if n_salts <= 1 or (selective and hot_ref is None):
-                return t.append_column(
-                    "_salt", pa.array(np.zeros(n, dtype=np.int64), pa.int64())
-                )
+            if not salted:
+                return t
             if selective:
                 is_hot = np.isin(_raw_key_hash(t, on_key), _cached_hot(hot_ref))
-                if side == "l":
+                if side == 0:
                     # spread HOT left rows across salts; cold rows stay 0
                     salt = np.where(is_hot, np.arange(n, dtype=np.int64) % n_salts, 0)
                     return t.append_column("_salt", pa.array(salt, pa.int64()))
@@ -407,7 +414,7 @@ def bucket_hash_join(left, right, *, on: str | list[str], n_buckets: int = 32,
                 starts = np.repeat(np.cumsum(reps) - reps, reps)
                 salt = (np.arange(len(idx)) - starts).astype(np.int64)
                 return t.append_column("_salt", pa.array(salt, pa.int64()))
-            if side == "l":
+            if side == 0:
                 # spread left rows across salts (round-robin within batch)
                 salt = np.arange(n, dtype=np.int64) % n_salts
                 return t.append_column("_salt", pa.array(salt, pa.int64()))
@@ -419,8 +426,8 @@ def bucket_hash_join(left, right, *, on: str | list[str], n_buckets: int = 32,
 
         return fn
 
-    both = left.map_batches(prep("l"), batch_format="pyarrow").union(
-        right.map_batches(prep("r"), batch_format="pyarrow")
+    both = left.map_batches(prep(0), batch_format="pyarrow").union(
+        right.map_batches(prep(1), batch_format="pyarrow")
     )
     # Bound the sort-shuffle fan-out: reducer count follows input block
     # count, and the shuffle materialises O(blocks x reducers) object refs
@@ -448,8 +455,8 @@ def bucket_hash_join(left, right, *, on: str | list[str], n_buckets: int = 32,
         # null-filled other-side columns are dropped by the select, so each
         # side's to_pandas keeps exact integer dtypes (no NaN upcast).
         side = g.column("_side")
-        lg = g.filter(pc.equal(side, pa.scalar("l"))).select(l_names)
-        rg = g.filter(pc.equal(side, pa.scalar("r"))).select(r_names)
+        lg = g.filter(pc.equal(side, pa.scalar(0, pa.int8()))).select(l_names)
+        rg = g.filter(pc.equal(side, pa.scalar(1, pa.int8()))).select(r_names)
         if lg.num_rows == 0:
             if how in ("right", "full") and rg.num_rows:
                 return right_only(rg)
@@ -489,7 +496,8 @@ def bucket_hash_join(left, right, *, on: str | list[str], n_buckets: int = 32,
             pa.Table.from_pandas(merged, preserve_index=False), out_schema
         )
 
-    return both.groupby(["_bucket", "_salt"]).map_groups(join_bucket, batch_format="pyarrow")
+    group_keys = ["_bucket", "_salt"] if salted else ["_bucket"]
+    return both.groupby(group_keys).map_groups(join_bucket, batch_format="pyarrow")
 
 
 def asof_join(left, right, *, by: str, on: str, n_buckets: int | None = None,
@@ -541,14 +549,14 @@ def asof_join(left, right, *, by: str, on: str, n_buckets: int | None = None,
 
     from ..schema import conform
 
-    def prep(side: str):
+    def prep(side: int):
         def fn(t: pa.Table) -> pa.Table:
             return _add_bucket(conform(t, union_schema), by, n_buckets, side)
 
         return fn
 
-    both = left.map_batches(prep("l"), batch_format="pyarrow").union(
-        right.map_batches(prep("r"), batch_format="pyarrow")
+    both = left.map_batches(prep(0), batch_format="pyarrow").union(
+        right.map_batches(prep(1), batch_format="pyarrow")
     )
     from .partition import maybe_repartition
 
@@ -556,10 +564,10 @@ def asof_join(left, right, *, by: str, on: str, n_buckets: int | None = None,
 
     def join_bucket(g: pa.Table) -> pa.Table:
         side = g.column("_side")
-        lg = g.filter(pc.equal(side, pa.scalar("l"))).select(l_names)
+        lg = g.filter(pc.equal(side, pa.scalar(0, pa.int8()))).select(l_names)
         if lg.num_rows == 0:
             return out_schema.empty_table()
-        rg = g.filter(pc.equal(side, pa.scalar("r"))).select(r_names)
+        rg = g.filter(pc.equal(side, pa.scalar(1, pa.int8()))).select(r_names)
         ldf = lg.to_pandas().sort_values(on, kind="mergesort")
         if rg.num_rows == 0:
             return conform(pa.Table.from_pandas(ldf, preserve_index=False), out_schema)
@@ -611,7 +619,9 @@ def range_join(left, right, *, value_col: str, lo_col: str, hi_col: str,
         v = t.column(value_col).to_numpy().astype(np.float64)
         b = np.floor(v / bin_width).astype(np.int64)
         t = t.append_column("_bin", pa.array(b, pa.int64()))
-        return t.append_column("_side", pa.array(["l"] * t.num_rows, pa.string()))
+        return t.append_column(
+            "_side", pa.array(np.zeros(t.num_rows, dtype=np.int8), pa.int8())
+        )
 
     def prep_right(t: pa.Table) -> pa.Table:
         lo = t.column(lo_col).to_numpy().astype(np.float64)
@@ -628,7 +638,9 @@ def range_join(left, right, *, value_col: str, lo_col: str, hi_col: str,
         ) if t.num_rows else np.zeros(0, dtype=np.int64)
         rt = t.take(pa.array(idx))
         rt = rt.append_column("_bin", pa.array(bins, pa.int64()))
-        return rt.append_column("_side", pa.array(["r"] * rt.num_rows, pa.string()))
+        return rt.append_column(
+            "_side", pa.array(np.ones(rt.num_rows, dtype=np.int8), pa.int8())
+        )
 
     from ..schema import conform
 
@@ -652,8 +664,8 @@ def range_join(left, right, *, value_col: str, lo_col: str, hi_col: str,
 
     def join_bin(g: pa.Table) -> pa.Table:
         side = g.column("_side")
-        lg = g.filter(pc.equal(side, pa.scalar("l"))).select(l_names)
-        rg = g.filter(pc.equal(side, pa.scalar("r"))).select(r_names)
+        lg = g.filter(pc.equal(side, pa.scalar(0, pa.int8()))).select(l_names)
+        rg = g.filter(pc.equal(side, pa.scalar(1, pa.int8()))).select(r_names)
         if lg.num_rows == 0 or rg.num_rows == 0:
             return out_schema.empty_table()
         v = lg.column(value_col).to_numpy().astype(np.float64)
