@@ -87,12 +87,32 @@ SOURCES["mongoreader"] = mongo_plugin.read
 # source (their SELECT/WHERE/split semantics — SURVEY.md §2.3), gated
 # behind allowCollapse so the redirect is never silent.
 for _name in (
-    "mysqlreader", "postgresqlreader", "oraclereader", "sqlserverreader",
+    "oraclereader", "sqlserverreader",
     "sybasereader", "gaussdbreader", "clickhousereader",
     "dorisreader", "starrocksreader", "oceanbasereader", "tdenginereader",
     "cassandrareader",
 ):
     SOURCES.setdefault(_name, _collapsed_source(_name, parquet_src.read))
+
+
+def _dbapi_or_collapse(name: str):
+    """mysqlreader / postgresqlreader: a job whose jdbcUrl carries a
+    network host routes to the REAL DB-API source (sources/sqldb.py —
+    the full column/where/querySql/splitPk machinery over a
+    pymysql/psycopg connection; missing module fails loudly there,
+    mysql_reader.go:44-95). Anything else keeps the explicit collapse."""
+    fallback = _collapsed_source(name, parquet_src.read)
+
+    def read(param, *, channel: int = 1):
+        if sqldb._driver(param) in sqldb.DBAPI_MODULES:
+            return sqldb.read(param, channel=channel)
+        return fallback(param, channel=channel)
+
+    return read
+
+
+SOURCES["mysqlreader"] = _dbapi_or_collapse("mysqlreader")
+SOURCES["postgresqlreader"] = _dbapi_or_collapse("postgresqlreader")
 
 SINKS = {
     "txtfilewriter": txtfile_sink.write,
