@@ -3495,8 +3495,42 @@ def oracle_sql() -> dict[str, str]:
                    e.events
             FROM epp e JOIN ep USING (epoch)
         """,
-        # minhash_dedup / media_features are not SQL-expressible (seeded
-        # MinHash permutations, stubbed codecs) -> rows-only with pytest
-        # property gates; minhash additionally pins the md5 of its sorted
-        # survivor-id set in the hashed row.
+        # media_features: the planted pixels are md5-derived (kind =
+        # md5(id)%3, pixel[idx] = md5(id||'-'||idx)%256, row-major
+        # (16,16,3)), so DuckDB re-derives the 8x8 mean-pool phash the
+        # engine computes from DECODED PNG bytes — the oracle checks the
+        # whole encode->decode->feature path (VERDICT r3 #7). Engine
+        # layout: idx = r*48 + c*3 + ch; pool cell = (r//2)*8 + (c//2);
+        # bit = cell gray mean > mean of the 64 cell means.
+        "media_features": """
+            WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range(240) t(i)),
+            imgs AS (
+              SELECT media_id FROM ids
+              WHERE md5_number_lower(CAST(media_id AS VARCHAR)) % 3 = 0
+            ),
+            px AS (
+              SELECT media_id, CAST(j AS BIGINT) AS idx,
+                     CAST(md5_number_lower(CAST(media_id AS VARCHAR) || '-'
+                          || CAST(j AS VARCHAR)) % 256 AS DOUBLE) AS v
+              FROM imgs, range(768) t(j)
+            ),
+            cells AS (
+              SELECT media_id,
+                     ((idx // 48) // 2) * 8 + (((idx // 3) % 16) // 2) AS cell,
+                     AVG(v) AS gray
+              FROM px GROUP BY 1, 2
+            ),
+            gm AS (SELECT media_id, AVG(gray) AS m FROM cells GROUP BY 1)
+            SELECT c.media_id,
+                   CAST(SUM(CASE WHEN c.gray > g.m
+                                 THEN CAST(1 AS UBIGINT) << CAST(c.cell AS INTEGER)
+                                 ELSE 0 END)
+                        - CAST(9223372036854775808 AS HUGEINT) AS BIGINT) AS phash
+            FROM cells c JOIN gm g USING (media_id)
+            GROUP BY c.media_id
+        """,
+        # minhash_dedup is not SQL-expressible (seeded MinHash
+        # permutations) -> rows-only with pytest property gates; it
+        # additionally pins the md5 of its sorted survivor-id set in the
+        # hashed row.
     }

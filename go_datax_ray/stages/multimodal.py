@@ -230,21 +230,28 @@ def make_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic synthetic media table for tests/benchmarks. Image
     payloads are REAL PNGs and audio payloads REAL PCM16 WAVs (encoded
     with the pure-stdlib codecs); video payloads stay opaque bytes
-    (decode honestly gated — no ffmpeg in this container)."""
-    from ..hashing import mix_streams
+    (decode honestly gated — no ffmpeg in this container).
+
+    Kind routing and image pixels derive from md5_lower64 (== DuckDB
+    ``md5_number_lower``), NOT the splitmix streams: that makes the
+    planted pixel values — and therefore the decoded phash — fully
+    re-derivable in the SQL oracle (VERDICT r3 #7): kind =
+    md5(id) % 3, pixel[idx] = md5(id || '-' || idx) % 256 laid out
+    row-major (16, 16, 3)."""
+    from ..hashing import md5_lower64_array, mix_streams
     from .codecs import png_encode, wav_encode
 
     idx = np.arange(n, dtype=np.uint64)
     kinds = np.array(["image", "audio", "video"])[
-        (mix_streams(idx, seed, 1) % np.uint64(3)).astype(np.int64)
+        (md5_lower64_array(np.char.mod("%d", idx)) % np.uint64(3)).astype(np.int64)
     ]
+    pix_idx = np.arange(16 * 16 * 3)
     payloads = []
     for i, kind in enumerate(kinds):
         if kind == "image":
-            px = mix_streams(np.arange(16 * 16 * 3, dtype=np.uint64), seed + i, 2)
-            payloads.append(
-                png_encode((px % np.uint64(256)).astype(np.uint8).reshape(16, 16, 3))
-            )
+            keys = np.array([f"{i}-{j}" for j in pix_idx], dtype=object)
+            px = md5_lower64_array(keys) % np.uint64(256)
+            payloads.append(png_encode(px.astype(np.uint8).reshape(16, 16, 3)))
         elif kind == "audio":
             sub = mix_streams(np.arange(4096, dtype=np.uint64), seed + i, 3)
             wave = (sub % np.uint64(65536)).astype(np.float64) / 32767.5 - 1.0

@@ -139,9 +139,12 @@ def test_image_features_phash_golden():
     media = make_media_table(24)
     f = ImageFeatures()(media)
     got = dict(zip(f.column("media_id").to_pylist(), f.column("phash").to_pylist()))
-    assert got[0] == -4600552937554852937
-    assert got[1] == 562771271371276826
-    assert got[2] == 8392916225556814176
-    assert got[4] == -669575085005625546
+    # values re-pinned in round 4 when the generator moved to md5-derived
+    # pixels (kind = md5(id)%3, pixel = md5(id||'-'||idx)%256) so the SQL
+    # oracle can re-derive the phash from the parquet-free seed
+    assert got[1] == 751500539753621273
+    assert got[2] == 7932171811273030880
+    assert got[10] == -5125704704250972012
+    assert got[11] == -5142348215926610303
     all_ph = ",".join(str(got[k]) for k in sorted(got))
-    assert hashlib.md5(all_ph.encode()).hexdigest() == "713a9cc6c2ef8a1c65b0069080aceb82"
+    assert hashlib.md5(all_ph.encode()).hexdigest() == "e34277f2240dbb72a4abab93e3b6f11b"
