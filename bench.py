@@ -242,6 +242,8 @@ def main() -> dict:
         "para_dedup",
         "lang_balanced_sample",
         "tpch_q18_composed",
+        "window_session",
+        "funnel",
     ):
         fn = qs[name]
 

@@ -454,52 +454,68 @@ def funnel_counts(ds, *, user_col: str = "user_id", ts_col: str = "ts",
     """Ordered-funnel conversion: users whose FIRST step-i event is
     strictly after their first qualifying step-(i-1) event, per step.
 
-    Composed from scale-safe primitives instead of per-user scans: each
-    stage is one projected groupby-min (the shuffle carries (user, ts)
-    pairs for ONE event type) plus the prior stage's (user, t_prev)
-    frontier as OBJECT-STORE refs pulled once per worker into a sorted
-    lookup (the _ref_value_set pattern) — the frontier never lands on
-    the driver or in task closures, and it shrinks monotonically per
-    step.
+    ONE exchange (round-4 rewrite: the former per-step groupby-min +
+    broadcast-frontier chain paid the sort shuffle's fixed overhead
+    THREE times — 3.6 s of a 4 s wall at sf0.1): project (user, step_idx,
+    ts), co-hash ALL of a user's step events into one bucket, and resolve
+    the whole chain vectorized per bucket — per step s, t_s[user] =
+    min ts among step-s rows with ts > t_{s-1}[user], one masked
+    ``np.minimum.at`` per step, no per-user Python loop. Buckets emit
+    3-row partial counts; the driver folds 3 x n_buckets ints.
 
     Output: one row per step — (step, users:int64).
     """
-    from ray.data.aggregate import Min
-
-    from .partition import bounded_groupby
-
     steps = steps or ["signup", "click", "purchase"]
     import ray.data as rdm
 
-    out_steps, out_users = [], []
-    frontier_refs = None
-    for step in steps:
-        sub = ds.filter(expr=f"{type_col} == {step!r}")
-        if frontier_refs is not None:
-            sub = sub.map_batches(
-                _after_frontier,
-                fn_kwargs=dict(user_col=user_col, ts_col=ts_col,
-                               refs=frontier_refs),
-                batch_format="pyarrow",
-            )
-        firsts = bounded_groupby(
-            sub.map_batches(
-                lambda t: pa.table(
-                    {user_col: t.column(user_col),
-                     "_ts": t.column(ts_col).cast(pa.int64())}
-                ),
-                batch_format="pyarrow",
-            ),
-            user_col,
-        ).aggregate(Min("_ts", alias_name="_first")).materialize()
-        out_steps.append(step)
-        out_users.append(firsts.count())
-        frontier_refs = tuple(firsts.to_arrow_refs())
+    from .partition import cohash_map_groups
+
+    step_idx = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+    step_arr = pa.array(steps, pa.string())
+
+    def proj(t: pa.Table) -> pa.Table:
+        st = pc.index_in(t.column(type_col), value_set=step_arr)  # null = not a step
+        out = pa.table({
+            user_col: t.column(user_col),
+            "_st": pc.fill_null(st, -1).cast(pa.int8()),
+            "_ts": t.column(ts_col).cast(pa.int64()),
+        })
+        return out.filter(pc.greater_equal(out.column("_st"), pa.scalar(0, pa.int8())))
+
+    def bucket_counts(g: pa.Table) -> pa.Table:
+        users = g.column(user_col).to_numpy(zero_copy_only=False)
+        st = g.column("_st").to_numpy(zero_copy_only=False)
+        ts = g.column("_ts").to_numpy(zero_copy_only=False)
+        _, uinv = np.unique(users, return_inverse=True)
+        n_users = int(uinv.max()) + 1 if len(uinv) else 0
+        prev = np.zeros(n_users, dtype=np.int64)  # sentinel: ts > -inf
+        prev_ok = np.ones(n_users, dtype=bool)
+        counts = np.zeros(n_steps, dtype=np.int64)
+        first = True
+        for s in range(n_steps):
+            cur = np.full(n_users, np.iinfo(np.int64).max, dtype=np.int64)
+            rows = st == s
+            if not first:
+                rows &= prev_ok[uinv] & (ts > prev[uinv])
+            np.minimum.at(cur, uinv[rows], ts[rows])
+            ok = cur != np.iinfo(np.int64).max
+            counts[s] = int(ok.sum())
+            prev, prev_ok, first = cur, ok, False
+        return pa.table({
+            "_s": pa.array(np.arange(n_steps), pa.int64()),
+            "_n": pa.array(counts, pa.int64()),
+        })
+
+    partials = cohash_map_groups(
+        ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
+        [user_col], bucket_counts,
+    ).take_all()  # 3 ints per bucket — metadata-scale
+    totals = np.zeros(n_steps, dtype=np.int64)
+    for r in partials:
+        totals[r["_s"]] += r["_n"]
     return rdm.from_arrow(
-        pa.table(
-            {"step": pa.array(out_steps, pa.string()),
-             "users": pa.array(out_users, pa.int64())}
-        )
+        pa.table({"step": step_arr, "users": pa.array(totals, pa.int64())})
     )
 
 
