@@ -336,7 +336,8 @@ def read_lake(lake_dir: str, *, columns: list[str] | None = None, final_state: b
     return ds
 
 
-def compact(lake_dir: str, *, drop_tombstones_below_lsn: int | None = None) -> dict[str, int]:
+def compact(lake_dir: str, *, drop_tombstones_below_lsn: int | None = None,
+            retain_history: bool = False) -> dict[str, int]:
     """Compaction: rewrite partitions dropping delete tombstones with
     lsn < the horizon (default: the committed watermark).
 
@@ -387,6 +388,7 @@ def compact(lake_dir: str, *, drop_tombstones_below_lsn: int | None = None) -> d
             entries=entries,
             schema_json=man.schema_json or "",
             wall_s=0.0,
+            retain_history=retain_history,  # keep time-travel across compaction
         )
     return {"dropped_tombstones": dropped, "epoch": epoch}
 
