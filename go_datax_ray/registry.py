@@ -146,6 +146,7 @@ SINKS["doriswriter"] = _wire_or_collapse("doriswriter", wire_sink.write_stream_l
 SINKS["starrockswriter"] = _wire_or_collapse(
     "starrockswriter", wire_sink.write_stream_load
 )
+SINKS["neo4jwriter"] = _wire_or_collapse("neo4jwriter", wire_sink.write_neo4j_tx)
 
 # ftpwriter = the txtfile writer over an fsspec ftp:// URI (the
 # reference's ftpwriter emits the same txtfile layout over FTP); the
@@ -162,7 +163,7 @@ for _name in (
     "mysqlwriter", "postgresqlwriter", "oraclewriter", "sqlserverwriter",
     "sybasewriter", "gaussdbwriter", "oceanbasewriter",
     "clickhousewriter", "databendwriter",
-    "cassandrawriter", "neo4jwriter",
+    "cassandrawriter",
     "tdenginewriter",
 ):
     SINKS.setdefault(_name, _collapsed_sink(_name, parquet_sink.write))

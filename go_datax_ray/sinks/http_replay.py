@@ -96,6 +96,21 @@ def _check_stream_load(resp: bytes) -> str:
     raise ReplayError(f"stream load failed: {json.dumps(d)[:500]}")
 
 
+def _check_neo4j_tx(resp: bytes) -> str:
+    """The neo4j transaction API returns 200 with an ``errors`` array on
+    logical failure — surface it (the bolt writer's per-tx error check,
+    neo4j_writer.go:566-575)."""
+    try:
+        d = json.loads(resp or b"{}")
+    except json.JSONDecodeError:
+        raise ReplayError(f"tx/commit: unparseable response {resp[:200]!r}")
+    errs = d.get("errors") or []
+    if errs:
+        raise ReplayError(f"neo4j tx reported {len(errs)} errors: "
+                          f"{json.dumps(errs[:3])[:500]}")
+    return "Success"
+
+
 def _check_es_bulk(resp: bytes) -> str:
     """ES _bulk is 200 with per-item errors; surface them
     (elasticsearch_writer.go:845-961 checks hasError per item)."""
@@ -133,6 +148,8 @@ def replay_manifest(manifest_path: str, *, max_retries: int = 3,
                 verdict = _check_stream_load(r["response"])
             elif req["url"].rstrip("/").endswith("_bulk"):
                 verdict = _check_es_bulk(r["response"])
+            elif req["url"].rstrip("/").endswith("tx/commit"):
+                verdict = _check_neo4j_tx(r["response"])
             else:
                 verdict = "Success"
             if verdict == "Label Already Exists":

@@ -180,6 +180,67 @@ def stream_load_request(body: bytes, *, host: str, database: str, table: str,
     }
 
 
+def _neo4j_value(v: Any, ptype: str, split: str = ",", date_format: str | None = None) -> Any:
+    """Property-type conversion, faithful to convertColumnValue
+    (neo4j_writer.go:358-438): BOOLEAN/STRING/LONG/SHORT/INT/DOUBLE/
+    FLOAT/dates/LIST-split/MAP-json; unknown types pass as strings."""
+    import datetime
+
+    if v is None:
+        return None
+    t = (ptype or "STRING").upper()
+    if t == "BOOLEAN":
+        return bool(v)
+    if t in ("LONG", "SHORT", "INTEGER", "INT"):
+        return int(v)
+    if t in ("DOUBLE", "FLOAT"):
+        return float(v)
+    if t in ("LOCAL_DATE", "LOCAL_DATE_TIME", "LOCAL_TIME"):
+        if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+            return v.isoformat()
+        return str(v)
+    if t == "LIST":
+        s = str(v)
+        return [p.strip() for p in s.split(split or ",")] if s else []
+    if t == "MAP":
+        s = str(v)
+        return json.loads(s) if s else {}
+    return _row_value(v) if isinstance(v, (bytes, datetime.date)) else str(v)
+
+
+def neo4j_tx_body(batch: pa.Table, *, cypher: str, var_name: str = "batch",
+                  properties: list[dict] | None = None,
+                  columns: list[str] | None = None) -> bytes:
+    """One neo4j HTTP transaction-API request body: the user's cypher
+    with the whole block bound as the ``$batch`` parameter — byte-layout
+    analogue of the bolt writer's flushRecords (neo4j_writer.go:539-551
+    ``parameters[batchDataVariableName] = records``). ``properties``
+    maps columns POSITIONALLY (name/type/split/dateFormat), exactly the
+    reference's convertRecord contract: a count mismatch is an error."""
+    cols = columns or batch.column_names
+    props = properties or [{"name": c, "type": "STRING"} for c in cols]
+    if len(props) != len(cols):
+        raise ValueError(
+            f"the read and write columns do not match! expected "
+            f"{len(props)} columns, got {len(cols)} (neo4j_writer.go:335)"
+        )
+    data = {c: batch.column(c).to_pylist() for c in cols}
+    records = [
+        {
+            p["name"]: _neo4j_value(
+                data[c][i], p.get("type", "STRING"),
+                p.get("split", ","), p.get("dateFormat"),
+            )
+            for c, p in zip(cols, props)
+        }
+        for i in range(batch.num_rows)
+    ]
+    return _json_go(
+        {"statements": [{"statement": cypher,
+                         "parameters": {var_name: records}}]}
+    ).encode("utf-8")
+
+
 # --------------------------------------------------------------------------
 # Ray sinks: distributed chunk rendering + request manifest
 
@@ -265,6 +326,52 @@ def write_es_bulk(ds, param: dict[str, Any]) -> dict[str, Any]:
 
     return _chunked_write(
         ds, path, lambda t: es_bulk_body(t, **kw), request_for
+    )
+
+
+def write_neo4j_tx(ds, param: dict[str, Any]) -> dict[str, Any]:
+    """neo4jwriter: renders HTTP transaction-API bodies (user cypher +
+    UNWIND-able $batch parameter) to ``parameter.path`` — POSTable to
+    ``/db/{database}/tx/commit`` with sinks.http_replay, whose retry loop
+    mirrors executeWithRetry (neo4j_writer.go:553-588 retryTimes x
+    retrySleepMills)."""
+    path = param.get("path")
+    if not path:
+        raise ValueError(
+            "neo4jwriter renders transaction-API request bodies to files in "
+            "this engine (no bolt driver in-sandbox): set parameter.path, or "
+            "parameter.allowCollapse=true for the lake-upsert collapse."
+        )
+    cypher = param.get("cypher")
+    if not cypher:
+        raise ValueError("cypher is required (neo4j_writer.go:104)")
+    props = param.get("properties")
+    if isinstance(props, str):  # the reference takes properties as JSON text
+        props = json.loads(props)
+    if not props:
+        raise ValueError("properties configuration is required (neo4j_writer.go:116)")
+    var_name = param.get("batchDataVariableName", "batch")
+    endpoint = param.get("endpoint", "http://localhost:7474")
+    database = param.get("database", "neo4j")
+    headers = {"Content-Type": "application/json", "Accept": "application/json"}
+    if param.get("username"):
+        headers["Authorization"] = "Basic " + base64.b64encode(
+            f"{param['username']}:{param.get('password', '')}".encode()
+        ).decode()
+
+    def request_for(body: bytes, tag: str) -> dict[str, Any]:
+        return {
+            "_file_name": f"tx-{tag}.json",
+            "method": "POST",
+            "url": f"{endpoint}/db/{database}/tx/commit",
+            "headers": headers,
+        }
+
+    return _chunked_write(
+        ds, path,
+        lambda t: neo4j_tx_body(t, cypher=cypher, var_name=var_name,
+                                properties=props, columns=param.get("column")),
+        request_for,
     )
 
 
