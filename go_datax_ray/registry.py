@@ -147,6 +147,9 @@ SINKS["starrockswriter"] = _wire_or_collapse(
     "starrockswriter", wire_sink.write_stream_load
 )
 SINKS["neo4jwriter"] = _wire_or_collapse("neo4jwriter", wire_sink.write_neo4j_tx)
+SINKS["clickhousewriter"] = _wire_or_collapse(
+    "clickhousewriter", wire_sink.write_clickhouse
+)
 
 # ftpwriter = the txtfile writer over an fsspec ftp:// URI (the
 # reference's ftpwriter emits the same txtfile layout over FTP); the
@@ -162,7 +165,7 @@ SINKS.setdefault("osswriter", txtfile_sink.write)
 for _name in (
     "mysqlwriter", "postgresqlwriter", "oraclewriter", "sqlserverwriter",
     "sybasewriter", "gaussdbwriter", "oceanbasewriter",
-    "clickhousewriter", "databendwriter",
+    "databendwriter",
     "cassandrawriter",
     "tdenginewriter",
 ):

@@ -329,6 +329,108 @@ def write_es_bulk(ds, param: dict[str, Any]) -> dict[str, Any]:
     )
 
 
+_CH_ESCAPES = {"\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r"}
+
+
+def clickhouse_tsv(batch: pa.Table, *, columns: list[str] | None = None) -> bytes:
+    """ClickHouse TabSeparated chunk: TAB columns, LF rows, backslash
+    escapes for tab/newline/backslash, ``\\N`` for NULL (the public
+    TabSeparated format the HTTP interface ingests — the byte-level
+    equivalent of the reference's batched native INSERT,
+    clickhouse_writer.go:282-327)."""
+    cols = columns or batch.column_names
+    data = {c: batch.column(c).to_pylist() for c in cols}
+
+    def esc(v: Any) -> str:
+        if v is None:
+            return "\\N"
+        s = str(_row_value(v))
+        for raw, enc in _CH_ESCAPES.items():
+            s = s.replace(raw, enc)
+        return s
+
+    lines = (
+        "\t".join(esc(data[c][i]) for c in cols)
+        for i in range(batch.num_rows)
+    )
+    return ("\n".join(lines) + "\n").encode("utf-8") if batch.num_rows else b""
+
+
+def write_clickhouse(ds, param: dict[str, Any]) -> dict[str, Any]:
+    """clickhousewriter: renders TabSeparated INSERT chunks + HTTP
+    requests against ClickHouse's public HTTP interface
+    (``POST /?query=INSERT INTO db.t (cols) FORMAT TabSeparated``) to
+    ``parameter.path`` — the wire analogue of the reference's native
+    batched insert (clickhouse_writer.go:282-327); preSql/postSql render
+    as leading/trailing query requests in the manifest, mirroring
+    Prepare/Post (clickhouse_writer.go:171-229). Replay with
+    sinks.http_replay (retry-on-5xx) or ``curl --data-binary``."""
+    from urllib.parse import quote
+
+    path = param.get("path")
+    if not path:
+        raise ValueError(
+            "clickhousewriter renders HTTP-interface request bodies to files "
+            "in this engine (no native TCP driver in-sandbox): set "
+            "parameter.path, or parameter.allowCollapse=true for the "
+            "lake-upsert collapse."
+        )
+    conn = param.get("connection")
+    ent = (conn[0] if isinstance(conn, list) else conn) if conn else {}
+    table = ent.get("table")
+    table = (table[0] if isinstance(table, list) else table) or param.get("table")
+    if not table:
+        raise ValueError("clickhousewriter needs 'table'")
+    database = param.get("database") or ent.get("database", "default")
+    endpoint = param.get("endpoint", "http://localhost:8123")
+    cols = param.get("column")
+    headers = {"Content-Type": "text/plain"}
+    if param.get("username"):
+        headers["X-ClickHouse-User"] = str(param["username"])
+        if param.get("password"):
+            headers["X-ClickHouse-Key"] = str(param["password"])
+
+    first_cols: list[str] = list(cols) if cols else []
+
+    def render(t: pa.Table) -> bytes:
+        if not first_cols:
+            first_cols.extend(t.column_names)
+        return clickhouse_tsv(t, columns=cols)
+
+    def request_for(body: bytes, tag: str) -> dict[str, Any]:
+        q = (f"INSERT INTO {database}.{table} "
+             f"({', '.join(first_cols)}) FORMAT TabSeparated")
+        return {
+            "_file_name": f"insert-{tag}.tsv",
+            "method": "POST",
+            "url": f"{endpoint}/?query={quote(q)}",
+            "headers": headers,
+        }
+
+    res = _chunked_write(ds, path, render, request_for)
+    # preSql/postSql as standalone query requests around the inserts
+    pre = param.get("preSql") or []
+    post = param.get("postSql") or []
+    extra_head, extra_tail = [], []
+    for which, stmts, bucket in (("pre", pre, extra_head), ("post", post, extra_tail)):
+        for i, stmt in enumerate(stmts if isinstance(stmts, list) else [stmts]):
+            body = stmt.replace("@table", str(table)).encode("utf-8")
+            fp = os.path.join(path, f"{which}-{i:03d}.sql")
+            with open(fp, "wb") as f:
+                f.write(body)
+            bucket.append(json.dumps({
+                "method": "POST", "url": f"{endpoint}/", "headers": headers,
+                "body_file": fp,
+            }, sort_keys=True))
+    if extra_head or extra_tail:
+        with open(res["manifest"]) as f:
+            mid = [ln.rstrip("\n") for ln in f if ln.strip()]
+        with open(res["manifest"], "w") as f:
+            for ln in extra_head + mid + extra_tail:
+                f.write(ln + "\n")
+    return res
+
+
 def write_neo4j_tx(ds, param: dict[str, Any]) -> dict[str, Any]:
     """neo4jwriter: renders HTTP transaction-API bodies (user cypher +
     UNWIND-able $batch parameter) to ``parameter.path`` — POSTable to
