@@ -147,6 +147,9 @@ SINKS["starrockswriter"] = _wire_or_collapse(
     "starrockswriter", wire_sink.write_stream_load
 )
 SINKS["neo4jwriter"] = _wire_or_collapse("neo4jwriter", wire_sink.write_neo4j_tx)
+SINKS["cassandrawriter"] = _wire_or_collapse(
+    "cassandrawriter", wire_sink.write_cassandra_cql
+)
 SINKS["clickhousewriter"] = _wire_or_collapse(
     "clickhousewriter", wire_sink.write_clickhouse
 )
@@ -159,14 +162,41 @@ SINKS["ftpwriter"] = txtfile_sink.write
 SINKS.setdefault("hdfswriter", txtfile_sink.write)
 SINKS.setdefault("osswriter", txtfile_sink.write)
 
-# Network RDBMS/warehouse writers -> parquet sink (writeMode=upsert gives
-# their ON CONFLICT DO UPDATE semantics through the exactly-once lake),
-# same explicit opt-in.
+from .sinks import dbwriter as dbwriter_sink  # noqa: E402
+
+
+def _dbapi_write_or_collapse(name: str):
+    """mysqlwriter / postgresqlwriter: a network jdbcUrl routes to the
+    REAL actor-pool DB-API writer (sinks/dbwriter.py — N connections,
+    per-batch transactions, the reference's per-dialect upsert SQL;
+    missing module fails loudly inside the actor). Anything else keeps
+    the explicit collapse."""
+    fallback = _collapsed_sink(name, parquet_sink.write)
+
+    def write(ds, param):
+        if sqldb._driver(param) in sqldb.DBAPI_MODULES:
+            return dbwriter_sink.write(ds, param)
+        return fallback(ds, param)
+
+    return write
+
+
+SINKS["mysqlwriter"] = _dbapi_write_or_collapse("mysqlwriter")
+SINKS["postgresqlwriter"] = _dbapi_write_or_collapse("postgresqlwriter")
+# The reference drives databend with its native Go driver
+# (databend_writer.go:139-146 parses jdbc:databend:// into a
+# databend-go DSN); no such Python driver ships here, but Databend's
+# public MySQL-wire compatibility endpoint (:3307) means a mysql://
+# jdbcUrl takes the same actor-pool path, and anything else collapses
+# loudly as before.
+SINKS["databendwriter"] = _dbapi_write_or_collapse("databendwriter")
+
+# Remaining network RDBMS/warehouse writers -> parquet sink
+# (writeMode=upsert gives their ON CONFLICT DO UPDATE semantics through
+# the exactly-once lake), same explicit opt-in.
 for _name in (
-    "mysqlwriter", "postgresqlwriter", "oraclewriter", "sqlserverwriter",
+    "oraclewriter", "sqlserverwriter",
     "sybasewriter", "gaussdbwriter", "oceanbasewriter",
-    "databendwriter",
-    "cassandrawriter",
     "tdenginewriter",
 ):
     SINKS.setdefault(_name, _collapsed_sink(_name, parquet_sink.write))

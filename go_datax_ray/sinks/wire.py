@@ -431,6 +431,113 @@ def write_clickhouse(ds, param: dict[str, Any]) -> dict[str, Any]:
     return res
 
 
+_WRITETIME = "writetime()"
+
+
+def _cql_literal(v: Any) -> str:
+    """CQL literal rendering for a Python value: single-quoted strings
+    with '' doubling, 0x hex blobs, true/false, null, ISO timestamps."""
+    import datetime
+
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return "'" + v.isoformat() + "'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _writetime_micros(v: Any) -> int:
+    """USING TIMESTAMP operand: microseconds since epoch (what the
+    reference binds for the writetime() pseudo-column)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    return int(v)
+
+
+def cassandra_cql(batch: pa.Table, *, table: str,
+                  columns: list[str] | None = None,
+                  batch_size: int = 1) -> bytes:
+    """CQL statements for a batch: per row one
+    ``INSERT INTO t (cols) VALUES (literals)``, with a configured
+    ``writetime()`` pseudo-column rendered as ``USING TIMESTAMP <µs>``
+    and excluded from the insert list (cassandra_writer.go:204-236);
+    ``batch_size > 1`` groups rows into ``BEGIN UNLOGGED BATCH`` blocks
+    (cassandra_writer.go:478-483 uses gocql.UnloggedBatch)."""
+    cols = list(columns or batch.column_names)
+    wt_idx = [i for i, c in enumerate(cols) if c.lower() == _WRITETIME]
+    if len(wt_idx) > 1:
+        raise ValueError("only one writetime() column is allowed")
+    wt_col = cols.pop(wt_idx[0]) if wt_idx else None
+    data = {c: batch.column(c).to_pylist() for c in cols}
+    wt = batch.column(wt_col).to_pylist() if wt_idx else None
+    collist = ", ".join(cols)
+
+    stmts = []
+    for i in range(batch.num_rows):
+        vals = ", ".join(_cql_literal(data[c][i]) for c in cols)
+        stmt = f"INSERT INTO {table} ({collist}) VALUES ({vals})"
+        if wt is not None and wt[i] is not None:
+            stmt += f" USING TIMESTAMP {_writetime_micros(wt[i])}"
+        stmts.append(stmt + ";")
+    if batch_size <= 1:
+        return ("\n".join(stmts) + "\n").encode() if stmts else b""
+    out = []
+    for s in range(0, len(stmts), batch_size):
+        group = stmts[s:s + batch_size]
+        out.append("BEGIN UNLOGGED BATCH\n" + "\n".join(group)
+                   + "\nAPPLY BATCH;")
+    return ("\n".join(out) + "\n").encode()
+
+
+def write_cassandra_cql(ds, param: dict[str, Any]) -> dict[str, Any]:
+    """cassandrawriter: renders the reference's prepared-INSERT batches
+    (cassandra_writer.go:186-248 builds INSERT INTO ks.t (cols) VALUES
+    with optional USING TIMESTAMP; :461-498 flushes UNLOGGED batches)
+    as ``cqlsh -f``-replayable .cql chunk files — a ``CONSISTENCY``
+    directive heads each file (parseConsistency, :516-540) and the
+    request manifest records the cqlsh invocation per chunk. No CQL
+    driver ships in this sandbox; live addresses are never dialed."""
+    path = param.get("path")
+    if not path:
+        raise ValueError(
+            "cassandrawriter renders cqlsh-replayable CQL batch files in "
+            "this engine (no CQL driver in-sandbox): set parameter.path, "
+            "or parameter.allowCollapse=true for the lake-upsert collapse."
+        )
+    keyspace = param.get("keyspace")
+    table = param.get("table")
+    if not keyspace or not table:
+        raise ValueError("cassandrawriter needs 'keyspace' and 'table'")
+    fq_table = f"{keyspace}.{table}"
+    cols = param.get("column")
+    batch_size = int(param.get("batchSize") or 1)
+    consistency = str(param.get("consistencyLevel") or "LOCAL_QUORUM").upper()
+    header = f"CONSISTENCY {consistency};\n".encode()
+
+    def render(t: pa.Table) -> bytes:
+        return header + cassandra_cql(
+            t, table=fq_table, columns=cols, batch_size=batch_size)
+
+    def request_for(body: bytes, tag: str) -> dict[str, Any]:
+        return {
+            "_file_name": f"batch-{tag}.cql",
+            "tool": "cqlsh",
+            "args": ["-k", keyspace, "-f", f"batch-{tag}.cql"],
+        }
+
+    return _chunked_write(ds, path, render, request_for)
+
+
 def write_neo4j_tx(ds, param: dict[str, Any]) -> dict[str, Any]:
     """neo4jwriter: renders HTTP transaction-API bodies (user cypher +
     UNWIND-able $batch parameter) to ``parameter.path`` — POSTable to

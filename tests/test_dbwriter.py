@@ -1,0 +1,178 @@
+"""Actor-pool DB-API writer: per-dialect upsert SQL (the reference's
+four conflict scenarios), per-batch transactions with per-row degraded
+retry, preSql/postSql once per job, registry routing."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from go_datax_ray.sinks.dbwriter import DBWriteActor, build_row_sql, write
+from go_datax_ray.sources import sqldb
+
+
+# ---- golden SQL: common.go:557-616 / mysql_writer.go:383-530 ----
+
+CASES = [
+    ("mysql", "insert", None,
+     "INSERT INTO t (id, a, b) VALUES (%s, %s, %s)"),
+    ("mysql", "skip", None,
+     "INSERT IGNORE INTO t (id, a, b) VALUES (%s, %s, %s)"),
+    ("mysql", "replace", None,
+     "REPLACE INTO t (id, a, b) VALUES (%s, %s, %s)"),
+    ("mysql", "update", ["id"],
+     "INSERT INTO t (id, a, b) VALUES (%s, %s, %s) "
+     "ON DUPLICATE KEY UPDATE a=VALUES(a), b=VALUES(b)"),
+    ("postgres", "update", ["id"],
+     "INSERT INTO t (id, a, b) VALUES (%s, %s, %s) "
+     "ON CONFLICT (id) DO UPDATE SET a=EXCLUDED.a, b=EXCLUDED.b"),
+    ("postgres", "skip", ["id"],
+     "INSERT INTO t (id, a, b) VALUES (%s, %s, %s) "
+     "ON CONFLICT (id) DO NOTHING"),
+    # postgres has no REPLACE INTO: replace renders the same upsert
+    ("postgres", "replace", ["id"],
+     "INSERT INTO t (id, a, b) VALUES (%s, %s, %s) "
+     "ON CONFLICT (id) DO UPDATE SET a=EXCLUDED.a, b=EXCLUDED.b"),
+    ("sqlite", "update", ["id"],
+     "INSERT INTO t (id, a, b) VALUES (?, ?, ?) "
+     "ON CONFLICT (id) DO UPDATE SET a=excluded.a, b=excluded.b"),
+]
+
+
+@pytest.mark.parametrize("dialect,mode,pks,expect", CASES)
+def test_row_sql_golden(dialect, mode, pks, expect):
+    got = build_row_sql(dialect, "t", ["id", "a", "b"],
+                        mode=mode, primary_keys=pks)
+    assert got == expect
+
+
+def test_all_pk_table_degrades_to_skip():
+    # common.go:572-578 scenario 2: every column is a key -> skip dups
+    assert build_row_sql("mysql", "t", ["id", "code"], mode="update",
+                         primary_keys=["id", "code"]).startswith(
+        "INSERT IGNORE INTO t")
+    assert "DO NOTHING" in build_row_sql(
+        "postgres", "t", ["id", "code"], mode="update",
+        primary_keys=["id", "code"])
+
+
+def test_default_pk_is_first_column():
+    # mysql_writer.go:500-505: no declared key -> columns[1:] update
+    got = build_row_sql("mysql", "t", ["k", "v"], mode="update")
+    assert got.endswith("ON DUPLICATE KEY UPDATE v=VALUES(v)")
+
+
+# ---- the mysql network path through a recording DB-API fake ----
+
+class _FakeCon:
+    def __init__(self, log):
+        self.log = log
+
+    def executemany(self, sql, rows):
+        self.log.append(("executemany", sql, list(rows)))
+
+    def execute(self, sql, row=None):
+        self.log.append(("execute", sql, row))
+
+    def commit(self):
+        self.log.append(("commit", None, None))
+
+    def rollback(self):
+        self.log.append(("rollback", None, None))
+
+    def close(self):
+        pass
+
+
+def test_mysql_actor_path_with_fake_driver(monkeypatch):
+    log: list = []
+    monkeypatch.setitem(sqldb.DBAPI_FACTORIES, "mysql",
+                        lambda url: _FakeCon(log))
+    actor = DBWriteActor(dialect="mysql", url="mysql://h:3306/db",
+                         table="t", columns=["id", "v"], mode="update",
+                         primary_keys=["id"])
+    out = actor(pa.table({"id": [1, 2], "v": ["a", "b"]}))
+    assert out.column("written").to_pylist() == [2]
+    kind, sql, rows = log[0]
+    assert kind == "executemany"
+    assert sql == ("INSERT INTO t (id, v) VALUES (%s, %s) "
+                   "ON DUPLICATE KEY UPDATE v=VALUES(v)")
+    assert rows == [(1, "a"), (2, "b")]
+    assert log[1][0] == "commit"  # one transaction per batch
+
+
+def test_missing_driver_fails_loudly():
+    with pytest.raises(RuntimeError, match="pymysql"):
+        DBWriteActor(dialect="mysql", url="mysql://h:3306/db", table="t",
+                     columns=["id"], mode="insert", primary_keys=["id"])
+
+
+# ---- full distributed path over sqlite (ray actor pool) ----
+
+def _read(db, sql):
+    con = sqlite3.connect(db)
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def test_upsert_end_to_end_sqlite(ray_session, tmp_path):
+    db = str(tmp_path / "w.db")
+    base = {
+        "jdbcUrl": db, "driver": "sqlite", "table": "t",
+        "primaryKeys": ["id"], "writeMode": "update", "channel": 1,
+        "preSql": ["CREATE TABLE IF NOT EXISTS @table "
+                   "(id INTEGER PRIMARY KEY, v TEXT)"],
+    }
+    r1 = write(rd.from_arrow(pa.table({"id": [1, 2, 3],
+                                       "v": ["a", "b", "c"]})), base)
+    assert (r1["records"], r1["error_records"]) == (3, 0)
+    # second wave updates 2 and inserts 4 — last write wins per key
+    r2 = write(rd.from_arrow(pa.table({"id": [2, 4],
+                                       "v": ["B", "d"]})), base)
+    assert (r2["records"], r2["error_records"]) == (2, 0)
+    assert _read(db, "SELECT id, v FROM t ORDER BY id") == [
+        (1, "a"), (2, "B"), (3, "c"), (4, "d")]
+
+
+def test_poison_row_degraded_retry_sqlite(ray_session, tmp_path):
+    db = str(tmp_path / "p.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    con.execute("INSERT INTO t VALUES (2, 'taken')")
+    con.commit()
+    con.close()
+    # plain insert: id=2 collides -> batch fails -> per-row retry lands
+    # 1 and 3, counts one error, and postSql still runs
+    res = write(rd.from_arrow(pa.table({"id": [1, 2, 3],
+                                        "v": ["a", "x", "c"]})), {
+        "jdbcUrl": db, "driver": "sqlite", "table": "t",
+        "writeMode": "insert", "channel": 1,
+        "postSql": ["INSERT INTO @table VALUES (99, 'post')"],
+    })
+    assert (res["records"], res["error_records"]) == (2, 1)
+    assert _read(db, "SELECT id FROM t ORDER BY id") == [
+        (1,), (2,), (3,), (99,)]
+
+
+def test_registry_routing(tmp_path):
+    from go_datax_ray.registry import SINKS
+
+    ds = rd.from_arrow(pa.table({"id": [1]}))
+    # network jdbcUrl routes to the DB-API pool -> loud driver error at
+    # the job-level preSql connection, before any Ray actor spawns
+    with pytest.raises(RuntimeError, match="pymysql"):
+        SINKS["mysqlwriter"](ds, {"jdbcUrl": "jdbc:mysql://h:3306/db",
+                                  "table": "t", "preSql": ["SELECT 1"]})
+    # non-network params keep the explicit collapse gate
+    with pytest.raises(ValueError, match="allowCollapse"):
+        SINKS["mysqlwriter"](ds, {"path": str(tmp_path), "table": "t"})
+    # databend over its public MySQL-wire endpoint takes the same path
+    with pytest.raises(RuntimeError, match="pymysql"):
+        SINKS["databendwriter"](ds, {"jdbcUrl": "mysql://h:3307/db",
+                                     "table": "t", "preSql": ["SELECT 1"]})
