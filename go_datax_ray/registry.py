@@ -114,6 +114,26 @@ def _dbapi_or_collapse(name: str):
 SOURCES["mysqlreader"] = _dbapi_or_collapse("mysqlreader")
 SOURCES["postgresqlreader"] = _dbapi_or_collapse("postgresqlreader")
 
+from .sources import cql as cql_src  # noqa: E402
+
+
+def _cql_or_collapse(name: str):
+    """cassandrareader: a job with a 'host' routes to the real CQL
+    reader (sources/cql.py — ring split by partitioner, one fetch task
+    per token range over a pluggable session; no driver in-sandbox fails
+    loudly there). A dump-style job keeps the explicit collapse."""
+    fallback = SOURCES[name]  # the collapsed parquet gate set above
+
+    def read(param, *, channel: int = 1):
+        if param.get("host"):
+            return cql_src.read(param, channel=channel)
+        return fallback(param, channel=channel)
+
+    return read
+
+
+SOURCES["cassandrareader"] = _cql_or_collapse("cassandrareader")
+
 SINKS = {
     "txtfilewriter": txtfile_sink.write,
     "jsonfilewriter": jsonfile_sink.write,
