@@ -213,6 +213,12 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
     channel = int(param.get("channel") or 1)
     batch_size = int(param.get("batchSize") or 2048)
 
+    # Validate the connection ON THE DRIVER before spawning the pool: a
+    # constructor that raises persistently inside a Ray actor pool spins
+    # in restart loops instead of failing the job (observed with a
+    # missing DB-API module), so the missing-driver / unreachable-host
+    # error must surface here, loudly, first.
+    _open(dialect, url).close()
     _run_sqls(dialect, url, param.get("preSql"), table)
     stats = ds.map_batches(
         DBWriteActor,

@@ -164,11 +164,16 @@ def test_registry_routing(tmp_path):
     from go_datax_ray.registry import SINKS
 
     ds = rd.from_arrow(pa.table({"id": [1]}))
-    # network jdbcUrl routes to the DB-API pool -> loud driver error at
-    # the job-level preSql connection, before any Ray actor spawns
+    # network jdbcUrl routes to the DB-API pool -> loud driver error
+    # from the driver-side connection probe, before any Ray actor
+    # spawns (an actor pool whose constructor raises persistently
+    # spins in restarts instead of failing) — with or without preSql
     with pytest.raises(RuntimeError, match="pymysql"):
         SINKS["mysqlwriter"](ds, {"jdbcUrl": "jdbc:mysql://h:3306/db",
                                   "table": "t", "preSql": ["SELECT 1"]})
+    with pytest.raises(RuntimeError, match="pymysql"):
+        SINKS["mysqlwriter"](ds, {"jdbcUrl": "jdbc:mysql://h:3306/db",
+                                  "table": "t"})
     # non-network params keep the explicit collapse gate
     with pytest.raises(ValueError, match="allowCollapse"):
         SINKS["mysqlwriter"](ds, {"path": str(tmp_path), "table": "t"})
