@@ -100,10 +100,11 @@ def png_decode(data: bytes) -> np.ndarray:
             out[y] = line
         elif ft == 2:  # Up
             out[y] = line + prev
-        elif ft == 1:  # Sub — sequential in pixel units
-            for x in range(ch, stride):
-                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
-            out[y] = line
+        elif ft == 1:  # Sub: out[x] = line[x] + out[x-ch] is an exact
+            # per-channel prefix sum mod 256 (uint8 cumsum wraps)
+            out[y] = np.cumsum(
+                line.reshape(width, ch), axis=0, dtype=np.uint8
+            ).reshape(stride)
         elif ft == 3:  # Average
             for x in range(stride):
                 left = int(line[x - ch]) if x >= ch else 0
