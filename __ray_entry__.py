@@ -1005,6 +1005,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
         return session_windows(ds, gap_s=1800)
 
+    def q_time_window_read(sf_dir: str):
+        # tdenginereader's beginDateTime/endDateTime grammar
+        # (tdengine_reader.go:146-168,349-355) over the parquet collapse
+        # path: the window becomes a row-group-pruning filter at the read
+        from go_datax_ray.registry import SOURCES
+
+        ds = SOURCES["tdenginereader"](
+            {"path": f"{sf_dir}/events.parquet",
+             "column": ["event_type", "ts"],
+             "tsColumn": "ts",
+             "beginDateTime": "2024-01-10 00:00:00",
+             "endDateTime": "2024-01-15 00:00:00",
+             "allowCollapse": True},
+            channel=4,
+        )
+        return ds.groupby("event_type").count().rename_columns(
+            {"count()": "n"})
+
     # -- ordering / distinct ----------------------------------------------
     def q_topk_orders(sf_dir: str):
         rd = rd_lazy()
@@ -2288,6 +2306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
+        "time_window_read": q_time_window_read,
         "topk_orders": q_topk_orders,
         "sample_k": q_sample_k,
         "distinct_event_types": q_distinct_event_types,
@@ -2567,6 +2586,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
                      AS sum_value_cents
             FROM s GROUP BY user_id, sess
+        """,
+        "time_window_read": """
+            SELECT event_type, COUNT(*) AS n FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+            GROUP BY event_type
         """,
         "sample_k": """
             SELECT doc_id, lang FROM documents

@@ -68,6 +68,43 @@ def build_filter(where: list[list] | None, schema: pa.Schema | None = None):
     return expr
 
 
+TD_TIME_FORMAT = "%Y-%m-%d %H:%M:%S"
+
+
+def time_window(param: dict[str, Any]) -> list[list] | None:
+    """beginDateTime/endDateTime -> filter triplets on the timestamp
+    column (tdenginereader parity: tdengine_reader.go:146-168 validates
+    the '2006-01-02 15:04:05' format and begin < end, :349-355 renders
+    ``_c0 >= begin AND _c0 < end``; TDengine's implicit first-timestamp
+    alias _c0 is the default column name, configurable as tsColumn)."""
+    begin, end = param.get("beginDateTime"), param.get("endDateTime")
+    if not begin and not end:
+        return None
+    import datetime
+
+    col = param.get("tsColumn") or "_c0"
+    parsed = {}
+    for key, val in (("beginDateTime", begin), ("endDateTime", end)):
+        if val:
+            try:
+                parsed[key] = datetime.datetime.strptime(
+                    str(val), TD_TIME_FORMAT)
+            except ValueError:
+                raise ValueError(
+                    f"parameter [{key}] needs to conform to the "
+                    f"[{TD_TIME_FORMAT}] format"
+                )
+    if len(parsed) == 2 and parsed["beginDateTime"] >= parsed["endDateTime"]:
+        raise ValueError("parameter [beginDateTime] should be less than "
+                         "parameter [endDateTime]")
+    out = []
+    if begin:
+        out.append([col, ">=", parsed["beginDateTime"]])
+    if end:
+        out.append([col, "<", parsed["endDateTime"]])
+    return out
+
+
 def read(param: dict[str, Any], *, channel: int = 1):
     import ray.data as rd
 
@@ -76,6 +113,9 @@ def read(param: dict[str, Any], *, channel: int = 1):
     if cols and cols != ["*"]:
         kwargs["columns"] = list(cols)
     where = param.get("where")
+    tw = time_window(param)
+    if tw:
+        where = (list(where) if where else []) + tw
     schema = None
     if where:
         # Metadata-only schema probe so string filter values bind with

@@ -293,6 +293,21 @@ def build_queries(param: dict[str, Any], *, channel: int = 1,
 def read(param: dict[str, Any], *, channel: int = 1):
     import ray.data as rd
 
+    # TDengine-style time window (tdengine_reader.go:349-355): validate
+    # via the shared grammar and AND the range onto the WHERE as the
+    # reference's string-literal predicates. Folded once here (the keys
+    # are dropped) so the per-URL recursive split doesn't re-append.
+    from . import parquet as _pq
+
+    tw = _pq.time_window(param)
+    if tw:
+        preds = " AND ".join(
+            f"{c} {op} '{v:{_pq.TD_TIME_FORMAT}}'" for c, op, v in tw)
+        w = param.get("where")
+        param = {k: v for k, v in param.items()
+                 if k not in ("beginDateTime", "endDateTime")}
+        param["where"] = f"({w}) AND {preds}" if w else preds
+
     # The reference's OFFSET/LIMIT split (mysql_reader.go:386-429) is
     # deliberately unsupported — it is O(N^2) server work (every split
     # rescans its offset prefix; SURVEY §2.2 deprecates it). Reject
