@@ -113,6 +113,13 @@ def _dbapi_or_collapse(name: str):
 
 SOURCES["mysqlreader"] = _dbapi_or_collapse("mysqlreader")
 SOURCES["postgresqlreader"] = _dbapi_or_collapse("postgresqlreader")
+# same routing for the dialects with a public DB-API (oracledb/pyodbc)
+# or a documented wire-compat protocol (GaussDB->postgres,
+# OceanBase->mysql); the SELECT/WHERE/splitPk machinery is dialect-
+# neutral SQL
+for _name in ("oraclereader", "sqlserverreader",
+              "gaussdbreader", "oceanbasereader"):
+    SOURCES[_name] = _dbapi_or_collapse(_name)
 
 from .sources import cql as cql_src  # noqa: E402
 
@@ -203,6 +210,14 @@ def _dbapi_write_or_collapse(name: str):
 
 SINKS["mysqlwriter"] = _dbapi_write_or_collapse("mysqlwriter")
 SINKS["postgresqlwriter"] = _dbapi_write_or_collapse("postgresqlwriter")
+# Oracle (:colN binds + MERGE upsert) and SQL Server ([bracket] quoting
+# + MERGE) render through the same actor pool; GaussDB speaks the
+# PostgreSQL wire protocol and OceanBase's MySQL mode speaks MySQL's,
+# so their network jdbcUrls take the corresponding DB-API path.
+SINKS["oraclewriter"] = _dbapi_write_or_collapse("oraclewriter")
+SINKS["sqlserverwriter"] = _dbapi_write_or_collapse("sqlserverwriter")
+SINKS["gaussdbwriter"] = _dbapi_write_or_collapse("gaussdbwriter")
+SINKS["oceanbasewriter"] = _dbapi_write_or_collapse("oceanbasewriter")
 # The reference drives databend with its native Go driver
 # (databend_writer.go:139-146 parses jdbc:databend:// into a
 # databend-go DSN); no such Python driver ships here, but Databend's
@@ -214,11 +229,7 @@ SINKS["databendwriter"] = _dbapi_write_or_collapse("databendwriter")
 # Remaining network RDBMS/warehouse writers -> parquet sink
 # (writeMode=upsert gives their ON CONFLICT DO UPDATE semantics through
 # the exactly-once lake), same explicit opt-in.
-for _name in (
-    "oraclewriter", "sqlserverwriter",
-    "sybasewriter", "gaussdbwriter", "oceanbasewriter",
-    "tdenginewriter",
-):
+for _name in ("sybasewriter", "tdenginewriter"):
     SINKS.setdefault(_name, _collapsed_sink(_name, parquet_sink.write))
 
 SINKS["mongowriter"] = mongo_plugin.write

@@ -29,8 +29,46 @@ import pyarrow as pa
 from ..sources import sqldb
 
 # dialect -> DB-API paramstyle of the modules we bind: pymysql/MySQLdb
-# and psycopg/psycopg2 are 'format' (%s); sqlite3 is 'qmark' (?).
-_PARAMSTYLE = {"mysql": "%s", "postgres": "%s", "sqlite": "?"}
+# and psycopg/psycopg2 are 'format' (%s); sqlite3 and pyodbc are
+# 'qmark' (?); oracledb binds the reference's :colN named placeholders
+# (oracle_writer.go:295-304), so oracle rows ship as dicts.
+_PARAMSTYLE = {"mysql": "%s", "postgres": "%s", "sqlite": "?",
+               "sqlserver": "?"}
+
+
+def _oracle_ph(i: int) -> str:
+    return f":col{i + 1}"
+
+
+def _merge_dialect_sql(table: str, columns: list[str], pks: list[str],
+                       non_pk: list[str], mode: str, ph, *,
+                       quote=lambda c: c, source: str = "",
+                       terminator: str = "") -> str:
+    """Dialects whose public upsert idiom is ANSI MERGE (Oracle, SQL
+    Server): insert renders a bare INSERT; skip (and the all-PK
+    degrade) a WHEN-NOT-MATCHED-only MERGE; update/replace the full
+    matched-update + not-matched-insert MERGE."""
+    collist = ", ".join(quote(c) for c in columns)
+    binds = ", ".join(ph(i) for i in range(len(columns)))
+    if mode == "insert":
+        return (f"INSERT INTO {quote(table)} ({collist}) "
+                f"VALUES ({binds}){terminator}")
+    if mode not in ("skip", "update", "replace"):
+        raise ValueError(
+            f"unsupported writeMode {mode!r}: insert, replace, update, skip"
+        )
+    src_cols = ", ".join(f"{ph(i)} AS {quote(c)}"
+                         for i, c in enumerate(columns))
+    on = " AND ".join(f"t.{quote(c)} = s.{quote(c)}" for c in pks)
+    head = (f"MERGE INTO {quote(table)} t USING "
+            f"(SELECT {src_cols}{source}) s ON ({on})")
+    vals = ", ".join(f"s.{quote(c)}" for c in columns)
+    insert = f" WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})"
+    if mode == "skip" or not non_pk:  # all-PK degrades to skip
+        return head + insert + terminator
+    pairs = ", ".join(f"t.{quote(c)} = s.{quote(c)}" for c in non_pk)
+    return head + f" WHEN MATCHED THEN UPDATE SET {pairs}" + insert \
+        + terminator
 
 
 def _pk_list(param: dict[str, Any], columns: list[str]) -> list[str]:
@@ -64,13 +102,27 @@ def build_row_sql(
     - replace -> REPLACE INTO on mysql (mysql_writer.go:470); the
                  postgres dialect has no REPLACE so it renders the
                  same upsert as update; sqlite INSERT OR REPLACE
+
+    Oracle renders the reference's :colN binds and bare INSERT
+    (oracle_writer.go:295-304 prepares INSERT only, whatever writeMode
+    says); its skip/update/replace render the dialect's public MERGE
+    idiom so the common writer's scenario table still holds. SQL Server
+    keeps the reference's [bracket] quoting and ? binds
+    (sqlserver_writer.go:414-446) with the same MERGE mapping.
     """
+    pks = primary_keys or columns[:1]
+    non_pk = [c for c in columns if c not in set(pks)]
+    if dialect == "oracle":
+        return _merge_dialect_sql(table, columns, pks, non_pk, mode,
+                                  _oracle_ph, source=" FROM dual")
+    if dialect == "sqlserver":
+        return _merge_dialect_sql(
+            table, columns, pks, non_pk, mode, lambda i: "?",
+            quote=lambda c: f"[{c}]", terminator=";")
     ph = _PARAMSTYLE[dialect]
     collist = ", ".join(columns)
     values = f"({', '.join(ph for _ in columns)})"
     base = f"INSERT INTO {table} ({collist}) VALUES {values}"
-    pks = primary_keys or columns[:1]
-    non_pk = [c for c in columns if c not in set(pks)]
 
     if mode == "insert":
         return base
@@ -141,6 +193,9 @@ class DBWriteActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         sql, cols = self._statement(batch)
         rows = list(zip(*(batch.column(c).to_pylist() for c in cols)))
+        if self._dialect == "oracle":  # :colN named binds -> dict rows
+            rows = [{f"col{i + 1}": v for i, v in enumerate(r)}
+                    for r in rows]
         con = self._con
         written = errors = 0
         try:

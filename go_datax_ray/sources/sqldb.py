@@ -37,8 +37,19 @@ def _strip_jdbc(url: str) -> str:
 # hint (no network drivers ship in this sandbox). Tests monkeypatch
 # DBAPI_FACTORIES with a file-backed fake (mysql_reader.go:44-95 is the
 # reference's live-path ancestor).
-NET_SCHEMES = {"mysql": "mysql", "postgresql": "postgres", "postgres": "postgres"}
-DBAPI_MODULES = {"mysql": ("pymysql", "MySQLdb"), "postgres": ("psycopg", "psycopg2")}
+NET_SCHEMES = {
+    "mysql": "mysql", "postgresql": "postgres", "postgres": "postgres",
+    "oracle": "oracle", "sqlserver": "sqlserver", "mssql": "sqlserver",
+    # publicly-documented wire compatibility: GaussDB speaks the
+    # PostgreSQL protocol, OceanBase's MySQL mode speaks MySQL's
+    "gaussdb": "postgres", "oceanbase": "mysql",
+}
+DBAPI_MODULES = {
+    "mysql": ("pymysql", "MySQLdb"),
+    "postgres": ("psycopg", "psycopg2"),
+    "oracle": ("oracledb", "cx_Oracle"),
+    "sqlserver": ("pyodbc",),  # qmark paramstyle, matches the rendering
+}
 # driver -> callable(url) -> DB-API connection; populated on first use,
 # monkeypatchable in tests
 DBAPI_FACTORIES: dict[str, Any] = {}
@@ -67,14 +78,25 @@ def _net_connect(driver: str, url: str):
     from urllib.parse import unquote, urlparse
 
     u = urlparse(url)
-    kw = dict(
-        host=u.hostname or "localhost",
-        user=unquote(u.username) if u.username else "root",
-        password=unquote(u.password) if u.password else "",
-    )
+    host = u.hostname or "localhost"
+    user = unquote(u.username) if u.username else "root"
+    password = unquote(u.password) if u.password else ""
+    db = (u.path or "").lstrip("/")
+    if driver == "oracle":
+        dsn = f"{host}:{u.port or 1521}/{db}" if db else host
+        return mod.connect(user=user, password=password, dsn=dsn)
+    if driver == "sqlserver":
+        parts = [
+            "DRIVER={ODBC Driver 18 for SQL Server}",
+            f"SERVER={host},{u.port or 1433}",
+            f"UID={user}", f"PWD={password}",
+        ]
+        if db:
+            parts.insert(2, f"DATABASE={db}")
+        return mod.connect(";".join(parts))
+    kw = dict(host=host, user=user, password=password)
     if u.port:
         kw["port"] = u.port
-    db = (u.path or "").lstrip("/")
     if db:
         kw["database" if driver == "mysql" else "dbname"] = db
     return mod.connect(**kw)

@@ -50,6 +50,67 @@ def test_row_sql_golden(dialect, mode, pks, expect):
     assert got == expect
 
 
+ORACLE_SQLSERVER_CASES = [
+    # oracle_writer.go:295-304: :colN binds, bare INSERT
+    ("oracle", "insert", None,
+     "INSERT INTO t (id, a, b) VALUES (:col1, :col2, :col3)"),
+    ("oracle", "update", ["id"],
+     "MERGE INTO t t USING (SELECT :col1 AS id, :col2 AS a, :col3 AS b "
+     "FROM dual) s ON (t.id = s.id)"
+     " WHEN MATCHED THEN UPDATE SET t.a = s.a, t.b = s.b"
+     " WHEN NOT MATCHED THEN INSERT (id, a, b) "
+     "VALUES (s.id, s.a, s.b)"),
+    ("oracle", "skip", ["id"],
+     "MERGE INTO t t USING (SELECT :col1 AS id, :col2 AS a, :col3 AS b "
+     "FROM dual) s ON (t.id = s.id)"
+     " WHEN NOT MATCHED THEN INSERT (id, a, b) "
+     "VALUES (s.id, s.a, s.b)"),
+    # sqlserver_writer.go:414-446: [bracket] quoting, ? binds
+    ("sqlserver", "insert", None,
+     "INSERT INTO [t] ([id], [a], [b]) VALUES (?, ?, ?);"),
+    ("sqlserver", "replace", ["id"],
+     "MERGE INTO [t] t USING (SELECT ? AS [id], ? AS [a], ? AS [b]) s "
+     "ON (t.[id] = s.[id])"
+     " WHEN MATCHED THEN UPDATE SET t.[a] = s.[a], t.[b] = s.[b]"
+     " WHEN NOT MATCHED THEN INSERT ([id], [a], [b]) "
+     "VALUES (s.[id], s.[a], s.[b]);"),
+]
+
+
+@pytest.mark.parametrize("dialect,mode,pks,expect", ORACLE_SQLSERVER_CASES)
+def test_merge_dialect_sql_golden(dialect, mode, pks, expect):
+    got = build_row_sql(dialect, "t", ["id", "a", "b"],
+                        mode=mode, primary_keys=pks)
+    assert got == expect
+
+
+def test_oracle_rows_become_named_bind_dicts():
+    log: list = []
+    monkey = _FakeCon(log)
+    import go_datax_ray.sources.sqldb as sqldb_mod
+
+    sqldb_mod.DBAPI_FACTORIES["oracle"] = lambda url: monkey
+    try:
+        actor = DBWriteActor(dialect="oracle", url="oracle://h:1521/db",
+                             table="t", columns=["id", "v"],
+                             mode="insert", primary_keys=["id"])
+        actor(pa.table({"id": [7], "v": ["x"]}))
+    finally:
+        del sqldb_mod.DBAPI_FACTORIES["oracle"]
+    kind, sql, rows = log[0]
+    assert sql == "INSERT INTO t (id, v) VALUES (:col1, :col2)"
+    assert rows == [{"col1": 7, "col2": "x"}]
+
+
+def test_wire_compat_dialect_routing():
+    # GaussDB speaks the postgres protocol; OceanBase's MySQL mode
+    # speaks mysql's — their jdbcUrls resolve to those DB-API dialects
+    assert sqldb._driver({"jdbcUrl": "jdbc:gaussdb://h:8000/db"}) == "postgres"
+    assert sqldb._driver({"jdbcUrl": "jdbc:oceanbase://h:2881/db"}) == "mysql"
+    assert sqldb._driver({"jdbcUrl": "jdbc:oracle://h:1521/orcl"}) == "oracle"
+    assert sqldb._driver({"jdbcUrl": "mssql://h:1433/db"}) == "sqlserver"
+
+
 def test_all_pk_table_degrades_to_skip():
     # common.go:572-578 scenario 2: every column is a key -> skip dups
     assert build_row_sql("mysql", "t", ["id", "code"], mode="update",
