@@ -197,9 +197,13 @@ class DBWriteActor:
             rows = [{f"col{i + 1}": v for i, v in enumerate(r)}
                     for r in rows]
         con = self._con
+        # executemany lives on the CURSOR in DB-API (pymysql/psycopg2
+        # connections don't expose it; sqlite3's connection shorthand
+        # does); injected test fakes without cursor() stay supported
+        cur = con.cursor() if hasattr(con, "cursor") else con
         written = errors = 0
         try:
-            con.executemany(sql, rows)
+            cur.executemany(sql, rows)
             con.commit()
             written = len(rows)
         except Exception:  # noqa: BLE001 — degraded per-row retry
@@ -209,7 +213,7 @@ class DBWriteActor:
                 pass
             for row in rows:
                 try:
-                    con.execute(sql, row)
+                    cur.execute(sql, row)
                     written += 1
                 except Exception:  # noqa: BLE001
                     errors += 1
@@ -232,9 +236,10 @@ def _run_sqls(dialect: str, url: str, stmts, table: str) -> None:
         return
     stmts = stmts if isinstance(stmts, list) else [stmts]
     con = _open(dialect, url)
+    cur = con.cursor() if hasattr(con, "cursor") else con
     try:
         for stmt in stmts:
-            con.execute(stmt.replace("@table", table))
+            cur.execute(stmt.replace("@table", table))
         try:
             con.commit()
         except Exception:  # noqa: BLE001

@@ -166,6 +166,48 @@ def test_mysql_actor_path_with_fake_driver(monkeypatch):
     assert log[1][0] == "commit"  # one transaction per batch
 
 
+class _StrictCon:
+    """DB-API-strict fake: executemany/execute live ONLY on the cursor,
+    as in pymysql/psycopg2 (connections expose neither)."""
+
+    def __init__(self, log):
+        self.log = log
+
+    class _Cur:
+        def __init__(self, log):
+            self.log = log
+
+        def executemany(self, sql, rows):
+            self.log.append(("executemany", sql, list(rows)))
+
+        def execute(self, sql, row=None):
+            self.log.append(("execute", sql, row))
+
+    def cursor(self):
+        return self._Cur(self.log)
+
+    def commit(self):
+        self.log.append(("commit", None, None))
+
+    def rollback(self):
+        self.log.append(("rollback", None, None))
+
+    def close(self):
+        pass
+
+
+def test_strict_dbapi_connection_uses_cursor(monkeypatch):
+    log: list = []
+    monkeypatch.setitem(sqldb.DBAPI_FACTORIES, "mysql",
+                        lambda url: _StrictCon(log))
+    actor = DBWriteActor(dialect="mysql", url="mysql://h:3306/db",
+                         table="t", columns=["id", "v"], mode="insert",
+                         primary_keys=["id"])
+    out = actor(pa.table({"id": [1], "v": ["x"]}))
+    assert out.column("written").to_pylist() == [1]
+    assert [k for k, _, _ in log] == ["executemany", "commit"]
+
+
 def test_missing_driver_fails_loudly():
     with pytest.raises(RuntimeError, match="pymysql"):
         DBWriteActor(dialect="mysql", url="mysql://h:3306/db", table="t",
