@@ -405,11 +405,21 @@ def read(param: dict[str, Any], *, channel: int = 1):
 
     if pk and channel > 1 and not param.get("querySql"):
         con = _connect(driver, path, read_only=(driver == "duckdb"))
+
+        def _probe(sql: str):
+            # sqlite3/duckdb/psycopg expose execute on the connection;
+            # strict DB-API modules (pymysql, psycopg2) only on a cursor
+            if hasattr(con, "execute"):
+                return con.execute(sql)
+            cur = con.cursor()
+            cur.execute(sql)
+            return cur
+
         try:
             table = _table(param)
             where = param.get("where")
             wc = f" WHERE {where}" if where else ""
-            lo, hi = con.execute(
+            lo, hi = _probe(
                 f"SELECT MIN({pk}), MAX({pk}) FROM {table}{wc}"
             ).fetchone()
             if lo is not None and not isinstance(lo, (int, float)):
@@ -417,7 +427,7 @@ def read(param: dict[str, Any], *, channel: int = 1):
                 # boundaries (first key of each of `channel` tiles)
                 boundaries = [
                     r[0]
-                    for r in con.execute(
+                    for r in _probe(
                         f"SELECT MIN({pk}) FROM (SELECT {pk}, NTILE({channel}) "
                         f"OVER (ORDER BY {pk}) AS _b FROM {table}{wc}) "
                         "GROUP BY _b ORDER BY 1"

@@ -114,3 +114,52 @@ def test_sql_writer_rejects_network_driver():
 
     with pytest.raises(ValueError, match="actor pool"):
         sqldb.write(rd.range(1), {"jdbcUrl": "jdbc:mysql://h/db", "table": "t"})
+
+
+class _StrictCon:
+    """Strict DB-API wrapper over sqlite3: execute/executemany exist
+    ONLY on cursors, as in pymysql/psycopg2."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def cursor(self):
+        return self._inner.cursor()
+
+    def commit(self):
+        self._inner.commit()
+
+    def close(self):
+        self._inner.close()
+
+
+def test_splitpk_probe_on_strict_dbapi_connection(tmp_path, monkeypatch):
+    """The min/max + NTILE split probes must use a cursor (pymysql and
+    psycopg2 connections expose no .execute); the probe-built queries
+    come back correct through build_queries."""
+    db = str(tmp_path / "strict.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)",
+                        [(i, f"v{i}") for i in range(50)])
+    monkeypatch.setitem(
+        sqldb.DBAPI_FACTORIES, "mysql",
+        lambda url: _StrictCon(sqlite3.connect(db, check_same_thread=False)))
+    # read() runs the min/max probe driver-side at construction — this
+    # raised AttributeError on strict connections before the fix
+    sqldb.read({"jdbcUrl": "mysql://h:3306/db", "table": "t",
+                "splitPk": "id"}, channel=4)
+    # driver-side replay of the split queries through the same strict
+    # connection (worker processes can't see the monkeypatched factory)
+    queries = sqldb.build_queries(
+        {"table": "t", "splitPk": "id", "column": ["id", "v"]},
+        channel=4, min_max=(0, 49))
+    assert len(queries) == 4
+    con = _StrictCon(sqlite3.connect(db))
+    total = 0
+    for q in queries:
+        cur = con.cursor()
+        cur.execute(q)
+        total += len(cur.fetchall())
+    con.close()
+    assert total == 50
