@@ -29,11 +29,10 @@ import pyarrow as pa
 from ..sources import sqldb
 
 # dialect -> DB-API paramstyle of the modules we bind: pymysql/MySQLdb
-# and psycopg/psycopg2 are 'format' (%s); sqlite3 and pyodbc are
-# 'qmark' (?); oracledb binds the reference's :colN named placeholders
-# (oracle_writer.go:295-304), so oracle rows ship as dicts.
-_PARAMSTYLE = {"mysql": "%s", "postgres": "%s", "sqlite": "?",
-               "sqlserver": "?"}
+# and psycopg/psycopg2 are 'format' (%s); sqlite3 is 'qmark' (?).
+# oracle/sqlserver render through _merge_dialect_sql (oracledb binds
+# the reference's :colN named placeholders, pyodbc qmark).
+_PARAMSTYLE = {"mysql": "%s", "postgres": "%s", "sqlite": "?"}
 
 
 def _oracle_ph(i: int) -> str:
@@ -161,8 +160,9 @@ def _open(dialect: str, url: str):
         con = sqlite3.connect(url, timeout=60.0, check_same_thread=False)
         return con
     raise ValueError(
-        f"dbwriter drives mysql/postgres/sqlite connections; for "
-        f"{dialect!r} use 'sqlwriter' (single-writer file sink)."
+        f"dbwriter drives mysql/postgres/oracle/sqlserver/sqlite "
+        f"connections; for {dialect!r} use 'sqlwriter' (single-writer "
+        "file sink)."
     )
 
 
@@ -211,16 +211,21 @@ class DBWriteActor:
                 con.rollback()
             except Exception:  # noqa: BLE001 — no open transaction
                 pass
+            # one transaction PER ROW: on postgres a failed statement
+            # aborts the whole transaction, so without commit/rollback
+            # around each row one poison row would silently discard
+            # every later (and earlier uncommitted) row in the batch
             for row in rows:
                 try:
                     cur.execute(sql, row)
+                    con.commit()
                     written += 1
                 except Exception:  # noqa: BLE001
                     errors += 1
-            try:
-                con.commit()
-            except Exception:  # noqa: BLE001
-                pass
+                    try:
+                        con.rollback()
+                    except Exception:  # noqa: BLE001
+                        pass
         return pa.table({"written": pa.array([written], pa.int64()),
                          "errors": pa.array([errors], pa.int64())})
 

@@ -521,7 +521,11 @@ def write_cassandra_cql(ds, param: dict[str, Any]) -> dict[str, Any]:
     fq_table = f"{keyspace}.{table}"
     cols = param.get("column")
     batch_size = int(param.get("batchSize") or 1)
-    consistency = str(param.get("consistencyLevel") or "LOCAL_QUORUM").upper()
+    # the reference's config key is the typo 'consistancyLevel'
+    # (cassandra_writer.go KeyConsistencyLevel); accept both spellings
+    consistency = str(param.get("consistancyLevel")
+                      or param.get("consistencyLevel")
+                      or "LOCAL_QUORUM").upper()
     header = f"CONSISTENCY {consistency};\n".encode()
 
     def render(t: pa.Table) -> bytes:

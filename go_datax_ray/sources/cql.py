@@ -177,8 +177,17 @@ def read(param: dict[str, Any], *, channel: int = 1,
     # the reference's job-phase session (Split / getPartitionKeys).
     meta = fac(param)
     ranges = split_ranges(param, channel, str(meta.partitioner()))
-    pks = list(meta.partition_keys(param["keyspace"], param["table"])) \
-        if any(r is not None for r in ranges) else []
+    pks: list[str] = []
+    if any(r is not None for r in ranges):
+        pks = list(meta.partition_keys(param["keyspace"], param["table"]))
+        if not pks:
+            # build_query drops the token clause without partition keys,
+            # which would silently fetch the FULL table once per range
+            raise ValueError(
+                f"cassandrareader could not resolve partition keys for "
+                f"{param['keyspace']}.{param['table']}; cannot token-split "
+                "— set channel=1 or fix the session's partition_keys()."
+            )
     queries = [build_query(param, partition_keys=pks, token_range=r)
                for r in ranges]
     consistency = str(param.get("consistancyLevel")

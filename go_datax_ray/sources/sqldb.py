@@ -77,11 +77,20 @@ def _net_connect(driver: str, url: str):
         )
     from urllib.parse import unquote, urlparse
 
+    # SQL Server jdbc URLs carry ';key=value' properties instead of a
+    # path ('jdbc:sqlserver://host:port;DatabaseName=db',
+    # sqlserver_writer.go:196); split them off before urlparse, which
+    # would otherwise choke on the port
+    props: dict[str, str] = {}
+    if ";" in url:
+        url, _, tail = url.partition(";")
+        props = {k.lower(): v for k, _, v in
+                 (p.partition("=") for p in tail.split(";")) if v}
     u = urlparse(url)
     host = u.hostname or "localhost"
     user = unquote(u.username) if u.username else "root"
     password = unquote(u.password) if u.password else ""
-    db = (u.path or "").lstrip("/")
+    db = (u.path or "").lstrip("/") or props.get("databasename", "")
     if driver == "oracle":
         dsn = f"{host}:{u.port or 1521}/{db}" if db else host
         return mod.connect(user=user, password=password, dsn=dsn)
@@ -352,9 +361,9 @@ def read(param: dict[str, Any], *, channel: int = 1):
         for u in urls:
             sub = {k: v for k, v in param.items() if k != "connection"}
             sub["path"] = _strip_jdbc(str(u))
-            sub["driver"] = param.get("driver") or (
-                "duckdb" if "duckdb" in str(u) else "sqlite"
-            )
+            # infer per-URL so network schemes keep their DB-API driver
+            # (mysql://h1/db must not fall into sqlite3.connect)
+            sub["driver"] = param.get("driver") or _driver({"jdbcUrl": u})
             tbl = _table(param)
             if tbl and "table" not in sub:
                 sub["table"] = tbl
@@ -429,7 +438,7 @@ def read(param: dict[str, Any], *, channel: int = 1):
                     r[0]
                     for r in _probe(
                         f"SELECT MIN({pk}) FROM (SELECT {pk}, NTILE({channel}) "
-                        f"OVER (ORDER BY {pk}) AS _b FROM {table}{wc}) "
+                        f"OVER (ORDER BY {pk}) AS _b FROM {table}{wc}) AS _t "
                         "GROUP BY _b ORDER BY 1"
                     ).fetchall()
                 ]

@@ -284,3 +284,96 @@ def test_registry_routing(tmp_path):
     with pytest.raises(RuntimeError, match="pymysql"):
         SINKS["databendwriter"](ds, {"jdbcUrl": "mysql://h:3307/db",
                                      "table": "t", "preSql": ["SELECT 1"]})
+
+
+def test_poison_row_retry_commits_per_row(monkeypatch):
+    """Postgres-style transaction-abort semantics: after a failed
+    statement every later statement in the SAME transaction fails, so
+    the degraded retry must commit/rollback per row or a poison row
+    silently discards the rest of the batch."""
+
+    class TxCon:
+        def __init__(self):
+            self.aborted = False
+            self.committed: list = []
+            self.pending: list = []
+
+        def cursor(self):
+            con = self
+
+            class Cur:
+                def executemany(self, sql, rows):
+                    raise RuntimeError("duplicate key")
+
+                def execute(self, sql, row=None):
+                    if con.aborted:
+                        raise RuntimeError(
+                            "current transaction is aborted")
+                    if row[0] == 2:
+                        con.aborted = True
+                        raise RuntimeError("duplicate key")
+                    con.pending.append(row)
+
+            return Cur()
+
+        def commit(self):
+            if self.aborted:
+                raise RuntimeError("current transaction is aborted")
+            self.committed.extend(self.pending)
+            self.pending = []
+
+        def rollback(self):
+            self.aborted = False
+            self.pending = []
+
+        def close(self):
+            pass
+
+    con = TxCon()
+    monkeypatch.setitem(sqldb.DBAPI_FACTORIES, "postgres",
+                        lambda url: con)
+    actor = DBWriteActor(dialect="postgres", url="postgres://h/db",
+                         table="t", columns=["id"], mode="insert",
+                         primary_keys=["id"])
+    out = actor(pa.table({"id": [1, 2, 3]}))
+    assert out.column("written").to_pylist() == [2]
+    assert out.column("errors").to_pylist() == [1]
+    assert con.committed == [(1,), (3,)]
+
+
+def test_sqlserver_jdbc_property_url():
+    # jdbc:sqlserver://host:port;DatabaseName=db (the reference's and
+    # Microsoft's documented format) must not crash urlparse and must
+    # carry the database into the ODBC string
+    captured = []
+
+    class FakePyodbc:
+        @staticmethod
+        def connect(s):
+            captured.append(s)
+            return _FakeCon([])
+
+    import sys
+    sys.modules["pyodbc"] = FakePyodbc
+    try:
+        sqldb._net_connect(
+            "sqlserver", "sqlserver://h:3433;DatabaseName=mydb")
+    finally:
+        del sys.modules["pyodbc"]
+    assert "SERVER=h,3433" in captured[0]
+    assert "DATABASE=mydb" in captured[0]
+
+
+def test_multi_url_split_keeps_network_driver(monkeypatch):
+    opened = []
+
+    def factory(url):
+        opened.append(url)
+        raise RuntimeError("stop here")  # prove the DB-API path was taken
+
+    monkeypatch.setitem(sqldb.DBAPI_FACTORIES, "mysql", factory)
+    with pytest.raises(RuntimeError, match="stop here"):
+        sqldb.read({"connection": [{
+            "jdbcUrl": ["mysql://h1:3306/db", "mysql://h2:3306/db"],
+            "table": ["t"]}]}, channel=2)
+    assert opened and opened[0].startswith("mysql://h1")
