@@ -244,6 +244,7 @@ def main() -> dict:
         "tpch_q18_composed",
         "window_session",
         "funnel",
+        "time_window_read",
     ):
         fn = qs[name]
 
