@@ -377,3 +377,48 @@ def test_multi_url_split_keeps_network_driver(monkeypatch):
             "jdbcUrl": ["mysql://h1:3306/db", "mysql://h2:3306/db"],
             "table": ["t"]}]}, channel=2)
     assert opened and opened[0].startswith("mysql://h1")
+
+
+# ---- property: renderer invariants over random shapes ----
+
+from hypothesis import given, settings, strategies as st
+
+_ident = st.text(alphabet="abcdefghij_", min_size=1, max_size=8)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    dialect=st.sampled_from(["mysql", "postgres", "sqlite", "oracle",
+                             "sqlserver"]),
+    mode=st.sampled_from(["insert", "skip", "update", "replace"]),
+    cols=st.lists(_ident, min_size=1, max_size=6, unique=True),
+    data=st.data(),
+)
+def test_row_sql_invariants(dialect, mode, cols, data):
+    n_pk = data.draw(st.integers(min_value=1, max_value=len(cols)))
+    pks = cols[:n_pk]
+    sql = build_row_sql(dialect, "tbl", cols, mode=mode, primary_keys=pks)
+    # balanced parens, single statement
+    assert sql.count("(") == sql.count(")")
+    assert ";" not in sql.rstrip(";")
+    # every column name appears
+    for c in cols:
+        assert c in sql
+    # each bind appears the expected number of times: merge forms bind
+    # each column once; mysql/postgres/sqlite templates bind positionally
+    if dialect == "oracle":
+        assert all(f":col{i + 1}" in sql for i in range(len(cols)))
+        if mode == "insert":
+            assert sql.startswith("INSERT INTO")
+        else:
+            assert sql.startswith("MERGE INTO")
+    elif dialect == "sqlserver":
+        assert sql.count("?") == len(cols)
+        assert all(f"[{c}]" in sql for c in cols)
+    else:
+        ph = {"mysql": "%s", "postgres": "%s", "sqlite": "?"}[dialect]
+        assert sql.count(ph) == len(cols)
+    # an all-PK key set must never render an UPDATE clause (scenario 2)
+    if set(pks) == set(cols):
+        assert "UPDATE SET" not in sql and "DO UPDATE" not in sql \
+            and "ON DUPLICATE" not in sql
