@@ -266,7 +266,12 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
     if len(urls) != 1:
         raise ValueError("dbwriter writes one endpoint per job; got "
                          f"{len(urls)} jdbcUrls")
-    url = sqldb._with_auth(sqldb._strip_jdbc(str(urls[0])), param)
+    url = sqldb._strip_jdbc(str(urls[0]))
+    # Only network dialects carry URL credentials; a sqlite/duckdb path
+    # must never be rewritten into '//user:pass@/tmp/x.db' (matches
+    # sqldb.read's gate).
+    if dialect in sqldb.DBAPI_MODULES:
+        url = sqldb._with_auth(url, param)
     table = sqldb._table(param)
     if not table:
         raise ValueError("dbwriter needs 'table'")
@@ -299,5 +304,13 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
     _run_sqls(dialect, url, param.get("postSql"), table)
     written = sum(int(r["written"]) for r in stats)
     errors = sum(int(r["errors"]) for r in stats)
-    return {"records": written, "bytes": 0, "path": url, "table": table,
-            "error_records": errors}
+    return {"records": written, "bytes": 0, "path": _mask_userinfo(url),
+            "table": table, "error_records": errors}
+
+
+def _mask_userinfo(url: str) -> str:
+    """Strip the password from a URL before it reaches job stats/logs —
+    the reference keeps credentials out of its logged jdbcUrl."""
+    import re
+
+    return re.sub(r"//([^/@:]+)(:[^/@]*)?@", r"//\1:***@", url)

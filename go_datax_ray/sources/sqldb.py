@@ -119,16 +119,25 @@ def _with_auth(url: str, param: dict[str, Any]) -> str:
     user, pwd = param.get("username"), param.get("password")
     if not user:
         return url
+    # SQL Server-style URLs carry ';key=value' properties after the
+    # authority ('jdbc:sqlserver://h:1433;DatabaseName=db',
+    # sqlserver_writer.go:196); split them off before urlsplit — which
+    # would otherwise parse the props into the port and raise — and
+    # reattach after injecting credentials (mirrors _net_connect).
+    tail = ""
+    if ";" in url:
+        url, sep, rest = url.partition(";")
+        tail = sep + rest
     parts = urlsplit(url)
     if parts.username:
-        return url
+        return url + tail
     cred = quote(str(user), safe="")
     if pwd:
         cred += ":" + quote(str(pwd), safe="")
     host = parts.hostname or ""
     if parts.port:
         host += f":{parts.port}"
-    return urlunsplit(parts._replace(netloc=f"{cred}@{host}"))
+    return urlunsplit(parts._replace(netloc=f"{cred}@{host}")) + tail
 
 
 def _db_path(param: dict[str, Any]) -> str:

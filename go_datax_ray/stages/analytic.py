@@ -412,43 +412,6 @@ def pivot_aggregate(
     return out.map_batches(conform, batch_format="pyarrow")
 
 
-import functools as _functools
-
-
-@ref_cached(4)
-def _frontier_lookup(refs: tuple):
-    """(sorted users, firsts) arrays from broadcast frontier block refs —
-    cached per WORKER PROCESS (same contract as joins._ref_value_set):
-    each worker pulls the (user, first_ts) frontier from the object
-    store once; the driver and task closures carry only refs."""
-    import ray
-
-    tables = [t for t in ray.get(list(refs)) if t.num_rows]
-    if not tables:
-        return None
-    t = pa.concat_tables(tables)
-    users = t.column(0).to_numpy(zero_copy_only=False)
-    firsts = t.column("_first").to_numpy(zero_copy_only=False)
-    order = np.argsort(users, kind="stable")
-    return users[order], firsts[order]
-
-
-def _after_frontier(t: pa.Table, *, user_col: str, ts_col: str,
-                    refs: tuple) -> pa.Table:
-    """Keep rows whose ts is STRICTLY after the user's frontier time;
-    drop users absent from the frontier. Vectorised binary search on the
-    worker-cached sorted frontier — no shuffle, no driver state."""
-    lk = _frontier_lookup(refs)
-    if lk is None or t.num_rows == 0:
-        return t.schema.empty_table()
-    users, firsts = lk
-    u = t.column(user_col).to_numpy(zero_copy_only=False)
-    ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-    pos = np.minimum(np.searchsorted(users, u), len(users) - 1)
-    mask = (users[pos] == u) & (ts > firsts[pos])
-    return t.filter(pa.array(mask))
-
-
 def funnel_counts(ds, *, user_col: str = "user_id", ts_col: str = "ts",
                   type_col: str = "event_type", steps: list[str] | None = None):
     """Ordered-funnel conversion: users whose FIRST step-i event is
