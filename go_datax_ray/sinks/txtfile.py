@@ -19,6 +19,7 @@ import os
 from typing import Any
 
 import pyarrow as pa
+from ray.data import Datasink
 
 from ..config import go_layout_to_strftime
 from ..stages.render import render_table
@@ -61,43 +62,99 @@ def prepare(param: dict[str, Any]) -> None:
         )
 
 
+class ChunkFileSink(Datasink):
+    """One output file per WRITE TASK — the reference's one-file-per-
+    channel writer model (txtfile_writer.go:238-249) expressed as a Ray
+    ``Datasink``: each write task renders its blocks and writes ONE
+    deterministic task-indexed file (``{fileName}_{task_idx:05d}{suffix}``);
+    the driver only aggregates tiny (file, records, bytes) stat returns.
+    Data batches never funnel through the driver process (the r4
+    driver-side ``iter_batches`` loop serialized the whole corpus through
+    one process at scale).
+
+    ``render_payload(tables) -> bytes`` produces the FULL file body for
+    one task's blocks (header included if the format has one), so the
+    golden rendering stays byte-identical per file.
+    """
+
+    def __init__(self, path: str, file_name: str, suffix: str,
+                 render_payload, *, gzip_payload: bool = False,
+                 min_rows_per_file: int = 65536):
+        self._path = path
+        self._file_name = file_name
+        self._suffix = suffix
+        self._render = render_payload
+        self._gzip = gzip_payload
+        self._min_rows = min_rows_per_file
+        self.stats: list[dict[str, Any]] = []
+
+    @property
+    def min_rows_per_write(self) -> int:
+        # coalesce tiny blocks so small jobs emit one well-sized file
+        # per task instead of one file per micro-block
+        return self._min_rows
+
+    def write(self, blocks, ctx) -> dict[str, Any] | None:
+        tables = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+                  for b in blocks]
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return None
+        data = self._render(tables)
+        if self._gzip:
+            # fixed mtime: identical content -> identical bytes on rerun
+            data = gzip.compress(data, mtime=0)
+        fs, root, join, tag = _fs_for(self._path)
+        fpath = join(root, f"{self._file_name}_{ctx.task_idx:05d}{self._suffix}")
+        opener = open if fs is None else fs.open
+        with opener(fpath, "wb") as f:
+            f.write(data)
+        return {"file": tag(fpath) if fs is not None else fpath,
+                "records": sum(t.num_rows for t in tables),
+                "bytes": len(data)}
+
+    def on_write_complete(self, write_result) -> None:
+        self.stats = [r for r in write_result.write_returns if r]
+
+    def result(self) -> dict[str, Any]:
+        return {"files": sorted(r["file"] for r in self.stats),
+                "records": int(sum(r["records"] for r in self.stats)),
+                "bytes": int(sum(r["bytes"] for r in self.stats))}
+
+
 def write(ds, param: dict[str, Any]) -> dict[str, Any]:
-    """Consume the Dataset into text files; returns {files, records}."""
+    """Consume the Dataset into text files; returns {files, records}.
+
+    Task-parallel: N channels/blocks emit N files (header rendered into
+    EVERY file, as each reference writer task renders its own — a
+    reader with skipHeader drops it per file)."""
     prepare(param)
-    path = param["path"]
-    file_name = param.get("fileName", "out")
     delim = param.get("fieldDelimiter", ",")
     null_format = param.get("nullFormat", "\\N")
     date_format = param.get("dateFormat", "")
     strf = go_layout_to_strftime(date_format) if date_format else None
     header = param.get("header")
     compress = param.get("compress")
+    encoding = param.get("encoding", "UTF-8").lower()
     suffix = ".csv" if param.get("fileFormat", "csv") == "csv" else ".txt"
     if compress == "gzip":
         suffix += ".gz"
 
-    fs, root, join, tag = _fs_for(path)
-    files: list[str] = []
-    records = 0
-    byts = 0
-    # streaming consumption: one output file per iterated batch-block
-    for bi, batch in enumerate(ds.iter_batches(batch_size=65536, batch_format="pyarrow")):
-        lines = render_table(
-            batch, profile="txtfile", null_format=null_format,
-            date_format=strf, delimiter=delim,
-        )
-        records += batch.num_rows
-        fpath = join(root, f"{file_name}_{bi:05d}{suffix}")
-        payload = ""
-        if header and bi == 0:
-            payload += delim.join(header) + "\n"
-        payload += "\n".join(lines) + ("\n" if lines else "")
-        data = payload.encode(param.get("encoding", "UTF-8").lower().replace("utf-8", "utf-8"))
-        if compress == "gzip":
-            data = gzip.compress(data)
-        opener = open if fs is None else fs.open
-        with opener(fpath, "wb") as f:
-            f.write(data)
-        byts += len(data)
-        files.append(tag(fpath) if fs is not None else fpath)
-    return {"files": files, "records": records, "bytes": byts}
+    def render_payload(tables: list[pa.Table]) -> bytes:
+        parts: list[str] = []
+        if header:
+            parts.append(delim.join(header))
+        for t in tables:
+            parts.extend(render_table(
+                t, profile="txtfile", null_format=null_format,
+                date_format=strf, delimiter=delim,
+            ))
+        return ("\n".join(parts) + ("\n" if parts else "")).encode(encoding)
+
+    sink = ChunkFileSink(param["path"], param.get("fileName", "out"),
+                         suffix, render_payload,
+                         gzip_payload=(compress == "gzip"),
+                         min_rows_per_file=int(param.get("minRowsPerFile")
+                                               or 65536))
+    ds.write_datasink(sink)
+    return sink.result()
