@@ -89,6 +89,28 @@ class DatasetEventSource:
         )
 
 
+def _scan_wal_footer(path: str, lo: int, hi: int) -> list[dict]:
+    """One segment's (path, rg) fragments overlapping [lo, hi), pruned
+    by the lsn column's row-group statistics."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    try:
+        lsn_i = md.schema.names.index("lsn")
+    except ValueError:
+        lsn_i = None
+    out: list[dict] = []
+    for rg in range(md.num_row_groups):
+        if lsn_i is not None:
+            st = md.row_group(rg).column(lsn_i).statistics
+            if st is not None and st.has_min_max and (
+                st.max < lo or st.min >= hi
+            ):
+                continue
+        out.append({"path": path, "rg": rg})
+    return out
+
+
 class ParquetWalSource:
     """Replay WAL segments persisted as Parquet, with lsn row-group pushdown."""
 
@@ -112,6 +134,12 @@ class ParquetWalSource:
             return [paths]
         return list(paths)
 
+    # above this many WAL segments the per-epoch footer scan runs as a
+    # distributed task stage instead of a serial driver loop (a 100 TB
+    # WAL is easily 10^5+ segments; 10^5 serial footer reads per epoch
+    # on the driver would dominate the epoch)
+    distribute_scan_after: int = 256
+
     def fragments(self, lo: int, hi: int) -> list[dict]:
         """(file, row-group) splits overlapping [lo, hi), pruned by the
         lsn column statistics. This powers the FUSED read path: Ray 2.49
@@ -120,27 +148,31 @@ class ParquetWalSource:
         between the read operator and the partition/LWW maps — reading
         row groups INSIDE the map task removes that extra full-corpus
         hop (measured: the map chain was the worst-scaling phase of the
-        epoch). Metadata is read driver-side per epoch — cheap for WAL
-        segment counts; distribute it if a deployment's WAL has 10^5+
-        files."""
-        import pyarrow.parquet as pq
+        epoch). Footer metadata is scanned driver-side for small WALs
+        and through a parallel task stage past ``distribute_scan_after``
+        files — only the tiny (path, rg) rows return to the driver."""
+        files = self._files()
+        if len(files) <= self.distribute_scan_after:
+            out: list[dict] = []
+            for p in files:
+                out.extend(_scan_wal_footer(p, lo, hi))
+            return out
 
-        out: list[dict] = []
-        for p in self._files():
-            md = pq.read_metadata(p)
-            try:
-                lsn_i = md.schema.names.index("lsn")
-            except ValueError:
-                lsn_i = None
-            for rg in range(md.num_row_groups):
-                if lsn_i is not None:
-                    st = md.row_group(rg).column(lsn_i).statistics
-                    if st is not None and st.has_min_max and (
-                        st.max < lo or st.min >= hi
-                    ):
-                        continue
-                out.append({"path": p, "rg": rg})
-        return out
+        import ray.data as rd
+
+        def scan(batch: dict) -> dict:
+            paths, rgs = [], []
+            for p in batch["item"]:
+                for frag in _scan_wal_footer(str(p), lo, hi):
+                    paths.append(frag["path"])
+                    rgs.append(frag["rg"])
+            return {"path": paths, "rg": rgs}
+
+        rows = rd.from_items(files).map_batches(
+            scan, batch_size=64, batch_format="numpy"
+        ).take_all()  # metadata rows only — never data
+        rows.sort(key=lambda r: (r["path"], r["rg"]))  # driver-loop order
+        return [{"path": r["path"], "rg": int(r["rg"])} for r in rows]
 
     def read(self, lo: int, hi: int):
         import ray.data as rd

@@ -99,11 +99,23 @@ def write_upsert(ds, param: dict[str, Any]) -> dict[str, Any]:
     # NOTE(scale): batch-upsert without explicit versions needs a global
     # arrival order, so this convenience path materialises the batch to
     # assign dense lsns — intended for the reference's conflict-test-sized
-    # loads. Large-scale upserts should arrive as real CDC events with
-    # source lsns (the flagship replay path, fully streaming).
+    # loads. The maxDriverRows bound ENFORCES that scope: an oversize
+    # batch-upsert fails loudly instead of silently materialising the
+    # corpus on the driver. Large-scale upserts should arrive as real CDC
+    # events with source lsns (the flagship replay path, fully streaming).
+    n_rows = ds.count()
+    max_rows = int(param.get("maxDriverRows", 1_000_000))
+    if n_rows > max_rows:
+        raise ValueError(
+            f"writeMode=upsert materialises the batch on the driver to "
+            f"assign dense lsns; {n_rows} rows exceeds maxDriverRows="
+            f"{max_rows}. Ship large loads as CDC events with source lsns "
+            "through pipelines.cdc_replay.replay (fully streaming), or "
+            "raise maxDriverRows explicitly if the driver can hold them."
+        )
     tbl = pa.concat_tables(
         [b for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
-    ) if ds.count() else None
+    ) if n_rows else None
     if tbl is None or tbl.num_rows == 0:
         return {"records": 0, "path": param["path"]}
     events = to_events(tbl, base_lsn)
