@@ -810,7 +810,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         rd = rd_lazy()
         ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-        return ds.map_batches(token_stats, batch_format="pandas").map_batches(
+        return ds.map_batches(token_stats, batch_format="pyarrow",
+                              zero_copy_batch=True).map_batches(
             lambda t: t.select(["doc_id", "n_chars", "n_tokens_ws"]), batch_format="pyarrow"
         )
 
@@ -848,7 +849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.text import quality_score
 
         ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-        return ds.map_batches(quality_score, batch_format="pandas").map_batches(
+        return ds.map_batches(quality_score, batch_format="pyarrow",
+                              zero_copy_batch=True).map_batches(
             lambda t: t.select(
                 ["doc_id", "punct_ratio", "stopword_ratio", "mean_word_len", "alpha_ratio"]
             ),
@@ -859,7 +861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from go_datax_ray.stages.text import lang_id
 
         ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-        return ds.map_batches(lang_id, batch_format="pandas").map_batches(
+        return ds.map_batches(lang_id, batch_format="pyarrow",
+                              zero_copy_batch=True).map_batches(
             lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
         )
 
@@ -877,7 +880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         rd = rd_lazy()
         ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-        ds = ds.map_batches(lang_id, batch_format="pandas").map_batches(
+        ds = ds.map_batches(lang_id, batch_format="pyarrow",
+                            zero_copy_batch=True).map_batches(
             lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
         )
 

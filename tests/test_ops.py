@@ -71,8 +71,8 @@ def test_token_stats_and_quality(docs):
     from go_datax_ray.stages.text import QualityScore, token_stats
 
     out = (
-        docs.map_batches(token_stats, batch_format="pandas")
-        .map_batches(QualityScore, batch_format="pandas", concurrency=2)
+        docs.map_batches(token_stats, batch_format="pyarrow")
+        .map_batches(QualityScore, batch_format="pyarrow", concurrency=2)
         .to_pandas()
     )
     assert (out["n_chars"] == out["text"].str.len()).all()
@@ -87,7 +87,7 @@ def test_lang_id_scripts():
     import pandas as pd
 
     li = LangId()
-    df = pd.DataFrame(
+    t = pa.table(
         {
             "text": [
                 "the cat sat on the mat and it is a good day for the walk",
@@ -99,8 +99,8 @@ def test_lang_id_scripts():
             ]
         }
     )
-    out = li(df)
-    assert out["lang_pred"].tolist() == ["en", "de", "ja", "ru", "zh", "unk"]
+    out = li(t)
+    assert out.column("lang_pred").to_pylist() == ["en", "de", "ja", "ru", "zh", "unk"]
 
 
 def test_fingerprints(docs):
@@ -368,7 +368,7 @@ def test_quality_composite_golden():
 
     ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
                          columns=["doc_id", "text"])
-    out = ds.map_batches(QualityScore, batch_format="pandas", concurrency=2).to_pandas()
+    out = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=2).to_pandas()
     out = out.sort_values("doc_id").reset_index(drop=True)
     q = out["quality"].to_numpy()
     assert ((q >= 0.0) & (q <= 1.0)).all()
