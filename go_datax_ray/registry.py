@@ -120,6 +120,40 @@ SOURCES["postgresqlreader"] = _dbapi_or_collapse("postgresqlreader")
 for _name in ("oraclereader", "sqlserverreader",
               "gaussdbreader", "oceanbasereader"):
     SOURCES[_name] = _dbapi_or_collapse(_name)
+# Doris/StarRocks FEs speak the MySQL protocol — the reference's own
+# readers connect through gorm's mysql driver over jdbc:mysql:// URLs
+# (doris_reader.go:117-136, starrocks_reader.go:464-478) — so their
+# network jdbcUrls route onto the same pymysql DB-API path.
+for _name in ("dorisreader", "starrocksreader"):
+    SOURCES[_name] = _dbapi_or_collapse(_name)
+
+from .sources import clickhouse_http as ch_src  # noqa: E402
+
+
+def _clickhouse_or_collapse(name: str):
+    """clickhousereader: a clickhouse:// jdbcUrl (or explicit endpoint)
+    routes to the REAL reader over ClickHouse's public HTTP interface
+    (sources/clickhouse_http.py — split queries as SELECT ... FORMAT
+    TabSeparatedWithNamesAndTypes, the read counterpart of the
+    clickhousewriter's INSERT chunks); an unreachable server fails
+    loudly inside the read task. Dump-style jobs keep the collapse."""
+    fallback = _collapsed_source(name, parquet_src.read)
+
+    def read(param, *, channel: int = 1):
+        urls = sqldb._db_urls(param)
+        if param.get("jdbcUrl"):
+            urls = urls + [param["jdbcUrl"]]
+        if param.get("endpoint") or any(
+            sqldb._strip_jdbc(str(u)).startswith("clickhouse://")
+            for u in urls
+        ):
+            return ch_src.read(param, channel=channel)
+        return fallback(param, channel=channel)
+
+    return read
+
+
+SOURCES["clickhousereader"] = _clickhouse_or_collapse("clickhousereader")
 
 from .sources import cql as cql_src  # noqa: E402
 

@@ -43,6 +43,11 @@ NET_SCHEMES = {
     # publicly-documented wire compatibility: GaussDB speaks the
     # PostgreSQL protocol, OceanBase's MySQL mode speaks MySQL's
     "gaussdb": "postgres", "oceanbase": "mysql",
+    # Doris and StarRocks FEs speak the MySQL protocol — the reference's
+    # own readers connect via gorm's mysql driver over jdbc:mysql:// URLs
+    # (doris_reader.go:117-136, starrocks_reader.go:464-478); scheme
+    # aliases accepted for convenience
+    "doris": "mysql", "starrocks": "mysql",
 }
 DBAPI_MODULES = {
     "mysql": ("pymysql", "MySQLdb"),
