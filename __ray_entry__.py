@@ -669,31 +669,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_minhash_dedup(sf_dir: str):
         """Full in-cluster near-dup pipeline: LSH candidates -> distributed
-        exact-Jaccard verify (text never reaches the driver) -> counts
-        PLUS the md5 of the sorted survivor-id list — the whole pipeline
-        is seeded-deterministic, so the hash pins the exact surviving
-        document set across rounds (not SQL-expressible, but the
-        rows-only driver check now covers the full output, not just two
-        counters)."""
-        import hashlib
-
+        exact-Jaccard verify (text never reaches the driver) ->
+        union-find -> keep each cluster's min-id representative. Returns
+        the SURVIVOR ID SET, which is SQL-derivable (VERDICT r4 #9): the
+        verify step uses exact word-3-gram Jaccard, so the survivors
+        equal an all-pairs shingle-Jaccard >= 0.7 closure — expressible
+        in DuckDB at oracle scale (O(N^2) only on shingle-sharing
+        pairs). The LSH banding's only divergence risk is a missed true
+        pair NEAR the threshold; this corpus's closest pair below
+        threshold sits at J=0.067 and the weakest true pair at J=0.9
+        (miss probability ~4e-8 with 16 bands x 4 rows), so the match
+        is structural, not luck."""
         from go_datax_ray.stages.dedup import minhash_dedup_corpus
 
         ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-        deduped, stats = minhash_dedup_corpus(ds, threshold=0.7)
-        ids = sorted(
-            r["doc_id"]
-            for r in deduped.select_columns(["doc_id"]).take_all()
-        )
-        survivor_md5 = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()
-        return pa.table(
-            {
-                "n_candidate_pairs": pa.array([stats["candidate_pairs"]], pa.int64()),
-                "n_verified_pairs": pa.array([stats["verified_pairs"]], pa.int64()),
-                "n_survivors": pa.array([len(ids)], pa.int64()),
-                "survivor_md5": pa.array([survivor_md5], pa.string()),
-            }
-        )
+        deduped, _stats = minhash_dedup_corpus(ds, threshold=0.7)
+        return deduped.select_columns(["doc_id"])
 
     def q_simhash(sf_dir: str):
         from go_datax_ray.stages.dedup import simhash_batch
@@ -3558,8 +3549,49 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c JOIN gm g USING (media_id)
             GROUP BY c.media_id
         """,
-        # minhash_dedup is not SQL-expressible (seeded MinHash
-        # permutations) -> rows-only with pytest property gates; it
-        # additionally pins the md5 of its sorted survivor-id set in the
-        # hashed row.
+        # minhash_dedup's survivor set IS SQL-derivable (the verify step
+        # is exact word-3-gram Jaccard): all-pairs shingle Jaccard >= 0.7
+        # over shingle-sharing pairs, transitive closure via a recursive
+        # CTE (min-label propagation), keep each component's min id.
+        # The engine's LSH banding only risks missing a true pair NEAR
+        # the threshold; this corpus's nearest below-threshold pair is
+        # J=0.067 and the weakest true pair J=0.9 (see q_minhash_dedup).
+        "minhash_dedup": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '\\w+') AS ws
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                     ELSE [] END AS sset
+              FROM w),
+            s AS (SELECT doc_id, unnest(sset) AS sg FROM sh),
+            sizes AS (SELECT doc_id, len(sset) AS n FROM sh),
+            inter AS (
+              SELECT a.doc_id AS ida, b.doc_id AS idb,
+                     CAST(COUNT(*) AS BIGINT) AS ni
+              FROM s a JOIN s b ON a.sg = b.sg AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            edges AS (
+              SELECT ida, idb FROM inter
+              JOIN sizes sa ON sa.doc_id = ida
+              JOIN sizes sb ON sb.doc_id = idb
+              WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.7),
+            bidir AS (SELECT ida AS a, idb AS b FROM edges
+                      UNION ALL SELECT idb, ida FROM edges),
+            rec AS (
+              WITH RECURSIVE reach(id, r) AS (
+                SELECT a, a FROM bidir
+                UNION
+                SELECT bd.b, reach.r FROM reach
+                JOIN bidir bd ON bd.a = reach.id
+              ) SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN rec ON rec.id = d.doc_id
+            WHERE rec.id IS NULL OR rec.rep = d.doc_id
+        """,
     }
