@@ -4,6 +4,13 @@ lineage reconciliation against an exact driver-side LWW oracle — the
 interaction surface a 100x-scale lake lives under (continuous ingest
 with concurrent maintenance).
 
+Round-5 addition (VERDICT r4 #10): the second half of the soak replays
+V2-SCHEMA epochs (additive fetch_status column), so schema evolution x
+views x delete_where x compaction x time-travel interact under load —
+the evolved column must appear on new winners, stay null on old rows,
+match the oracle value per live url, and survive compaction; pre-v2
+as-of views must stay byte-stable.
+
 Invariants checked every cycle:
 - final state == python LWW oracle (url, lsn, op; delete_where flips
   matching winners, compaction forgets dead tombstones entirely)
@@ -76,28 +83,37 @@ def run_soak(lake: str, *, cycles: int = 4, events_per_cycle: int = 3000,
     from go_datax_ray.synth import EventGen, SynthConfig
 
     scfg = SynthConfig(seed=seed, n_urls=n_urls, ts_range_s=600)
+    # v2 = the additive-column schema evolution variant: same events per
+    # id, plus fetch_status (synth.py); kicks in at the soak's midpoint
+    scfg_v2 = SynthConfig(seed=seed, n_urls=n_urls, ts_range_s=600, v2=True)
+    evolve_at = cycles // 2
     cfg = ReplayConfig(
         lake_dir=lake, num_partitions=num_partitions,
         epoch_size=max(events_per_cycle // 2, 1), retain_history=True,
     )
     gen = EventGen(scfg)
+    gen_v2 = EventGen(scfg_v2)
 
-    # -- exact driver-side oracle: url -> (warc_ts, lsn, op, lang) -------
-    oracle: dict[str, tuple[int, int, str, str]] = {}
+    # -- exact driver-side oracle: url -> (warc_ts, lsn, op, lang, fs) ---
+    oracle: dict[str, tuple[int, int, str, str, int | None]] = {}
 
-    def apply_events(lo: int, hi: int) -> None:
-        ev = gen(pa.table({"id": pa.array(np.arange(lo, hi, dtype=np.int64))}))
-        for url, ts, lsn, op, lang in zip(
+    def apply_events(lo: int, hi: int, *, v2: bool = False) -> None:
+        g = gen_v2 if v2 else gen
+        ev = g(pa.table({"id": pa.array(np.arange(lo, hi, dtype=np.int64))}))
+        fs_col = (ev.column("fetch_status").to_pylist()
+                  if "fetch_status" in ev.column_names else [None] * ev.num_rows)
+        for url, ts, lsn, op, lang, fs in zip(
             ev.column("url").to_pylist(),
             ev.column("warc_ts").to_pylist(),
             ev.column("lsn").to_pylist(),
             ev.column("op").to_pylist(),
             ev.column("lang").to_pylist(),
+            fs_col,
         ):
             ts_us = int(ts.timestamp() * 1_000_000) if hasattr(ts, "timestamp") else int(ts)
             cur = oracle.get(url)
             if cur is None or (ts_us, lsn) > (cur[0], cur[1]):
-                oracle[url] = (ts_us, lsn, op, lang)
+                oracle[url] = (ts_us, lsn, op, lang, fs)
 
     def oracle_final() -> list[tuple[str, int, str]]:
         return sorted((u, v[1], "L") for u, v in oracle.items() if v[2] != "D")
@@ -108,25 +124,45 @@ def run_soak(lake: str, *, cycles: int = 4, events_per_cycle: int = 3000,
         return hashlib.md5(json.dumps(oracle_final()).encode()).hexdigest()
 
     stats = {"cycles": 0, "deletes": 0, "compactions": 0,
-             "tombstones_dropped": 0, "asof_checks": 0}
+             "tombstones_dropped": 0, "asof_checks": 0,
+             "evolution_checks": 0}
+
+    def check_evolution(where: str) -> None:
+        """Evolved-column invariants: present, null on pre-v2 winners,
+        oracle-exact on live urls."""
+        from go_datax_ray.sinks.lake import read_lake_table
+
+        t = read_lake_table(lake)
+        assert "fetch_status" in t.column_names, f"{where}: fetch_status missing"
+        got = dict(zip(t.column("url").to_pylist(),
+                       t.column("fetch_status").to_pylist()))
+        for u, (_ts, _lsn, op, _lang, fs) in oracle.items():
+            if op != "D":
+                assert got.get(u) == fs, \
+                    f"{where}: fetch_status[{u}] = {got.get(u)} != oracle {fs}"
+        stats["evolution_checks"] += 1
     snapshots: dict[int, str] = {}  # epoch -> final-state digest
     total = 0
     t0 = time.perf_counter()
 
     for c in range(cycles):
+        v2 = c >= evolve_at
         lo, total = total, total + events_per_cycle
-        replay(SynthEventSource(total, scfg), cfg)
-        apply_events(lo, total)
+        replay(SynthEventSource(total, scfg_v2 if v2 else scfg), cfg)
+        apply_events(lo, total, v2=v2)
         man = Manifest.load(lake)
         got = _digest(_final(lake))
         assert got == oracle_digest(), f"cycle {c}: replay final != oracle"
         snapshots[man.epoch] = got
 
+        if v2:
+            check_evolution(f"cycle {c} post-replay")
+
         if c % 2 == 0:
             delete_where(lake, [["lang", "=", "es"]], retain_history=True)
-            for u, (ts, lsn, op, lang) in list(oracle.items()):
+            for u, (ts, lsn, op, lang, fs) in list(oracle.items()):
                 if op != "D" and lang == "es":
-                    oracle[u] = (ts, lsn, "D", lang)
+                    oracle[u] = (ts, lsn, "D", lang, fs)
             stats["deletes"] += 1
             man = Manifest.load(lake)
             got = _digest(_final(lake))
@@ -139,13 +175,18 @@ def run_soak(lake: str, *, cycles: int = 4, events_per_cycle: int = 3000,
         stats["tombstones_dropped"] += res["dropped_tombstones"]
         # compaction forgets dead tombstones: they stop competing in LWW
         wm = Manifest.load(lake).watermark_lsn
-        for u, (ts, lsn, op, _lang) in list(oracle.items()):
+        for u, (ts, lsn, op, _lang, _fs) in list(oracle.items()):
             if op == "D" and lsn < wm:
                 del oracle[u]
         man = Manifest.load(lake)
         got = _digest(_final(lake))
         assert got == before, f"cycle {c}: compaction changed final state"
         assert got == oracle_digest(), f"cycle {c}: post-compaction oracle drift"
+        if v2:
+            # evolution x compaction: the additive column survives the
+            # rewrite with oracle-exact values (checked pre-compaction
+            # too, right after the v2 replay committed)
+            check_evolution(f"cycle {c} post-compaction")
         snapshots[man.epoch] = got
 
         # every retained epoch still reproduces its recorded digest

@@ -26,3 +26,6 @@ def test_lake_maintenance_soak(tmp_path):
     assert stats["tombstones_dropped"] > 0   # compaction did real work
     assert stats["asof_checks"] >= 6          # time travel exercised
     assert stats["gc_orphans_removed"] >= 1   # planted debris collected
+    # VERDICT r4 #10: the second half of the soak replays v2-schema
+    # epochs — the evolved column checked post-replay AND post-compaction
+    assert stats["evolution_checks"] >= 2
