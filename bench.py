@@ -254,7 +254,18 @@ def main() -> dict:
                 out.count()  # consume the stream
             return out
 
-        timed(name, run)
+        # best-of-2 per portfolio query (VERDICT r4 #8): single-shot
+        # queries in a shared window inherit whichever co-tenant
+        # bandwidth storm they landed in (bucket_hash_join read 3.0 s
+        # in BENCH_r04 vs 1.4 s standalone warm); the second trial also
+        # runs warm, so the min tracks the standalone number. Queries
+        # are stateless reads over the sf tables — safe to repeat.
+        t0 = time.perf_counter()
+        run()
+        first = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        run()
+        queries[name] = min(first, round(time.perf_counter() - t0, 3))
 
     host["after"] = _host_probe()
     result = {
