@@ -220,6 +220,7 @@ def _fragment_prepared_ds(source, lo: int, hi: int, cfg: "ReplayConfig",
     transform = cfg.transform
     drop_text = cfg.extract_text
     key, nparts, hash_fn = cfg.key, cfg.num_partitions, cfg.hash_fn
+    min_red = cfg.combine_min_reduction
 
     def read_and_prepare(batch: dict) -> pa.Table:
         import pyarrow.parquet as pq
@@ -243,7 +244,7 @@ def _fragment_prepared_ds(source, lo: int, hi: int, cfg: "ReplayConfig",
         if drop_text and "text" in t.column_names:
             t = t.drop_columns(["text"])
         t = add_part_id(t, key=key, num_partitions=nparts, hash_fn=hash_fn)
-        return lww_combine_counted(t)
+        return lww_combine_counted(t, min_reduction=min_red)
 
     def safe(batch: dict):
         out = read_and_prepare(batch)
@@ -304,6 +305,21 @@ class ReplayConfig:
     # already in memory there), committed-epoch visibility via the
     # manifest; read with sinks.views.read_view.
     views: tuple = ()
+    # Codec for the intra-epoch delta temporaries (the exchange's entire
+    # byte volume — html-dominated). Round-5 A/B (BASELINE.md §3g):
+    # zstd-1 writes 24% fewer bytes than lz4 (455 vs 601 MB/epoch at
+    # sf0.1) but is consistently SLOWER wall-to-wall at both 8 and 32
+    # cpus — on tmpfs the exchange is encode-CPU-bound, not byte-bound,
+    # so lz4 stays the default. Deployments whose delta dir is a real
+    # network object store (where bytes ARE the constraint) should flip
+    # to ("zstd", 1) — the knob exists for exactly that.
+    delta_compression: str = "lz4"
+    delta_compression_level: int = 1
+    # Shuffle-combiner cost gate: a within-batch LWW take copies the
+    # whole (html-wide) batch, so batches whose in-batch duplicate ratio
+    # is below this threshold pass through uncombined (the merge LWWs
+    # anyway; only exchange bytes change). See stages.lww.
+    combine_min_reduction: float = 0.05
 
 
 @dataclass
@@ -319,9 +335,29 @@ class ReplayResult:
         return self.events / self.wall_s if self.wall_s > 0 else 0.0
 
 
+def _delta_dir_bytes(fsh, delta_dir: str) -> int:
+    """Total bytes of the epoch's delta temporaries — the exchange's
+    byte volume (local fast path; 0 when the fs can't stat cheaply)."""
+    import os
+
+    if not fsh.local:
+        return 0
+    total = 0
+    for root, _dirs, files in os.walk(delta_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def _exchange_and_merge(ds, cfg: ReplayConfig, man: Manifest, epoch: int,
-                        committed: dict[int, str], metrics) -> list[dict]:
-    """Run the configured partition exchange + merge; return manifest rows."""
+                        committed: dict[int, str], metrics,
+                        exchange_stats: dict | None = None) -> list[dict]:
+    """Run the configured partition exchange + merge; return manifest rows.
+    ``exchange_stats`` (when given) receives byte-accounting for the
+    exchange: {"delta_bytes": N} on the delta path."""
     import os
     import shutil
 
@@ -335,16 +371,19 @@ def _exchange_and_merge(ds, cfg: ReplayConfig, man: Manifest, epoch: int,
         fsh = LakeFS(cfg.lake_dir)
         delta_dir = fsh.join("_delta", f"epoch-{epoch:06d}")
         fsh.rmtree(delta_dir)  # idempotent epoch restart
-        # lz4 for intra-epoch delta temporaries: measured fastest
-        # encode+decode of the codecs available (they live minutes)
         pafs = fsh.pa_filesystem()
-        ds.write_parquet(delta_dir, partition_cols=["part_id"], compression="lz4",
+        comp = {"compression": cfg.delta_compression}
+        if cfg.delta_compression == "zstd":
+            comp["compression_level"] = cfg.delta_compression_level
+        ds.write_parquet(delta_dir, partition_cols=["part_id"], **comp,
                          **({"filesystem": pafs} if pafs is not None else {}))
         pids = sorted(
             int(d.split("=", 1)[1])
             for d in fsh.listdir(delta_dir)
             if d.startswith("part_id=")
         ) if fsh.isdir(delta_dir) else []
+        if exchange_stats is not None and pids:
+            exchange_stats["delta_bytes"] = _delta_dir_bytes(fsh, delta_dir)
         if not pids:
             return []
         merge = make_delta_merger(
@@ -497,11 +536,14 @@ def _replay_locked(source: EventSource, cfg: ReplayConfig, metrics) -> ReplayRes
             ds = ds.map_batches(
                 lww_combine_counted, batch_format="pyarrow", zero_copy_batch=True,
                 batch_size=32768,
+                fn_kwargs={"min_reduction": cfg.combine_min_reduction},
             )
         committed = {
             int(pid): man.partition_file(int(pid)) for pid in man.partitions
         }
-        entries = _exchange_and_merge(ds, cfg, man, epoch, committed, metrics)
+        ex_stats: dict = {}
+        entries = _exchange_and_merge(ds, cfg, man, epoch, committed, metrics,
+                                      exchange_stats=ex_stats)
         wall = time.perf_counter() - t0
         if entries:
             sch = schema_from_json(entries[0]["schema_json"])
@@ -538,6 +580,7 @@ def _replay_locked(source: EventSource, cfg: ReplayConfig, metrics) -> ReplayRes
             "applied": n_applied,
             "wall_s": wall,
             "events_per_sec": n_events / wall if wall > 0 else 0.0,
+            **ex_stats,  # delta_bytes: exchange byte volume (delta path)
         }
         res.epoch_stats.append(stat)
         if cfg.report:

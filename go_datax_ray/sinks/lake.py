@@ -164,6 +164,12 @@ def make_partition_merger(
     return merge
 
 
+# Delta-merge LWW assembly strategy: "skinny" (winner selection over
+# zero-copy key-column views, per-source winner takes — round-5 default)
+# or "concat" (round-4 full-payload conform+concat+take, kept for A/B).
+DELTA_MERGE_MODE = "skinny"
+
+
 def make_delta_merger(
     lake_dir: str,
     epoch: int,
@@ -181,7 +187,37 @@ def make_delta_merger(
     harmless — LWW collapses them (idempotent reduction)."""
     import glob as _glob
 
+    merge_mode = DELTA_MERGE_MODE  # captured at epoch start (A/B knob)
+
+    def _finish_pid(fsh, pid: int, new: pa.Table, old, events: int) -> pa.Table:
+        """Shared merge tail: text fill, view deltas, final write, entry."""
+        if extract_missing_text:
+            new = _fill_text(new)
+        if view_specs:
+            from .views import write_view_deltas
+
+            write_view_deltas(fsh, lake_dir, view_specs, old, new, epoch, pid)
+        outp = final_path(lake_dir, pid, epoch)
+        fsh.makedirs(outp.rsplit("/", 1)[0] if not fsh.local else os.path.dirname(outp))
+        fsh.write_parquet(new, outp, compression="zstd", compression_level=1,
+                          row_group_size=64 * 1024)
+        if metrics is not None:
+            metrics.inc.remote(f"partition/{pid}/events", events)
+        return pa.table(
+            {
+                "pid": pa.array([pid], pa.int64()),
+                "rows": pa.array([new.num_rows], pa.int64()),
+                "events": pa.array([events], pa.int64()),
+                "max_lsn": pa.array(
+                    [int(pa.compute.max(new.column("lsn")).as_py())], pa.int64()
+                ),
+                "schema_json": pa.array([schema_to_json(new.schema)], pa.string()),
+            }
+        )
+
     def merge_pids(batch: dict) -> pa.Table:
+        from ..stages.lww import LWW_ORDER
+
         fsh = LakeFS(lake_dir)
         out: list[pa.Table] = []
         for pid in batch["pid"]:
@@ -192,54 +228,98 @@ def make_delta_merger(
             files = sorted(_glob.glob(pat) if fsh.local else fsh.fs.glob(pat))
             if not files:
                 continue
+            if merge_mode == "concat":
+                # round-4 shape kept for A/B: conform+concat every full
+                # delta row, then one big LWW take
+                parts = [fsh.read_parquet(f) for f in files]
+                target = parts[0].schema
+                for p in parts[1:]:
+                    target = evolve(target, p.schema)
+                new = pa.concat_tables([conform(p, target) for p in parts])
+                if "_n_ev" in new.column_names:
+                    events = int(pa.compute.sum(new.column("_n_ev")).as_py() or 0)
+                    new = new.drop_columns(["_n_ev"])
+                else:
+                    events = new.num_rows
+                new = new.append_column(
+                    "part_id", pa.array(np.full(new.num_rows, pid), pa.int64())
+                )
+                old_path = committed.get(pid)
+                old = None
+                if old_path is not None and fsh.exists(old_path):
+                    old = fsh.read_parquet(old_path)
+                    t2 = evolve(old.schema, new.schema)
+                    new = lww_sorted(
+                        pa.concat_tables([conform(old, t2), conform(new, t2)]))
+                else:
+                    new = lww_sorted(new)
+                out.append(_finish_pid(fsh, pid, new, old, events))
+                continue
+            # SKINNY-FIRST merge (round 5, 8->32 bandwidth work): each
+            # source is read ONCE, but winner selection runs over only
+            # its zero-copy (url, warc_ts, lsn) column views — the html
+            # payload of superseded rows is never concatenated or moved.
+            # The former shape conformed+concatenated every delta row's
+            # full payload before one big LWW take (~10x the winner
+            # bytes of memcpy per epoch at the bench's 10:1 update
+            # ratio); here each source contributes exactly its winner
+            # rows via one small take.
+            old_path = committed.get(pid)
+            old = None
+            if old_path is not None and fsh.exists(old_path):
+                old = fsh.read_parquet(old_path)  # small: committed winners
             parts = [fsh.read_parquet(f) for f in files]
             target = parts[0].schema
             for p in parts[1:]:
                 target = evolve(target, p.schema)
-            new = pa.concat_tables([conform(p, target) for p in parts])
-            if "_n_ev" in new.column_names:
-                # RAW event count (see make_partition_merger); drop the
-                # counter before the lake write
-                events = int(pa.compute.sum(new.column("_n_ev")).as_py() or 0)
-                new = new.drop_columns(["_n_ev"])
-            else:
-                events = new.num_rows
-            new = new.append_column(
-                "part_id", pa.array(np.full(new.num_rows, pid), pa.int64())
-            )
-            old_path = committed.get(pid)
-            old = None
-            if old_path is not None and fsh.exists(old_path):
-                old = fsh.read_parquet(old_path)
-                t2 = evolve(old.schema, new.schema)
-                new = lww_sorted(pa.concat_tables([conform(old, t2), conform(new, t2)]))
-            else:
-                new = lww_sorted(new)
-            if extract_missing_text:
-                new = _fill_text(new)
-            if view_specs:
-                from .views import write_view_deltas
+            events = 0
+            for p in parts:
+                events += (int(pa.compute.sum(p.column("_n_ev")).as_py() or 0)
+                           if "_n_ev" in p.column_names else p.num_rows)
+            # concat order mirrors the former full-table path (old first,
+            # then delta files in sorted order) so stable-sort
+            # tie-breaking is bit-identical
+            skinny_cols = [k for k, _ in LWW_ORDER]
+            sources = ([old] if old is not None else []) + parts
+            skinny_schema = sources[0].select(["url", *skinny_cols]).schema
+            allk = pa.concat_tables(
+                [conform(s.select(["url", *skinny_cols]), skinny_schema)
+                 for s in sources])  # zero-copy column views, tiny concat
+            order = pa.compute.sort_indices(
+                allk.select(skinny_cols), sort_keys=LWW_ORDER
+            ).to_numpy()
+            import pandas as pd
 
-                write_view_deltas(fsh, lake_dir, view_specs, old, new, epoch, pid)
-            outp = final_path(lake_dir, pid, epoch)
-            fsh.makedirs(outp.rsplit("/", 1)[0] if not fsh.local else os.path.dirname(outp))
-            fsh.write_parquet(new, outp, compression="zstd", compression_level=1,
-                              row_group_size=64 * 1024)
-            if metrics is not None:
-                metrics.inc.remote(f"partition/{pid}/events", events)
-            out.append(
-                pa.table(
-                    {
-                        "pid": pa.array([pid], pa.int64()),
-                        "rows": pa.array([new.num_rows], pa.int64()),
-                        "events": pa.array([events], pa.int64()),
-                        "max_lsn": pa.array(
-                            [int(pa.compute.max(new.column("lsn")).as_py())], pa.int64()
-                        ),
-                        "schema_json": pa.array([schema_to_json(new.schema)], pa.string()),
-                    }
-                )
-            )
+            keys = allk.column("url").take(pa.array(order))
+            codes, _u = pd.factorize(keys.to_pandas(), use_na_sentinel=False)
+            _uniq, first = np.unique(codes, return_index=True)
+            winners = np.sort(order[first])
+            # map global winner positions back to (source, local row)
+            lens = np.array([s.num_rows for s in sources], dtype=np.int64)
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            new_schema = pa.schema(
+                [f for f in target if f.name != "_n_ev"]
+            ).append(pa.field("part_id", pa.int64()))
+            t2 = evolve(old.schema, new_schema) if old is not None else new_schema
+            chunks: list[pa.Table] = []
+            src_of = np.searchsorted(offs, winners, side="right") - 1
+            pid_field = pa.field("part_id", pa.int64())
+            for si in range(len(sources)):
+                rows = winners[src_of == si] - offs[si]
+                if rows.size == 0:
+                    continue
+                w = sources[si].take(pa.array(rows))
+                if not (old is not None and si == 0):
+                    if "_n_ev" in w.column_names:
+                        w = w.drop_columns(["_n_ev"])
+                    w = w.append_column(
+                        pid_field, pa.array(np.full(w.num_rows, pid), pa.int64())
+                    )
+                chunks.append(conform(w, t2))
+            new = pa.concat_tables(chunks)
+            # winners sorted by key, as lww_sorted emitted
+            new = new.take(pa.compute.sort_indices(new.column("url")))
+            out.append(_finish_pid(fsh, pid, new, old, events))
         if not out:
             return pa.table(
                 {

@@ -144,13 +144,21 @@ class LakeFS:
 
         return PyFileSystem(FSSpecHandler(self.fs))
 
-    def read_parquet(self, p: str):
+    def read_parquet(self, p: str, columns: list[str] | None = None):
         import pyarrow.parquet as pq
 
         if self.local:
-            return pq.read_table(p)
+            return pq.read_table(p, columns=columns)
         with self.open(p, "rb") as f:
-            return pq.read_table(f)
+            return pq.read_table(f, columns=columns)
+
+    def read_parquet_schema(self, p: str):
+        import pyarrow.parquet as pq
+
+        if self.local:
+            return pq.read_schema(p)
+        with self.open(p, "rb") as f:
+            return pq.read_schema(f)
 
     def write_parquet(self, table: Any, p: str, **kwargs: Any) -> None:
         import pyarrow.parquet as pq

@@ -102,3 +102,30 @@ def test_upsert_convenience_path_bounded(ray_session, tmp_path):
     # within the bound the same load succeeds (and is idempotent)
     param["maxDriverRows"] = 1000
     assert write(rd.from_arrow(t), param)["records"] == 500
+
+
+def test_skinny_merge_equals_concat_merge(ray_session, tmp_path):
+    """Round-5 merge rewrite: winner selection over zero-copy key-column
+    views + per-source winner takes must produce a BIT-IDENTICAL lake to
+    the round-4 full-payload concat+take shape (schema and data), across
+    multiple epochs with an existing committed state."""
+    import go_datax_ray.sinks.lake as lake
+    from go_datax_ray.pipelines.cdc_replay import (
+        ReplayConfig, SynthEventSource, replay)
+    from go_datax_ray.sinks.lake import read_lake_table
+    from go_datax_ray.synth import SynthConfig
+
+    scfg = SynthConfig(seed=11, n_urls=150)
+    finals = {}
+    for mode in ("concat", "skinny"):
+        lake.DELTA_MERGE_MODE = mode
+        try:
+            d = str(tmp_path / f"lake_{mode}")
+            cfg = ReplayConfig(lake_dir=d, num_partitions=4, epoch_size=800,
+                               extract_text=True)
+            replay(SynthEventSource(2400, scfg), cfg)
+            finals[mode] = read_lake_table(d).sort_by("url")
+        finally:
+            lake.DELTA_MERGE_MODE = "skinny"
+    assert finals["concat"].schema.equals(finals["skinny"].schema)
+    assert finals["concat"].equals(finals["skinny"])
