@@ -120,6 +120,12 @@ SOURCES["postgresqlreader"] = _dbapi_or_collapse("postgresqlreader")
 for _name in ("oraclereader", "sqlserverreader",
               "gaussdbreader", "oceanbasereader"):
     SOURCES[_name] = _dbapi_or_collapse(_name)
+# Sybase ASE speaks TDS — the reference's reader/writer use a pure-Go
+# TDS driver over 'jdbc:sybase:Tds:host:port/db' URLs
+# (sybase_reader.go:158-197); the same grammar routes onto the DB-API
+# path through Python's public TDS drivers (pytds/pymssql), failing
+# loudly when neither is installed.
+SOURCES["sybasereader"] = _dbapi_or_collapse("sybasereader")
 # Doris/StarRocks FEs speak the MySQL protocol — the reference's own
 # readers connect through gorm's mysql driver over jdbc:mysql:// URLs
 # (doris_reader.go:117-136, starrocks_reader.go:464-478) — so their
@@ -260,10 +266,14 @@ SINKS["oceanbasewriter"] = _dbapi_write_or_collapse("oceanbasewriter")
 # loudly as before.
 SINKS["databendwriter"] = _dbapi_write_or_collapse("databendwriter")
 
+# Sybase rides the TDS DB-API path (pytds/pymssql; INSERT-only like the
+# reference, replace degrades to insert per sybase_writer.go:296-311).
+SINKS["sybasewriter"] = _dbapi_write_or_collapse("sybasewriter")
+
 # Remaining network RDBMS/warehouse writers -> parquet sink
 # (writeMode=upsert gives their ON CONFLICT DO UPDATE semantics through
 # the exactly-once lake), same explicit opt-in.
-for _name in ("sybasewriter", "tdenginewriter"):
-    SINKS.setdefault(_name, _collapsed_sink(_name, parquet_sink.write))
+SINKS.setdefault("tdenginewriter",
+                 _collapsed_sink("tdenginewriter", parquet_sink.write))
 
 SINKS["mongowriter"] = mongo_plugin.write

@@ -28,10 +28,11 @@ import pyarrow as pa
 
 from ..sources import sqldb
 
-# dialect -> DB-API paramstyle of the modules we bind: pymysql/MySQLdb
-# and psycopg/psycopg2 are 'format' (%s); sqlite3 is 'qmark' (?).
-# oracle/sqlserver render through _merge_dialect_sql (oracledb binds
-# the reference's :colN named placeholders, pyodbc qmark).
+# dialect -> DB-API paramstyle of the modules we bind: pymysql/MySQLdb,
+# psycopg/psycopg2, pytds/pymssql are 'format' (%s); sqlite3 is
+# 'qmark' (?). oracle/sqlserver render through _merge_dialect_sql
+# (oracledb binds the reference's :colN named placeholders, pyodbc
+# qmark).
 _PARAMSTYLE = {"mysql": "%s", "postgres": "%s", "sqlite": "?"}
 
 
@@ -118,6 +119,16 @@ def build_row_sql(
         return _merge_dialect_sql(
             table, columns, pks, non_pk, mode, lambda i: "?",
             quote=lambda c: f"[{c}]", terminator=";")
+    if dialect == "sybase":
+        # the reference's sybasewriter prepares INSERT only and degrades
+        # replace -> insert with a warning ("Sybase ASE不直接支持REPLACE
+        # 模式", sybase_writer.go:296-311); skip/update render ASE
+        # 15.7+'s public MERGE (T-SQL [bracket] quoting, %s binds for
+        # pytds/pymssql) so the common writer's scenario table holds
+        eff = "insert" if mode == "replace" else mode
+        return _merge_dialect_sql(
+            table, columns, pks, non_pk, eff, lambda i: "%s",
+            quote=lambda c: f"[{c}]")
     ph = _PARAMSTYLE[dialect]
     collist = ", ".join(columns)
     values = f"({', '.join(ph for _ in columns)})"
@@ -150,8 +161,13 @@ def build_row_sql(
     )
 
 
-def _open(dialect: str, url: str):
+def _open(dialect: str, url: str, net_factory=None):
     if dialect in sqldb.DBAPI_MODULES:
+        # net_factory is the driver-side DBAPI_FACTORIES snapshot shipped
+        # into the actor pool — worker processes never see driver-side
+        # registrations otherwise (mirrors sqldb.read's read-task factory)
+        if net_factory is not None:
+            return net_factory(url)
         return sqldb._net_connect(dialect, url)
     if dialect == "sqlite":
         import sqlite3
@@ -172,8 +188,8 @@ class DBWriteActor:
 
     def __init__(self, *, dialect: str, url: str, table: str,
                  columns: list[str] | None, mode: str,
-                 primary_keys: list[str]) -> None:
-        self._con = _open(dialect, url)
+                 primary_keys: list[str], net_factory=None) -> None:
+        self._con = _open(dialect, url, net_factory)
         self._dialect = dialect
         self._table = table
         self._columns = list(columns) if columns else None
@@ -288,7 +304,8 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
     # in restart loops instead of failing the job (observed with a
     # missing DB-API module), so the missing-driver / unreachable-host
     # error must surface here, loudly, first.
-    _open(dialect, url).close()
+    net_factory = sqldb.DBAPI_FACTORIES.get(dialect)
+    _open(dialect, url, net_factory).close()
     _run_sqls(dialect, url, param.get("preSql"), table)
     stats = ds.map_batches(
         DBWriteActor,
@@ -298,7 +315,7 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
         num_cpus=0.5,  # connection-bound, not CPU-bound
         fn_constructor_kwargs=dict(
             dialect=dialect, url=url, table=table, columns=cols,
-            mode=mode, primary_keys=pks,
+            mode=mode, primary_keys=pks, net_factory=net_factory,
         ),
     ).take_all()  # tiny per-batch stat rows, never data
     _run_sqls(dialect, url, param.get("postSql"), table)

@@ -27,6 +27,13 @@ def _strip_jdbc(url: str) -> str:
     for prefix in ("jdbc:sqlite:", "jdbc:duckdb:"):
         if url.startswith(prefix):
             return url[len(prefix):]
+    # Sybase's jTDS grammar is 'jdbc:sybase:Tds:host:port/db' (or
+    # '?database=db') — no '//' authority, so the generic jdbc: strip
+    # would leave an unparseable 'sybase:Tds:h:5000/db'
+    # (sybase_reader.go:158-197 rewrites the same shape into a tds://
+    # DSN). Normalize it to a regular sybase:// URL.
+    if url.startswith("jdbc:sybase:Tds:"):
+        return "sybase://" + url[len("jdbc:sybase:Tds:"):]
     if url.startswith("jdbc:"):  # network URLs keep their scheme:
         return url[len("jdbc:"):]  # jdbc:mysql://h/db -> mysql://h/db
     return url
@@ -48,12 +55,17 @@ NET_SCHEMES = {
     # (doris_reader.go:117-136, starrocks_reader.go:464-478); scheme
     # aliases accepted for convenience
     "doris": "mysql", "starrocks": "mysql",
+    # Sybase ASE speaks TDS (the reference drives it with the pure-Go
+    # thda/tds driver, sybase_reader.go:16-17); Python's public TDS
+    # drivers are python-tds (pytds) / pymssql over FreeTDS
+    "sybase": "sybase", "tds": "sybase",
 }
 DBAPI_MODULES = {
     "mysql": ("pymysql", "MySQLdb"),
     "postgres": ("psycopg", "psycopg2"),
     "oracle": ("oracledb", "cx_Oracle"),
     "sqlserver": ("pyodbc",),  # qmark paramstyle, matches the rendering
+    "sybase": ("pytds", "pymssql"),  # both 'format' (%s) paramstyle
 }
 # driver -> callable(url) -> DB-API connection; populated on first use,
 # monkeypatchable in tests
@@ -96,6 +108,19 @@ def _net_connect(driver: str, url: str):
     user = unquote(u.username) if u.username else "root"
     password = unquote(u.password) if u.password else ""
     db = (u.path or "").lstrip("/") or props.get("databasename", "")
+    if not db and u.query:
+        # the reference's sybase grammar also allows
+        # 'jdbc:sybase:Tds:host:port?database=db' (sybase_reader.go:177-188)
+        from urllib.parse import parse_qs
+
+        db = (parse_qs(u.query).get("database") or [""])[0]
+    if driver == "sybase":
+        kw = dict(user=user, password=password, port=u.port or 5000)
+        if db:
+            kw["database"] = db
+        if mod.__name__ == "pytds":
+            return mod.connect(dsn=host, **kw)
+        return mod.connect(server=host, **kw)  # pymssql
     if driver == "oracle":
         dsn = f"{host}:{u.port or 1521}/{db}" if db else host
         return mod.connect(user=user, password=password, dsn=dsn)
@@ -179,6 +204,8 @@ def _driver(param: dict[str, Any]) -> str:
             continue
         if "duckdb" in str(u):
             return "duckdb"
+        if str(u).startswith("jdbc:sybase:Tds:"):  # jTDS grammar, no '//'
+            return "sybase"
         for scheme, drv in NET_SCHEMES.items():
             if str(u).startswith((f"jdbc:{scheme}://", f"{scheme}://")):
                 return drv
@@ -236,7 +263,8 @@ def _register_token(driver: str, con):
         con.create_function("gdr_token", 1, _token_py, deterministic=True)
 
 
-def _connect(driver: str, path: str, *, read_only: bool = False):
+def _connect(driver: str, path: str, *, read_only: bool = False,
+             net_factory=None):
     if driver == "duckdb":
         import duckdb
 
@@ -245,7 +273,12 @@ def _connect(driver: str, path: str, *, read_only: bool = False):
         con = duckdb.connect(path, read_only=read_only)
     elif driver in DBAPI_MODULES:
         # network DB-API: no gdr_token UDF server-side, so splitMode=token
-        # is rejected in read(); splitPk range/dictionary split is plain SQL
+        # is rejected in read(); splitPk range/dictionary split is plain SQL.
+        # net_factory is the driver-side DBAPI_FACTORIES snapshot shipped
+        # into read tasks (a worker process never sees driver-side
+        # registrations otherwise).
+        if net_factory is not None:
+            return net_factory(path)
         return _net_connect(driver, path)
     else:
         con = sqlite3.connect(path)
@@ -417,8 +450,10 @@ def read(param: dict[str, Any], *, channel: int = 1):
             toks = token_ranges(channel)
         queries = build_queries(param, channel=channel, tokens=toks)
 
-        def tok_factory(path=path, driver=driver):
-            return _connect(driver, path, read_only=(driver == "duckdb"))
+        def tok_factory(path=path, driver=driver,
+                        fac=DBAPI_FACTORIES.get(driver)):
+            return _connect(driver, path, read_only=(driver == "duckdb"),
+                            net_factory=fac)
 
         parts = [rd.read_sql(q, tok_factory) for q in queries]
         ds = parts[0]
@@ -463,8 +498,10 @@ def read(param: dict[str, Any], *, channel: int = 1):
     queries = build_queries(param, channel=channel, min_max=min_max,
                             boundaries=boundaries)
 
-    def factory(path=path, driver=driver):
-        return _connect(driver, path, read_only=(driver == "duckdb"))
+    def factory(path=path, driver=driver,
+                fac=DBAPI_FACTORIES.get(driver)):
+        return _connect(driver, path, read_only=(driver == "duckdb"),
+                        net_factory=fac)
 
     parts = [rd.read_sql(q, factory) for q in queries]
     ds = parts[0]
