@@ -171,7 +171,11 @@ class ParquetWalSource:
         rows = rd.from_items(files).map_batches(
             scan, batch_size=64, batch_format="numpy"
         ).take_all()  # metadata rows only — never data
-        rows.sort(key=lambda r: (r["path"], r["rg"]))  # driver-loop order
+        # restore the serial path's order: _files() list position, then
+        # row group — NOT lexicographic (paths may be an explicit list in
+        # caller-chosen order; the two code paths must read identically)
+        order = {p: i for i, p in enumerate(files)}
+        rows.sort(key=lambda r: (order[str(r["path"])], int(r["rg"])))
         return [{"path": r["path"], "rg": int(r["rg"])} for r in rows]
 
     def read(self, lo: int, hi: int):

@@ -23,19 +23,13 @@ def write(ds, param: dict[str, Any]) -> dict[str, Any]:
     as_array = fmt == "json"
 
     def render_payload(tables: list[pa.Table]) -> bytes:
-        # single C-level serialization per block — no parse/re-dump
-        # round trip through Python objects (the conversion cost
-        # flagged in r3)
-        parts = [
-            t.to_pandas().to_json(orient="records", date_format="iso",
-                                  force_ascii=False, lines=not as_array)
-            for t in tables
-        ]
-        if as_array:
-            # merge per-block arrays into ONE valid array per file
-            rows = ",".join(p[1:-1] for p in parts if len(p) > 2)
-            return f"[{rows}]".encode("utf-8")
-        return "".join(parts).encode("utf-8")
+        # single C-level serialization per task — no parse/re-dump round
+        # trip through Python objects (the conversion cost flagged in r3)
+        whole = tables[0] if len(tables) == 1 else pa.concat_tables(
+            tables, promote_options="permissive")
+        return whole.to_pandas().to_json(
+            orient="records", date_format="iso", force_ascii=False,
+            lines=not as_array).encode("utf-8")
 
     sink = ChunkFileSink(param["path"], param.get("fileName", "out"),
                          ".json" if as_array else ".jsonl", render_payload,

@@ -38,7 +38,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..schema import conform, evolve
-from ..stages.lww import lww_sorted, lww_table
+from ..stages.lww import lww_indices, lww_sorted, lww_table
 from ..state.fs import LakeFS
 from ..state.manifest import final_path
 
@@ -285,15 +285,10 @@ def make_delta_merger(
             allk = pa.concat_tables(
                 [conform(s.select(["url", *skinny_cols]), skinny_schema)
                  for s in sources])  # zero-copy column views, tiny concat
-            order = pa.compute.sort_indices(
-                allk.select(skinny_cols), sort_keys=LWW_ORDER
-            ).to_numpy()
-            import pandas as pd
-
-            keys = allk.column("url").take(pa.array(order))
-            codes, _u = pd.factorize(keys.to_pandas(), use_na_sentinel=False)
-            _uniq, first = np.unique(codes, return_index=True)
-            winners = np.sort(order[first])
+            # the ONE winner-selection kernel (stages.lww) — keeping a
+            # second inline copy here risked the merge silently
+            # desynchronizing from the combiner if tie-breaking changes
+            winners = np.sort(lww_indices(allk))
             # map global winner positions back to (source, local row)
             lens = np.array([s.num_rows for s in sources], dtype=np.int64)
             offs = np.concatenate([[0], np.cumsum(lens)])

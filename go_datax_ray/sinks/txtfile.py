@@ -7,8 +7,11 @@ writeMode truncate (delete fileName* first) / append / nonConflict
 
 One deliberate deviation: the reference names files
 ``fileName + "_taskId_" + unixnano + suffix`` (:238-249) which makes
-reruns non-idempotent; we use deterministic ``{fileName}_{blockIdx}``
+reruns non-idempotent; we use deterministic ``{fileName}_{taskIdx}``
 names so a rerun overwrites instead of accumulating (SURVEY.md §7.4).
+After a successful write the sink also deletes pattern-matching files
+from a prior run that this run didn't rewrite, so a rerun that lands
+on FEWER write tasks can't leave a stale high-index tail behind.
 """
 
 from __future__ import annotations
@@ -115,6 +118,34 @@ class ChunkFileSink(Datasink):
 
     def on_write_complete(self, write_result) -> None:
         self.stats = [r for r in write_result.write_returns if r]
+        self._cleanup_stale()
+
+    def _cleanup_stale(self) -> None:
+        """Delete task-indexed files from a PRIOR run that this run did
+        not (re)write. Without this, a rerun that lands on fewer write
+        tasks (smaller cluster, different block structure) would
+        overwrite indices 0..k-1 but leave stale k..n-1 behind — a
+        reader globbing ``fileName*`` would mix fresh and stale rows.
+        Only files matching this sink's deterministic
+        ``{fileName}_{NNNNN}{suffix}`` pattern are touched; name-only
+        metadata, never data."""
+        import re
+
+        fs, root, join, tag = _fs_for(self._path)
+        pat = re.compile(
+            re.escape(self._file_name) + r"_\d{5}"
+            + re.escape(self._suffix) + r"$")
+        written = {r["file"] for r in self.stats}
+        if fs is None:
+            candidates = _glob.glob(join(root, self._file_name + "_*"))
+            rm = os.remove
+        else:
+            candidates = fs.glob(join(root, self._file_name + "_*"))
+            rm = fs.rm
+        for f in candidates:
+            name = (tag(f) if fs is not None else f)
+            if pat.search(os.path.basename(str(f))) and name not in written:
+                rm(f)
 
     def result(self) -> dict[str, Any]:
         return {"files": sorted(r["file"] for r in self.stats),

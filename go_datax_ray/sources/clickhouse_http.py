@@ -51,10 +51,18 @@ def _arrow_type(ch_type: str) -> pa.DataType:
     """ClickHouse type name -> Arrow type (Nullable/LowCardinality
     unwrap; unknown types fall back to string)."""
     t = ch_type.strip()
-    for wrap in ("Nullable(", "LowCardinality("):
-        while t.startswith(wrap) and t.endswith(")"):
-            t = t[len(wrap):-1].strip()
-    if t in ("Int8", "Int16", "Int32", "Int64", "Bool"):
+    # wrappers nest in either order (LowCardinality(Nullable(T)) is the
+    # common idiom); strip until a full pass removes nothing
+    stripped = True
+    while stripped:
+        stripped = False
+        for wrap in ("Nullable(", "LowCardinality("):
+            if t.startswith(wrap) and t.endswith(")"):
+                t = t[len(wrap):-1].strip()
+                stripped = True
+    if t == "Bool":
+        return pa.bool_()
+    if t in ("Int8", "Int16", "Int32", "Int64"):
         return pa.int64()
     if t in ("UInt8", "UInt16", "UInt32"):
         return pa.int64()
@@ -72,6 +80,11 @@ def _arrow_type(ch_type: str) -> pa.DataType:
 
 
 def _cast_column(vals: list[str | None], typ: pa.DataType) -> pa.Array:
+    if pa.types.is_boolean(typ):
+        # TSV renders Bool as true/false (or 1/0 under custom
+        # bool_*_representation settings)
+        return pa.array(
+            [None if v is None else v in ("true", "1") for v in vals], typ)
     if pa.types.is_integer(typ):
         return pa.array(
             [int(v) if v is not None else None for v in vals], typ)
@@ -137,8 +150,11 @@ def http_select(endpoint: str, database: str, sql: str, *,
     headers = {"Content-Type": "text/plain"}
     if username:
         headers["X-ClickHouse-User"] = str(username)
-        if password:
-            headers["X-ClickHouse-Key"] = str(password)
+    if password:
+        # a password without a username targets ClickHouse's implicit
+        # 'default' user — still must be sent
+        headers.setdefault("X-ClickHouse-User", "default")
+        headers["X-ClickHouse-Key"] = str(password)
     url = f"{endpoint}/?database={quote(database)}"
     req = urllib.request.Request(url, data=body, method="POST",
                                  headers=headers)

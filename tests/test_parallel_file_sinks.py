@@ -81,3 +81,35 @@ def test_json_array_files_each_valid(ray_session, tmp_path):
         arr = json.loads(open(f).read())  # every file a valid array
         ids.extend(r["id"] for r in arr)
     assert sorted(ids) == list(range(300))
+
+
+def test_rerun_with_fewer_tasks_removes_stale_tail(ray_session, tmp_path):
+    """Review fix: a rerun that lands on FEWER write tasks must not mix
+    its output with a stale high-index tail from the prior run."""
+    out = str(tmp_path / "o")
+    param = {"path": out, "fileName": "r", "minRowsPerFile": 100}
+    res1 = txtfile.write(_ds(400, 4), param)
+    assert len(res1["files"]) == 4
+    res2 = txtfile.write(_ds(200, 2), param)  # same job, fewer tasks
+    assert len(res2["files"]) == 2
+    import glob
+    on_disk = sorted(glob.glob(str(tmp_path / "o" / "r*")))
+    assert on_disk == sorted(res2["files"])  # stale r_00002/3 removed
+    ids = []
+    for f in on_disk:
+        ids.extend(int(line.split(",")[0])
+                   for line in open(f).read().splitlines())
+    assert sorted(ids) == list(range(200))
+
+
+def test_rerun_keeps_unrelated_files(ray_session, tmp_path):
+    """The stale-tail cleanup touches ONLY this sink's deterministic
+    pattern — foreign files under the same prefix survive."""
+    out = tmp_path / "o"
+    out.mkdir()
+    (out / "r_manual.csv").write_text("keep\n")
+    (out / "r_00099.other").write_text("keep\n")
+    res = txtfile.write(_ds(100, 1), {"path": str(out), "fileName": "r"})
+    assert len(res["files"]) == 1
+    assert (out / "r_manual.csv").exists()
+    assert (out / "r_00099.other").exists()

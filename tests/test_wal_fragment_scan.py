@@ -129,3 +129,19 @@ def test_skinny_merge_equals_concat_merge(ray_session, tmp_path):
             lake.DELTA_MERGE_MODE = "skinny"
     assert finals["concat"].schema.equals(finals["skinny"].schema)
     assert finals["concat"].equals(finals["skinny"])
+
+
+def test_explicit_path_list_order_preserved(ray_session, tmp_path):
+    """Review fix: with an explicit non-lexicographic path list, the
+    distributed scan must return fragments in LIST order (the serial
+    path's order), not sorted-string order."""
+    wal, hi = _make_wal(tmp_path, n_files=12)
+    import glob
+    files = sorted(glob.glob(wal + "/*.parquet"))
+    shuffled = files[::-1]  # caller-chosen order, reverse-lexicographic
+    src = ParquetWalSource(shuffled, 0, hi)
+    serial = []
+    for p in src._files():
+        serial.extend(_scan_wal_footer(p, 0, hi))
+    src.distribute_scan_after = 4
+    assert src.fragments(0, hi) == serial

@@ -150,3 +150,46 @@ def test_native_port_maps_to_http():
     assert ep == "http://h:8123" and db == "mydb"
     ep2, db2 = ch._endpoint({"jdbcUrl": "clickhouse://h/otherdb"})
     assert ep2 == "http://h:8123" and db2 == "otherdb"
+
+
+def test_tsv_parse_bool_and_wrapped_types():
+    """Review fixes: Bool decodes true/false (not int crash);
+    LowCardinality(Nullable(T)) unwraps in either nesting order."""
+    t = ch.parse_tsv_with_names_and_types(
+        b"ok\tn\ts\nBool\tLowCardinality(Nullable(Int64))\t"
+        b"Nullable(LowCardinality(String))\n"
+        b"true\t5\tx\nfalse\t\\N\t\\N\n1\t7\ty\n")
+    assert t.column("ok").to_pylist() == [True, False, True]
+    assert t.column("n").to_pylist() == [5, None, 7]  # typed int, not string
+    assert t.column("n").type == __import__("pyarrow").int64()
+    assert t.column("s").to_pylist() == ["x", None, "y"]
+
+
+def test_password_only_auth_sends_key_for_default_user():
+    """A password without a username must still be sent — it targets
+    ClickHouse's implicit 'default' user."""
+    captured = {}
+
+    class _H(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            captured["user"] = self.headers.get("X-ClickHouse-User")
+            captured["key"] = self.headers.get("X-ClickHouse-Key")
+            self.rfile.read(int(self.headers["Content-Length"]))
+            body = b"x\nInt64\n1\n"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        ch.http_select(f"http://127.0.0.1:{srv.server_address[1]}", "db",
+                       "SELECT 1", password="sekret")
+    finally:
+        srv.shutdown()
+    assert captured == {"user": "default", "key": "sekret"}
