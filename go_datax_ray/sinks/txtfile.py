@@ -35,10 +35,22 @@ def _fs_for(path: str):
     if "://" in path:
         import fsspec
         import posixpath
+        from urllib.parse import urlsplit
 
         fs, root = fsspec.core.url_to_fs(path)
         proto = path.split("://", 1)[0]
-        return fs, root, posixpath.join, lambda x: f"{proto}://{x}"
+        # re-attach connection-authority netloc (host/port/credentials)
+        # so reported file URLs stay openable (see sources.txtfile)
+        netloc = urlsplit(path).netloc if proto in (
+            "ftp", "sftp", "ssh", "hdfs", "webhdfs", "http", "https") else ""
+
+        def tag(x):
+            x = str(x)
+            if netloc:
+                return f"{proto}://{netloc}{x if x.startswith('/') else '/' + x}"
+            return f"{proto}://{x}"
+
+        return fs, root, posixpath.join, tag
     return None, path, os.path.join, lambda x: x
 
 

@@ -35,11 +35,21 @@ def _resolve_uri(p: str) -> list[str]:
     filesystem (stdlib ftplib underneath) gives the same traversal, so
     one code path serves local disk and every remote scheme."""
     import fsspec
+    from urllib.parse import urlsplit
 
     fs, root = fsspec.core.url_to_fs(p)
     proto = p.split("://", 1)[0]
+    # connection-authority schemes carry host/port/credentials in the
+    # netloc which fs-native paths (absolute, "/dir/file") don't retain;
+    # re-attach it so the per-task fsspec.open() can reconnect. Bucket
+    # schemes (s3://bucket/key) keep the bucket IN the path — untouched.
+    netloc = urlsplit(p).netloc if proto in (
+        "ftp", "sftp", "ssh", "hdfs", "webhdfs", "http", "https") else ""
 
     def tag(x: str) -> str:
+        x = str(x)
+        if netloc:
+            return f"{proto}://{netloc}{x if x.startswith('/') else '/' + x}"
         return f"{proto}://{x}"
 
     if any(c in root for c in "*?["):
