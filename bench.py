@@ -217,7 +217,7 @@ def main() -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in (
+    portfolio = (
         "cdc_final_state",
         "exact_dedup",
         "minhash_dedup",
@@ -245,27 +245,32 @@ def main() -> dict:
         "window_session",
         "funnel",
         "time_window_read",
-    ):
-        fn = qs[name]
+    )
 
-        def run(fn=fn):
-            out = fn(SF_DIR)
-            if hasattr(out, "count"):
-                out.count()  # consume the stream
-            return out
+    def run_query(name: str) -> float:
+        t0 = time.perf_counter()
+        out = qs[name](SF_DIR)
+        if hasattr(out, "count"):
+            out.count()  # consume the stream
+        return round(time.perf_counter() - t0, 3)
 
-        # best-of-2 per portfolio query (VERDICT r4 #8): single-shot
-        # queries in a shared window inherit whichever co-tenant
-        # bandwidth storm they landed in (bucket_hash_join read 3.0 s
-        # in BENCH_r04 vs 1.4 s standalone warm); the second trial also
-        # runs warm, so the min tracks the standalone number. Queries
-        # are stateless reads over the sf tables — safe to repeat.
-        t0 = time.perf_counter()
-        run()
-        first = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        run()
-        queries[name] = min(first, round(time.perf_counter() - t0, 3))
+    # best-of-2 per portfolio query (VERDICT r4 #8), as two FULL passes
+    # rather than back-to-back trials: the co-tenant's bandwidth storms
+    # last minutes, so consecutive trials of one query land in the SAME
+    # storm (a BENCH run recorded 4 adjacent queries at 5-8x their clean
+    # numbers with both trials equally slow). Separating a query's two
+    # runs by a whole pass (~2-3 min) decorrelates them at zero extra
+    # wall time; pass 1 also warms caches so pass 2 tracks the
+    # standalone warm number. Queries are stateless reads over the sf
+    # tables — safe to repeat. Both passes ride the host blob so a slow
+    # artifact shows WHICH window was stormy.
+    passes: dict[str, list[float]] = {name: [] for name in portfolio}
+    for _ in range(2):
+        for name in portfolio:
+            passes[name].append(run_query(name))
+    for name in portfolio:
+        queries[name] = min(passes[name])
+    host["portfolio_passes"] = passes
 
     host["after"] = _host_probe()
     result = {
