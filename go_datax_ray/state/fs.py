@@ -14,9 +14,13 @@ last-writer-win the ``_manifest.json`` swap and silently drop the other
 committer's epoch. Local lakes are protected by the flock in
 ``writer_lock``; remote lakes have no cross-process lock, so exactly
 one replay/compact/gc job per remote lake is a deployment requirement
-(enforce it in the scheduler). A store-native conditional write (S3
-If-None-Match / GCS generation preconditions) would lift this, but
-fsspec does not expose one portably.
+(enforce it in the scheduler). As a second line of defense the commit
+protocol fences each epoch's commit record behind an atomic
+create-if-absent where the store has one — ``os.link`` locally, a
+conditional PUT (S3 ``If-None-Match``) on the boto-backed s3 path
+(``write_json_if_absent`` below, ``Manifest._write_commit_record_fenced``)
+— so a commit race is detected instead of silently lost; generic fsspec
+filesystems without a conditional primitive keep last-writer-wins.
 """
 
 from __future__ import annotations
@@ -134,6 +138,35 @@ class LakeFS:
                 f.flush()
                 os.fsync(f.fileno())
         self.replace(tmp, p)
+
+    def write_json_if_absent(self, p: str, payload: str) -> bool | None:
+        """Atomic create-if-absent: write ``payload`` to ``p`` only if no
+        file exists there. Returns True (created), False (lost the race —
+        a file already exists), or None (this filesystem has no atomic
+        conditional create — caller falls back to last-writer-wins).
+
+        Local: fsync a unique tmp then ``os.link`` it into place —
+        link(2) fails with EEXIST atomically, and the data is durable
+        before it becomes visible (no partial record can ever block the
+        CAS). S3 (boto fallback): a conditional PUT (If-None-Match) —
+        object PUTs are all-or-nothing, so no partial there either.
+        Other fsspec filesystems: None (no portable primitive)."""
+        if self.local:
+            tmp = f"{p}.tmp.{os.getpid()}.{id(self)}"
+            with open(tmp, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, p)
+                return True
+            except FileExistsError:
+                return False
+            finally:
+                os.remove(tmp)
+        if hasattr(self.fs, "put_if_absent"):
+            return self.fs.put_if_absent(p, payload.encode())
+        return None
 
     # -- Arrow interop ---------------------------------------------------
     def pa_filesystem(self):

@@ -202,7 +202,7 @@ class Manifest:
             },
         }
         cpath = self.fsh.join(COMMITS_DIR, f"epoch-{epoch:06d}.json")
-        self.fsh.write_json_atomic(cpath, json.dumps(commit_rec))
+        self._write_commit_record_fenced(epoch, cpath, commit_rec)
         # manifest swap LAST — this is the commit point
         self.epoch = epoch
         self.watermark_lsn = max(self.watermark_lsn, lsn_hi)
@@ -219,6 +219,61 @@ class Manifest:
                 except (OSError, FileNotFoundError):
                     pass
         return True
+
+    @staticmethod
+    def _stable_fields(rec: dict[str, Any]) -> dict[str, Any]:
+        """The deterministic identity of a commit record — everything but
+        the per-attempt timing fields (committed_at/wall_s/events_per_sec)."""
+        return {
+            "epoch": rec["epoch"],
+            "lsn_lo": rec["lsn_lo"],
+            "lsn_hi": rec["lsn_hi"],
+            "partitions": rec["partitions"],
+        }
+
+    def _write_commit_record_fenced(
+        self, epoch: int, cpath: str, commit_rec: dict[str, Any]
+    ) -> None:
+        """Publish the epoch's commit record behind an atomic
+        create-if-absent fence where the filesystem has one (os.link
+        locally, S3 conditional PUT via state.s3boto) — concurrent
+        committers are DETECTED instead of silently last-writer-winning.
+        Losing the CAS means one of three things, resolved in order:
+
+        1. the existing record is stable-identical → our own crashed
+           predecessor wrote it (idempotent epoch replay produces the
+           same bytes) — keep it and proceed to the manifest swap;
+        2. the manifest, reloaded, now acknowledges this epoch → a
+           concurrent writer finished first — raise (the caller's state
+           is stale; a retry loads the new watermark and no-ops);
+        3. otherwise → an orphan record from a crashed writer whose
+           epoch slice differed (the WAL grew between attempts). Under
+           the lake's single-writer requirement (flock locally,
+           deployment-level on remote stores — state/fs.py docstring)
+           no LIVE writer can be mid-commit here, so reclaim it.
+
+        Filesystems with no conditional primitive (generic fsspec) keep
+        the documented last-writer-wins swap."""
+        won = self.fsh.write_json_if_absent(cpath, json.dumps(commit_rec))
+        if won is None:  # no conditional primitive on this filesystem
+            self.fsh.write_json_atomic(cpath, json.dumps(commit_rec))
+            return
+        if won:
+            return
+        with self.fsh.open(cpath, "r" if self.fsh.local else "rb") as f:
+            existing = json.load(f)
+        if self._stable_fields(existing) == self._stable_fields(commit_rec):
+            return  # resumed idempotent replay: the record is already ours
+        current = Manifest.load(self.lake_dir)
+        if current.epoch >= epoch:
+            raise RuntimeError(
+                f"epoch {epoch} was committed by a concurrent writer "
+                f"(manifest now at epoch {current.epoch}) — reload and resume "
+                f"from the new watermark"
+            )
+        # orphan from a crashed attempt with a different epoch slice:
+        # single-writer requirement makes reclaiming safe
+        self.fsh.write_json_atomic(cpath, json.dumps(commit_rec))
 
     # -- time travel -------------------------------------------------------
     def files_asof(self, epoch: int) -> list[str]:
