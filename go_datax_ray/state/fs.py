@@ -139,6 +139,40 @@ class LakeFS:
                 os.fsync(f.fileno())
         self.replace(tmp, p)
 
+    def read_json_tagged(self, p: str) -> tuple[str, str | None]:
+        """Read a JSON file and an opaque swap tag for optimistic
+        concurrency. Local and generic-fsspec files return tag None (the
+        local manifest is protected by the writer flock instead); the
+        boto s3 path returns the object's ETag, read in the same GET as
+        the content."""
+        if not self.local and hasattr(self.fs, "get_with_tag"):
+            data, tag = self.fs.get_with_tag(p)
+            return data.decode(), tag
+        with self.open(p, "r" if self.local else "rb") as f:
+            data = f.read()
+        return (data if isinstance(data, str) else data.decode()), None
+
+    def replace_json_if_match(
+        self, p: str, payload: str, tag: str | None
+    ) -> str | bool | None:
+        """Optimistic-concurrency swap: replace ``p`` only if it still
+        carries ``tag`` (``tag=None`` means "must not exist yet").
+        Returns the NEW tag on success, False when the file moved
+        underneath the caller (a concurrent writer swapped first), or
+        None when this filesystem has no conditional primitive — the
+        caller falls back to write_json_atomic (flock-protected locally,
+        documented last-writer-wins on generic remotes)."""
+        if self.local or not hasattr(self.fs, "put_if_match"):
+            return None
+        if tag is None:
+            if not self.fs.put_if_absent(p, payload.encode()):
+                return False
+            # tag of the object we just created, for the NEXT swap; if a
+            # racer replaces it in this window, our next If-Match simply
+            # fails — conservative, never lost-update
+            return self.fs.get_with_tag(p)[1]
+        return self.fs.put_if_match(p, payload.encode(), tag)
+
     def write_json_if_absent(self, p: str, payload: str) -> bool | None:
         """Atomic create-if-absent: write ``payload`` to ``p`` only if no
         file exists there. Returns True (created), False (lost the race —

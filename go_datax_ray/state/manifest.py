@@ -76,6 +76,13 @@ class Manifest:
     key: str | None = "url"
     hash_fn: str | None = "crc32"
 
+    # opaque optimistic-concurrency tag of the manifest object this state
+    # was loaded from (S3 ETag on the boto path; None locally, where the
+    # writer flock serializes, and on filesystems without a conditional
+    # primitive). Identifies the loaded SNAPSHOT, not the logical state —
+    # excluded from equality/repr.
+    _swap_tag: str | None = field(default=None, compare=False, repr=False)
+
     @cached_property
     def fsh(self) -> LakeFS:
         return LakeFS(self.lake_dir)
@@ -87,9 +94,9 @@ class Manifest:
         p = fsh.join(MANIFEST_NAME)
         if not fsh.exists(p):
             return cls(lake_dir=lake_dir)
-        with fsh.open(p, "r" if fsh.local else "rb") as f:
-            d = json.load(f)
-        return cls(
+        payload, tag = fsh.read_json_tagged(p)
+        d = json.loads(payload)
+        man = cls(
             lake_dir=lake_dir,
             num_partitions=d["num_partitions"],
             watermark_lsn=d["watermark_lsn"],
@@ -99,8 +106,17 @@ class Manifest:
             key=d.get("key"),        # None = pre-metadata manifest: unknown,
             hash_fn=d.get("hash_fn"),  # never assume defaults (ADVICE r3)
         )
+        man._swap_tag = tag
+        return man
 
     def _save_atomic(self) -> None:
+        """Publish the manifest pointer. Locally: fsync'd tmp +
+        ``os.replace`` under the writer flock. On the boto s3 path: a
+        conditional swap (If-Match on the tag this state was loaded
+        with), so two writers racing the pointer — e.g. a replay vs a
+        compaction job violating the single-writer rule — lose loudly
+        instead of silently dropping one commit. Other remote stores
+        keep the documented last-writer-wins ``mv``."""
         self.fsh.makedirs(self.fsh.root)
         payload = json.dumps(
             {
@@ -113,7 +129,18 @@ class Manifest:
                 "hash_fn": self.hash_fn,
             }
         )
-        self.fsh.write_json_atomic(self.fsh.join(MANIFEST_NAME), payload)
+        p = self.fsh.join(MANIFEST_NAME)
+        res = self.fsh.replace_json_if_match(p, payload, self._swap_tag)
+        if res is None:  # no conditional primitive: local flock / generic mv
+            self.fsh.write_json_atomic(p, payload)
+            return
+        if res is False:
+            raise RuntimeError(
+                f"manifest swap lost: {p} changed since this state was "
+                f"loaded (tag {self._swap_tag!r}) — a concurrent writer is "
+                "violating the lake's single-writer rule; reload and retry"
+            )
+        self._swap_tag = res  # new tag, for the next epoch's swap
 
     # -- queries -----------------------------------------------------------
     def partition_file(self, pid: int) -> str | None:

@@ -142,6 +142,31 @@ class BotoS3FileSystem(AbstractFileSystem):
         bucket, key = self._split(path)
         self._client.put_object(Bucket=bucket, Key=key, Body=value)
 
+    def get_with_tag(self, path: str) -> tuple[bytes, str]:
+        """Read an object and its ETag in ONE GET — the read half of the
+        optimistic-concurrency manifest swap (no window between reading
+        content and reading the tag)."""
+        bucket, key = self._split(path)
+        r = self._client.get_object(Bucket=bucket, Key=key)
+        return r["Body"].read(), r["ETag"]
+
+    def put_if_match(self, path: str, value: bytes, etag: str) -> str | bool:
+        """Conditional replace (S3 ``If-Match``, public since 2024):
+        atomically overwrite the object only if its current ETag still
+        equals ``etag``. Returns the NEW ETag on success, False when the
+        object moved underneath us (someone else swapped first)."""
+        try:
+            bucket, key = self._split(path)
+            r = self._client.put_object(
+                Bucket=bucket, Key=key, Body=value, IfMatch=etag
+            )
+            return r["ETag"]
+        except self._client.exceptions.ClientError as e:
+            code = e.response.get("Error", {}).get("Code")
+            if code in ("PreconditionFailed", "412", "ConditionalRequestConflict"):
+                return False
+            raise
+
     def put_if_absent(self, path: str, value: bytes) -> bool:
         """Conditional create (S3 ``If-None-Match: *``, public since 2024
         on AWS and supported by MinIO/Ceph/moto): atomically write the

@@ -169,6 +169,45 @@ def test_orphan_record_reclaimed(ray_session, tmp_path):
     assert final.lineage()[-1]["lsn_hi"] == 2000  # reclaimed, not the orphan
 
 
+def test_manifest_swap_if_match_s3(tmp_path):
+    """The manifest pointer itself is CAS-protected on the boto s3 path:
+    a writer whose loaded snapshot went stale loses the swap LOUDLY —
+    the backstop for maintenance jobs (compact/gc/delete) racing a
+    replay on a remote lake, where no flock exists."""
+    pytest.importorskip("moto")
+    import boto3
+    from moto.server import ThreadedMotoServer
+
+    ep = os.environ["AWS_ENDPOINT_URL"]
+    port = int(ep.rsplit(":", 1)[1])
+    srv = ThreadedMotoServer(ip_address="127.0.0.1", port=port, verbose=False)
+    srv.start()
+    try:
+        boto3.client("s3", endpoint_url=ep).create_bucket(Bucket="swapbkt")
+        lake = "s3://swapbkt/lake"
+        m0 = Manifest(lake_dir=lake, num_partitions=2)
+        m0._save_atomic()  # first write: if-absent
+        a = Manifest.load(lake)
+        b = Manifest.load(lake)
+        a.watermark_lsn = 100
+        a._save_atomic()  # A swaps first
+        b.watermark_lsn = 200
+        with pytest.raises(RuntimeError, match="manifest swap lost"):
+            b._save_atomic()  # B's snapshot is stale
+        # A's state survived; B reloads and can proceed
+        cur = Manifest.load(lake)
+        assert cur.watermark_lsn == 100
+        cur.watermark_lsn = 200
+        cur._save_atomic()
+        assert Manifest.load(lake).watermark_lsn == 200
+        # creating over an existing manifest (tag None) also loses loudly
+        fresh = Manifest(lake_dir=lake, num_partitions=2)
+        with pytest.raises(RuntimeError, match="manifest swap lost"):
+            fresh._save_atomic()
+    finally:
+        srv.stop()
+
+
 def test_replay_still_green_end_to_end(ray_session, tmp_path):
     """The fenced record write is invisible to the normal replay path:
     multi-epoch replay + resume no-op behave exactly as before."""
