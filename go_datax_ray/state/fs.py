@@ -121,13 +121,29 @@ class LakeFS:
             self.fs.rm(p, recursive=True)
 
     def replace(self, src: str, dst: str) -> None:
-        """Atomic swap locally; mv (copy+delete, last-writer-wins — NOT
-        a conditional PUT) on remote: see the module docstring's hard
-        single-writer requirement for object-store lakes."""
+        """Atomic swap locally; mv on remote (copy+delete on object
+        stores, namenode rename on HDFS — last-writer-wins either way,
+        see the module docstring's hard single-writer requirement).
+
+        HDFS-semantics stores REJECT a rename onto an existing
+        destination (Hadoop FileSystem.rename returns false; WebHDFS
+        reports it as ``{"boolean": false}`` with HTTP 200, which
+        fsspec's ``mv`` silently ignores) — without the check below the
+        manifest swap would silently no-op on every save after the
+        first. Detect the rejected overwrite by the src surviving the
+        mv, then delete dst and retry once. The dst-missing window this
+        opens is readers-see-no-manifest (fail-safe: an empty Manifest,
+        never a partial one), only on rename-semantics stores, under
+        the single-writer rule."""
         if self.local:
             os.replace(src, dst)
-        else:
+            return
+        self.fs.mv(src, dst)
+        if self.fs.exists(src):  # rename-refused-overwrite semantics
+            self.fs.rm(dst)
             self.fs.mv(src, dst)
+            if self.fs.exists(src):
+                raise OSError(f"remote rename {src} -> {dst} failed twice")
 
     def write_json_atomic(self, p: str, payload: str) -> None:
         tmp = p + ".tmp"

@@ -138,9 +138,17 @@ class _Handler(BaseHTTPRequestHandler):
             os.makedirs(self.fspath, exist_ok=True)
             return self._json(200, {"boolean": True})
         if op == "RENAME":
+            # Hadoop FileSystem.rename contract: FAILS (boolean false,
+            # HTTP 200) when the destination exists — it is NOT an
+            # overwriting os.replace. fsspec's WebHDFS.mv ignores the
+            # boolean, so callers that assume overwrite silently no-op
+            # on real HDFS; LakeFS.replace handles this explicitly.
             dst = q["destination"]
             rel = posixpath.normpath(dst).lstrip("/")
-            os.replace(self.fspath, os.path.join(self.root, rel))
+            dst_fs = os.path.join(self.root, rel)
+            if os.path.exists(dst_fs) or not os.path.exists(self.fspath):
+                return self._json(200, {"boolean": False})
+            os.replace(self.fspath, dst_fs)
             return self._json(200, {"boolean": True})
         self._json(400, {"RemoteException": {"exception": "UnsupportedOperationException", "message": op}})
 
