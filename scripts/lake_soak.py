@@ -211,14 +211,16 @@ def run_soak(lake: str, *, cycles: int = 4, events_per_cycle: int = 3000,
     assert _digest(_final(lake)) == snapshots[eps[-1]]
 
     # -- orphan GC: plant uncommitted debris, remove exactly it ----------
+    from go_datax_ray.state.fs import LakeFS
     from go_datax_ray.state.manifest import final_path
 
+    fsh = LakeFS(lake)  # fs-agnostic: the soak also runs over s3:// URIs
     debris = final_path(lake, 0, man.epoch + 50)
-    with open(debris, "wb") as f:
+    with fsh.open(debris, "wb") as f:
         f.write(b"not really parquet")
     man2 = Manifest.load(lake)
     n_orphans = man2.gc_orphans()
-    assert not os.path.exists(debris), "gc_orphans left the planted orphan"
+    assert not fsh.exists(debris), "gc_orphans left the planted orphan"
     assert _digest(_final(lake)) == snapshots[eps[-1]], "gc_orphans touched live data"
     stats["gc_orphans_removed"] = n_orphans
     stats["wall_s"] = round(time.perf_counter() - t0, 2)

@@ -105,6 +105,31 @@ def test_oss_reader_writer_over_s3(s3_bucket):
         run_job(job)
 
 
+def test_s3_maintenance_soak(s3_bucket, ray_session):
+    """The FULL maintenance soak (replay, delete_where, compaction,
+    time-travel, gc_history, gc_orphans — scripts/lake_soak.py) over the
+    object store: every manifest save in every maintenance op rides the
+    If-Match conditional swap, the data plane stays rename-free, and the
+    exact driver-side LWW oracle must hold bit-for-bit as it does
+    locally."""
+    import importlib.util
+
+    p = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "lake_soak.py")
+    spec = importlib.util.spec_from_file_location("lake_soak_s3", p)
+    soak = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(soak)
+    stats = soak.run_soak(f"s3://{s3_bucket}/soak", cycles=2,
+                          events_per_cycle=800, n_urls=150)
+    assert stats["cycles"] == 2
+    assert stats["compactions"] == 2
+    assert stats["tombstones_dropped"] > 0
+    assert stats["asof_checks"] >= 6
+    assert stats["gc_orphans_removed"] >= 1
+    assert stats["evolution_checks"] >= 2
+
+
 def test_s3_multipart_and_manifest_swap(s3_bucket):
     fsh = LakeFS(f"s3://{s3_bucket}/raw")
     # multipart upload: 11 MiB through the buffered file (5 MiB parts ->
