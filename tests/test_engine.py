@@ -775,3 +775,29 @@ def test_per_jdbcurl_split(tmp_path, ray_session):
         "column": ["id", "v"],
     }, channel=4)
     assert sorted(r["v"] for r in ds.take_all()) == list(range(300))
+
+
+def test_python_m_module_entry(tmp_path):
+    """`python -m go_datax_ray job.json` — the reference's `datax
+    job.json` CLI shape (main.go:23-67) — runs a whole job in a fresh
+    process that owns its own Ray session and prints the final stats
+    line."""
+    import json
+    import subprocess
+    import sys
+
+    job = tmp_path / "job.json"
+    job.write_text(json.dumps({
+        "job": {"content": [{
+            "reader": {"name": "parquetreader", "parameter": {
+                "path": "/root/testdata/sf0.001/region.parquet",
+                "column": ["r_regionkey", "r_name"]}},
+            "writer": {"name": "streamwriter", "parameter": {"print": False}},
+        }]}
+    }))
+    out = subprocess.run(
+        [sys.executable, "-m", "go_datax_ray", str(job), "--num-cpus", "2"],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ).stdout
+    assert "Total 5 records" in out and "Error 0 records" in out
